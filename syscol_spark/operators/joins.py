@@ -1,0 +1,112 @@
+"""Join operators Spark lacks natively: as-of join and banded range join.
+
+Both are implemented as compositions of built-in shuffle operators (union +
+window, bucketed equi-join) — NOT nested-loop / theta joins — so they scale
+linearly with data size on a cluster:
+
+- ``asof_join``: the classic union-and-carry-forward trick. One shuffle on
+  the key, one sort within partitions (Spark window), no pairwise matching.
+  O(n log n) per key group vs O(n·m) for a naive time-predicate join.
+- ``range_join_count``: time-bucketing turns an inequality join into an
+  equi-join on (key, bucket); each left row probes at most 2 buckets, so
+  Catalyst plans a plain shuffled hash join instead of BroadcastNestedLoop.
+
+Reference parity: the syscol pipeline has no joins at all (SURVEY.md §2.10);
+these implement the §2.11 "as-of/range joins for metric correlation" surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts_us",
+    right_time: str = "ts_us",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.time <= left.time`` and the same ``on`` key.
+
+    Ties: a right row at exactly the left row's time matches; among equal
+    right times the one with the greatest tiebreak column order wins
+    (rows are sorted by (time, kind, *right_cols)) — deterministic.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_time)]
+    tagged_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__kind"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(right_time).alias(f"{right_time}{suffix}"),
+    )
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_time}{suffix}"]
+    tagged_l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__kind"),
+        *[F.lit(None).cast(tagged_r.schema[c].dataType).alias(c) for c in carried],
+        *[F.col(c) for c in left.columns],
+    )
+    unioned = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__kind", f"{right_time}{suffix}")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in carried],
+    )
+    return filled.filter(F.col("__kind") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__f_{c}").alias(c) for c in carried],
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower_us: int,
+    upper_us: int,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Count, for each left row, right rows with the same key whose time lies
+    in ``[left.time + lower_us, left.time + upper_us)``.
+
+    Implementation: right rows are replicated into the (at most 2) coarse
+    time buckets a matching left row can fall in, then equi-joined on
+    (key, bucket) and filtered by the exact predicate. All shuffle-based;
+    no nested-loop join at any scale.
+    """
+    span = upper_us - lower_us
+    if span <= 0:
+        raise ValueError("upper_us must be > lower_us")
+    lbucket = ((F.col(left_time) + F.lit(lower_us)) / F.lit(span)).cast("long")
+    l2 = left.select(F.col(on).alias("__k"), F.col(left_time).alias("__lt"), lbucket.alias("__b"), "*")
+    rbucket = (F.col(right_time) / F.lit(span)).cast("long")
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__rt"),
+        F.explode(F.array(rbucket, rbucket - 1)).alias("__b"),
+    )
+    joined = l2.join(
+        r2,
+        (l2["__k"] == r2["__k"])
+        & (l2["__b"] == r2["__b"])
+        & (r2["__rt"] >= l2["__lt"] + F.lit(lower_us))
+        & (r2["__rt"] < l2["__lt"] + F.lit(upper_us)),
+        "left",
+    )
+    return (
+        joined.groupBy(*[l2[c] for c in left.columns])
+        .agg(F.count(r2["__rt"]).alias(count_alias))
+    )

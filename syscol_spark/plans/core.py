@@ -1,0 +1,415 @@
+"""Core relational operator coverage (SURVEY.md §2.11): scans, filters,
+projections, hash aggregations, joins (broadcast / shuffle / semi / anti),
+sorts, top-k, set ops, exact percentiles, analytic windows, rollup.
+
+Every query is declared with the DataFrame API so Catalyst plans it
+(predicate pushdown, column pruning, join selection); small dimensions are
+explicitly broadcast so the same plan holds when the fact side is 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from syscol_spark.plans.catalog import register
+from syscol_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1: full-scan partial-aggregation (TPC-H Q1 flavor) --------------------
+# Map-side partial agg + single shuffle on a low-cardinality key: the
+# canonical 100 TB-safe aggregation shape.
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 pricing summary: filter + groupBy agg (sum/avg/count)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- Q3: selective join + agg + top-k ---------------------------------------
+@register(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(epoch(o_orderdate) AS BIGINT)                AS orderdate_epoch,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3: 3-way join (broadcast dim), agg, deterministic top-k",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(broadcast(orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("_rev", 2).alias("revenue"),
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+    )
+
+
+# --- Q5: star-schema multi-join ---------------------------------------------
+@register(
+    "q05_local_supplier",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    description="TPC-H Q5: 6-way star join, dims broadcast, one fact shuffle",
+)
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --- top customers: join + agg + top-k --------------------------------------
+@register(
+    "q_top_customers",
+    """
+    SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY SUM(o_totalprice) DESC, c_custkey
+    LIMIT 10
+    """,
+    description="join + agg + deterministic top-k (TakeOrderedAndProject)",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("o_totalprice").alias("_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.round("_spend", 2).alias("total_spend"), "n_orders")
+    )
+
+
+# --- semi join ---------------------------------------------------------------
+@register(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+                    AND o_orderdate >= TIMESTAMP '1997-01-01')
+    """,
+    description="left-semi join (EXISTS)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    )
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select("c_custkey", "c_name")
+
+
+# --- anti join ---------------------------------------------------------------
+@register(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="left-anti join (NOT EXISTS)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select("c_custkey", "c_name")
+
+
+# --- set operations ----------------------------------------------------------
+@register(
+    "q_set_ops",
+    """
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT nk, 'both' AS membership FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+    UNION ALL
+    SELECT nk, 'customer_only' FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    UNION ALL
+    SELECT nk, 'supplier_only' FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+    """,
+    description="set ops: distinct + intersect + except + union all",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return (
+        cn.intersect(sn).select("nk", F.lit("both").alias("membership"))
+        .unionAll(cn.exceptAll(sn).select("nk", F.lit("customer_only").alias("membership")))
+        .unionAll(sn.exceptAll(cn).select("nk", F.lit("supplier_only").alias("membership")))
+    )
+
+
+# --- distinct aggregation ----------------------------------------------------
+@register(
+    "q_distinct_agg",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           COUNT(*)                                    AS n_customers,
+           ROUND(SUM(c_acctbal), 2)                    AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    description="count distinct + plain agg in one groupBy",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+# --- exact percentiles -------------------------------------------------------
+@register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           ROUND(MIN(l_extendedprice), 4)                 AS lo,
+           ROUND(MAX(l_extendedprice), 4)                 AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        )
+    )
+
+
+# --- ranking window ----------------------------------------------------------
+@register(
+    "q_window_rank",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+    description="ranking window function + filter (top-3 per group)",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --- running / frame windows -------------------------------------------------
+@register(
+    "q_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(COALESCE(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price,
+           ROUND(COALESCE(LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                                                   ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS next_price
+    FROM orders
+    """,
+    description="running sum + lag/lead analytic windows",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_spend"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias("next_price"),
+    )
+
+
+# --- conditional aggregation (manual pivot) ----------------------------------
+@register(
+    "q_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4)   AS avg_filled_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="conditional aggregation / manual pivot (sum of CASE WHEN)",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = F.col("o_orderstatus")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(st == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(st == "F", 1).otherwise(0)).alias("n_filled"),
+            F.sum(F.when(st == "P", 1).otherwise(0)).alias("n_pending"),
+            F.round(F.avg(F.when(st == "F", F.col("o_totalprice"))), 4).alias("avg_filled_price"),
+        )
+    )
+
+
+# --- rollup ------------------------------------------------------------------
+@register(
+    "q_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           COUNT(*)                      AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="hierarchical rollup aggregation (grouping sets)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# --- having ------------------------------------------------------------------
+@register(
+    "q_having",
+    """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM nation JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    HAVING COUNT(*) >= 5
+    """,
+    description="groupBy + HAVING post-aggregation filter",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") >= 5)
+    )

@@ -1,0 +1,289 @@
+"""Event-time / stream-shaped operator coverage over the ``events`` table
+(SURVEY.md §2.11): tumbling, sliding and session windows, stream dedup,
+JSON payload extraction (U7), as-of join, banded range join, top-k per group.
+
+These are the batch twins of the Structured Streaming operators in
+``syscol_spark.streaming`` — identical column semantics, so oracle-checking
+the batch side validates the streaming logic too.
+
+Time parity contract: events.ts is Unix-ns int64 (ts_ns); all comparisons and
+outputs use epoch MICROSECOND longs (ts_us = ts_ns div 1000), which is exactly
+DuckDB's µs-truncated view of the same parquet (``epoch_us(ts)``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from syscol_spark.operators.joins import asof_join, range_join_count
+from syscol_spark.plans.catalog import register
+from syscol_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- tumbling window ---------------------------------------------------------
+@register(
+    "q_ev_tumbling",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="event-time tumbling window aggregation (1h)",
+)
+def q_ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+# --- sliding window ----------------------------------------------------------
+@register(
+    "q_ev_sliding",
+    """
+    WITH slotted AS (
+      SELECT CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800 AS slot, value FROM events
+    ), windows AS (
+      SELECT slot        AS window_start, value FROM slotted
+      UNION ALL
+      SELECT slot - 1800 AS window_start, value FROM slotted
+    )
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM windows GROUP BY window_start
+    """,
+    description="sliding window (1h length, 30m slide): each event in 2 windows",
+)
+def q_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts_utc", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_events", "sum_value")
+    )
+
+
+# --- session window ----------------------------------------------------------
+@register(
+    "q_ev_session",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_us, value,
+             SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 600000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM o
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+    description="session windows (10m gap) per user — native session_window",
+)
+def q_ev_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts_utc", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- stream dedup ------------------------------------------------------------
+@register(
+    "q_ev_dedup",
+    """
+    SELECT user_id, event_type, event_id, ts_us FROM (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    description="dedup: earliest event per (user, type) — streaming dropDuplicates analog",
+)
+def q_ev_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return (
+        ev.select("user_id", "event_type", "event_id", "ts_us", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- JSON payload extraction (U7) -------------------------------------------
+@register(
+    "q_ev_json",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    description="from_json over the dynamic props payload + aggregation",
+)
+def q_ev_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --- as-of join --------------------------------------------------------------
+@register(
+    "q_ev_asof",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, 0 AS kind, event_id, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 1, event_id, NULL
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT event_id, ts_us,
+           COALESCE(last_click_id, -1) AS last_click_id,
+           COALESCE(last_click_ts, -1) AS last_click_ts
+    FROM (
+      SELECT event_id, ts_us, kind,
+             LAST_VALUE(click_id IGNORE NULLS) OVER w AS last_click_id,
+             LAST_VALUE(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER w AS last_click_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) WHERE kind = 1
+    """,
+    description="as-of join: each error matched to latest same-user click at/before it",
+)
+def q_ev_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("click_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts_us", "event_id")
+    joined = asof_join(errors, clicks, on="user_id", left_time="ts_us", right_time="ts_us")
+    return joined.select(
+        "event_id",
+        "ts_us",
+        F.coalesce("click_id_asof", F.lit(-1)).alias("last_click_id"),
+        F.coalesce("ts_us_asof", F.lit(-1)).alias("last_click_ts"),
+    )
+
+
+# --- banded range join -------------------------------------------------------
+@register(
+    "q_ev_range_join",
+    """
+    SELECT e.event_id, epoch_us(e.ts) AS ts_us, CAST(COUNT(c.event_id) AS BIGINT) AS n_recent_clicks
+    FROM events e
+    LEFT JOIN events c
+      ON c.event_type = 'click' AND c.user_id = e.user_id
+     AND epoch_us(c.ts) >= epoch_us(e.ts) - 30000000
+     AND epoch_us(c.ts) <  epoch_us(e.ts)
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+    description="range join: clicks within 30s before each error (bucketed equi-join)",
+)
+def q_ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "ts_us")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    counted = range_join_count(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts_us",
+        right_time="ts_us",
+        lower_us=-30_000_000,
+        upper_us=0,
+        count_alias="n_recent_clicks",
+    )
+    return counted.select("event_id", "ts_us", "n_recent_clicks")
+
+
+# --- top-k per group ---------------------------------------------------------
+@register(
+    "q_ev_topk_per_group",
+    """
+    SELECT event_type, event_id, value, rk FROM (
+      SELECT event_type, event_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS BIGINT) AS rk
+      FROM events)
+    WHERE rk <= 3
+    """,
+    description="top-k per group via ranking window",
+)
+def q_ev_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.select("event_type", "event_id", "value", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --- flagship: avg metric per entity per minute (SURVEY.md §7 M1) -----------
+@register(
+    "q_ev_minutely",
+    """
+    SELECT user_id,
+           CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_start,
+           COUNT(*)             AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="flagship M1 query: average metric per entity per minute",
+)
+def q_ev_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.window("ts_utc", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("minute_start"),
+            "n_events",
+            "avg_value",
+        )
+    )

@@ -1,0 +1,351 @@
+"""North-star LLM-data-pipeline operator coverage: text analysis, dedup
+family, embedding similarity search, multimodal column plumbing.
+
+Oracle-checked where ANSI-SQL-expressible; MinHash/SimHash/SRP-LSH entries are
+rows-only (the driver records the weaker check) because their hash kernels
+(xxhash64) have no DuckDB equivalent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from syscol_spark.functions.text import (
+    DEFAULT_STOPWORDS,
+    PUNCT_CLASS,
+    punct_ratio,
+    quality_score,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+from syscol_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from syscol_spark.operators.similarity import brute_force_topk, srp_topk
+from syscol_spark.plans.catalog import register
+from syscol_spark.sources.tables import load_table
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in DEFAULT_STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- text statistics ---------------------------------------------------------
+@register(
+    "q_doc_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(AVG(array_length(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           ROUND(AVG(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                     / length(text)), 6) AS avg_punct_ratio
+    FROM documents
+    GROUP BY lang
+    """,
+    description="text analysis: token/char/punctuation statistics per language",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+            F.round(F.avg(punct_ratio("text")), 6).alias("avg_punct_ratio"),
+        )
+    )
+
+
+# --- token frequencies -------------------------------------------------------
+@register(
+    "q_doc_top_tokens",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    description="token frequency: explode + count + deterministic top-k",
+)
+def q_doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
+
+
+# --- exact dedup -------------------------------------------------------------
+@register(
+    "q_dedup_exact",
+    """
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           COUNT(*) - CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups
+    FROM documents
+    """,
+    description="exact dedup via content hash (md5 groupBy)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+    return groups.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dups"),
+    )
+
+
+# --- per-document quality scores --------------------------------------------
+@register(
+    "q_text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  tok -> tok IN ({_STOPS_SQL}))) AS BIGINT) AS stop_hits,
+             CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+               / length(text) AS praw
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, stop_hits,
+           ROUND(praw, 6) AS punct_r,
+           ROUND(0.5 * least(n_tokens / 64.0, 1.0)
+               + 0.4 * least(4.0 * stop_hits / greatest(n_tokens, 1), 1.0)
+               + 0.1 * (1 - least(praw * 10, 1.0)), 6) AS quality
+    FROM t
+    """,
+    description="per-doc quality scoring (length/stopword/punctuation heuristics)",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        stopword_hits("text").alias("stop_hits"),
+        F.round(punct_ratio("text"), 6).alias("punct_r"),
+        quality_score("text").alias("quality"),
+    )
+
+
+# --- language-ID heuristic ---------------------------------------------------
+@register(
+    "q_lang_id",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        tok -> tok IN ({_STOPS_SQL}))) AS DOUBLE)
+                              / array_length(string_split_regex(trim(text), '\\s+')) >= 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_guessed_en
+    FROM documents
+    GROUP BY lang
+    """,
+    description="language-ID heuristic: stopword-ratio classifier vs lang metadata",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ratio = stopword_hits("text").cast("double") / token_count("text")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(ratio >= 0.1, 1).otherwise(0)).alias("n_guessed_en"),
+        )
+    )
+
+
+# --- n-gram Jaccard near-dup -------------------------------------------------
+@register(
+    "q_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN array_length(toks) >= 3
+               THEN list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS shset
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                 / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+          / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) >= 0.2
+    """,
+    description="n-gram Jaccard near-dup with language blocking",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", "lang", shingle_n=3, min_jaccard=0.2)
+
+
+# --- MinHash + LSH (rows-only: xxhash64 kernel has no DuckDB equivalent) ----
+@register(
+    "q_minhash_lsh",
+    None,
+    description="MinHash signatures + banded LSH candidate pairs (rows-only check)",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), "text", "doc_id", n_hashes=16, shingle_n=3)
+    return minhash_lsh_candidates(sigs, n_bands=4, rows_per_band=4)
+
+
+# --- SimHash (rows-only) -----------------------------------------------------
+@register(
+    "q_simhash",
+    None,
+    description="64-bit SimHash near-dup pairs by Hamming distance (rows-only check)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import hamming64
+
+    d = _docs(spark, sf_dir)
+    sh = simhash(d, "text", "doc_id")
+    blocked = sh.join(d.select(F.col("doc_id").alias("id"), "lang"), "id")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+    )
+
+
+# --- document fingerprint (rows-only) ---------------------------------------
+@register(
+    "q_doc_fingerprint",
+    None,
+    description="rolling polynomial token fingerprint (rows-only check)",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # Karp-Rabin over tokens in Z_p (p = 2^31-1): keeps every intermediate
+    # < 2^36 so ANSI-mode long arithmetic never overflows.
+    p = F.lit(2147483647).cast("long")
+    fp = F.aggregate(
+        tokens("text"),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), p), p),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- embedding brute-force top-k --------------------------------------------
+@register(
+    "q_embed_topk",
+    """
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS BIGINT) AS rk
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rk <= 5
+    """,
+    description="exact cosine top-k neighbors (broadcast queries, one corpus scan)",
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --- SRP-LSH approximate top-k (rows-only) ----------------------------------
+@register(
+    "q_ann_srp",
+    None,
+    description="approximate top-k via sign-random-projection LSH buckets (rows-only)",
+)
+def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return srp_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
+
+
+# --- per-label centroid ------------------------------------------------------
+@register(
+    "q_embed_centroid",
+    """
+    SELECT label, n_vectors, ROUND(sqrt(sq), 6) AS centroid_norm FROM (
+      SELECT label,
+             CAST(MAX(n) AS BIGINT) AS n_vectors,
+             SUM(m * m) AS sq
+      FROM (
+        SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m,
+               COUNT(*) AS n
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i)
+      GROUP BY label)
+    """,
+    description="per-label embedding centroid norm (posexplode + two-level agg)",
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.max("n").alias("n_vectors"), F.sum(F.col("m") * F.col("m")).alias("sq"))
+        .select("label", "n_vectors", F.round(F.sqrt("sq"), 6).alias("centroid_norm"))
+    )
+
+
+# --- multimodal column plumbing ---------------------------------------------
+@register(
+    "q_multimodal_meta",
+    """
+    SELECT source,
+           COUNT(*) AS n_assets,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_blobs
+    FROM documents
+    GROUP BY source
+    """,
+    description="multimodal: opaque binary payloads + typed metadata aggregation",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Model each document as an opaque binary asset (the real pipeline would
+    # carry image/audio bytes here; see operators/multimodal.py for the
+    # decode/feature plumbing).
+    d = _docs(spark, sf_dir).select(
+        "source", F.encode("text", "UTF-8").alias("blob")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.octet_length("blob")).alias("total_bytes"),
+            F.countDistinct(F.sha2("blob", 256)).alias("n_distinct_blobs"),
+        )
+    )
