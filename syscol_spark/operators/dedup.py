@@ -32,6 +32,39 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def salted_block_pairs(df: DataFrame, n_salts: int = 32) -> DataFrame:
+    """Self-join a blocked frame into unordered pairs (a.id < b.id) with the
+    block key SALTED for parallelism.
+
+    A plain self-join on a low-cardinality block key (e.g. 5 languages)
+    parallelizes poorly: with a broadcast build side the probe side keeps the
+    scan's partitioning (often 1 small file = 1 task doing ALL the quadratic
+    compute); with a shuffle join there are only n_blocks partitions. Salting
+    the left side by hash(id), replicating the right side across all salts,
+    and explicitly round-robin repartitioning the probe side spreads each
+    pair exactly once over n_salts-wide parallelism at any block skew.
+
+    Input must have columns (id, block, ...payload); output has a.* / b.*
+    accessible via aliases "a" and "b".
+    """
+    par = max(df.sparkSession.sparkContext.defaultParallelism, n_salts)
+    a = (
+        df.withColumn("__salt", F.pmod(F.xxhash64("id"), F.lit(n_salts)))
+        .repartition(par)  # round-robin: even CPU spread for the probe side
+        .alias("a")
+    )
+    b = (
+        df.withColumn("__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)])))
+        .alias("b")
+    )
+    return a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.__salt") == F.col("b.__salt"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+
+
 def _shingle_hash(sh: Column, seed: int) -> Column:
     return F.xxhash64(sh, F.lit(seed))
 
@@ -143,12 +176,10 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"), word_shingles(content_col, shingle_n).alias("sh")
     )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
     union = (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).cast("double") - inter
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        salted_block_pairs(shingled)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

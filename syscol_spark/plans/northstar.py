@@ -218,15 +218,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="64-bit SimHash near-dup pairs by Hamming distance (rows-only check)",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from syscol_spark.operators.dedup import hamming64
+    from syscol_spark.operators.dedup import hamming64, salted_block_pairs
 
     d = _docs(spark, sf_dir)
     sh = simhash(d, "text", "doc_id")
-    blocked = sh.join(d.select(F.col("doc_id").alias("id"), "lang"), "id")
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    blocked = sh.join(d.select(F.col("doc_id").alias("id"), F.col("lang").alias("block")), "id")
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.id") < F.col("b.id")))
+        salted_block_pairs(blocked)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
