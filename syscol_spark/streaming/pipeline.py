@@ -1,0 +1,108 @@
+"""The reference's data plane as one Structured Streaming pipeline:
+
+    metrics_snapshot source → envelope enrich (P1) → serialize (P2|P3, picked
+    by config like the reference's ctor switch metrics_reporter.go:67-70) →
+    Kafka sink (K1-K3) with processingTime trigger (S2).
+
+Delivery semantics: the reference is at-most-once (acks=1, no retries,
+kafka_producer.go:67); checkpointed Structured Streaming gives at-least-once
+— a strict upgrade, with possible duplicates on recovery (documented delta,
+SURVEY.md §2.5 K3).
+
+Without a Kafka broker/connector (this container has neither), the same
+serialized frame goes to a ``foreachBatch`` sink for tests — identical bytes,
+different transport.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter
+
+from syscol_spark.config import TRANSFORM_AVRO, TRANSFORM_NONE, CollectorConfig, parse_producer_properties
+from syscol_spark.functions.confluent import register_envelope_schema, to_confluent_avro
+from syscol_spark.functions.envelope import enrich_envelope, envelope_to_json
+
+
+def kafka_sink_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def serialized_value(envelope: F.Column, config: CollectorConfig) -> F.Column:
+    """P4 transform dispatch: plan-time choice of the value expression."""
+    if config.transform == TRANSFORM_NONE:
+        return envelope_to_json(envelope).cast("binary")
+    if config.transform == TRANSFORM_AVRO:
+        schema_id = register_envelope_schema(config.schema_registry_url)
+        return to_confluent_avro(envelope, schema_id)
+    raise ValueError(f"unknown transform {config.transform!r}")
+
+
+def enriched_stream(spark: SparkSession, config: CollectorConfig) -> DataFrame:
+    """Source + P1: envelope column per scrape row."""
+    from syscol_spark.sources.metrics_http import MetricsSnapshotDataSource
+
+    try:
+        spark.dataSource.register(MetricsSnapshotDataSource)
+    except Exception:  # noqa: BLE001 — already registered
+        pass
+    raw = (
+        spark.readStream.format("metrics_snapshot")
+        .option("hosts", ",".join(config.hosts) or "localhost")
+        .option("port", str(config.port))
+        .option("namespace", config.namespace)
+        .option("interval", str(config.reporting_interval_secs))
+        .load()
+    )
+    env = enrich_envelope(
+        F.col("Metrics"),
+        slave_id=F.col("SlaveID"),
+        hostname=F.col("Hostname"),
+        port=F.col("Port"),
+        namespace=F.col("Namespace"),
+        timestamp_ns=F.col("Timestamp"),
+    )
+    return raw.select(env.alias("envelope"), F.col("error"))
+
+
+def build_pipeline(
+    spark: SparkSession,
+    config: CollectorConfig,
+    *,
+    checkpoint_dir: str,
+    key_by_slave: bool = False,
+) -> DataStreamWriter:
+    """Full write pipeline, ready for .start().
+
+    ``key_by_slave=False`` reproduces the reference's null-key produce
+    (metrics_reporter.go:96 → random partition placement, no per-slave
+    ordering). ``True`` is the documented improvement: key=SlaveID gives
+    per-slave ordering via Kafka's hash partitioner.
+    """
+    stream = enriched_stream(spark, config)
+    out = stream.select(
+        (F.col("envelope.SlaveID").cast("binary") if key_by_slave else F.lit(None).cast("binary")).alias("key"),
+        serialized_value(F.col("envelope"), config).alias("value"),
+    )
+    writer = (
+        out.writeStream.trigger(processingTime=f"{config.reporting_interval_secs} seconds")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if kafka_sink_available(spark):
+        props = parse_producer_properties(config.producer_properties) if config.producer_properties else {}
+        writer = writer.format("kafka").option("topic", config.topic)
+        # K2/K3 passthrough: batch.size / linger.ms / acks etc.
+        for k, v in props.items():
+            writer = writer.option(f"kafka.{k}", v)
+        return writer
+    # test fallback: identical frame, parquet transport
+    sink_dir = f"{checkpoint_dir}_out"
+    return writer.format("parquet").option("path", sink_dir)
