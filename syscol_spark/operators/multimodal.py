@@ -1,0 +1,137 @@
+"""Multimodal column operators (north-star): image/audio/video as opaque
+binary columns + typed metadata, with decode / feature-extraction / resize /
+frame-sampling as Arrow-batched ``mapInPandas`` stages.
+
+The Spark-side plumbing — schema, partition-preserving batch iteration, UDF
+signatures, output shapes — is real and tested. The actual media decoding is
+STUBBED (``decoder="stub"``) because no image/audio libraries exist in this
+container: the stub derives a deterministic fake feature vector from the blob
+bytes (sha256-seeded), so downstream operators (similarity search, dedup)
+exercise realistic shapes end-to-end. Passing ``decoder="pillow"`` etc.
+raises NotImplementedError at plan time, marking exactly where a real
+decoder plugs in.
+
+Scale design: mapInPandas streams Arrow batches (no per-row Python), blobs
+never shuffle unless the caller repartitions, and feature extraction is a
+pure map — at 100 TB the only cost is one scan + the Python worker lanes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical multimodal asset schema: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("blob", BinaryType(), False),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+FEATURE_DIM = 64
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_blob", BinaryType(), False),
+    ]
+)
+
+
+def _stub_feature(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake embedding: sha256-expanded bytes → [-1,1) floats.
+    Stable across runs/machines, so tests and dedup pipelines are exact."""
+    out: list[float] = []
+    seed = blob or b"\x00"
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        out.extend(int.from_bytes(h[i : i + 4], "big") / 2**31 - 1.0 for i in range(0, 32, 4))
+        counter += 1
+    return out[:dim]
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter: model the documents table as binary assets (the container has
+    no real media; the pipeline shape is identical)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("blob"),
+        F.create_map(F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+
+
+def extract_features(assets: DataFrame, *, decoder: str = "stub", dim: int = FEATURE_DIM) -> DataFrame:
+    """blob → feature vector via mapInPandas (Arrow batches).
+
+    ``decoder="stub"`` → deterministic fake features (see _stub_feature).
+    Any real decoder name raises NotImplementedError: that is the single
+    integration point for pillow/torchvision/ffmpeg in a real deployment.
+    """
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder {decoder!r}: media libraries are not available in this "
+            "environment; plug a real decode here (same batch contract)"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": blobs.map(lambda b: len(b) if b is not None else 0),
+                    "feature": blobs.map(lambda b: _stub_feature(bytes(b), dim)),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=_FEATURES_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, *, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Video-style frame sampling: one output row per sampled "frame"
+    (byte-window stand-in). Real ffmpeg sampling plugs into the same
+    mapInPandas contract — N output rows per input row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, blobs = [], [], []
+            for aid, blob in zip(pdf["asset_id"], pdf["blob"]):
+                raw = bytes(blob)
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(aid)
+                    idxs.append(i)
+                    blobs.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_blob": blobs})
+
+    return assets.mapInPandas(batches, schema=_FRAMES_SCHEMA)

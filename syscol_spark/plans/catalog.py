@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         return
     import syscol_spark.plans.core  # noqa: F401
     import syscol_spark.plans.events  # noqa: F401
+    import syscol_spark.plans.extra  # noqa: F401
     import syscol_spark.plans.northstar  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,213 @@
+"""Extended relational coverage: cube, ntile/percent_rank/cume_dist,
+date/string scalar functions, scalar + correlated subqueries, array
+aggregation, non-equi semi join, multimodal feature pipeline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from syscol_spark.plans.catalog import register
+from syscol_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_cube",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')    AS status,
+           COALESCE(o_orderpriority, 'ALL')  AS priority,
+           COUNT(*)                          AS n,
+           ROUND(SUM(o_totalprice), 2)       AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="CUBE grouping sets over two dimensions",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "q_window_distribution",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT)        AS quartile,
+           ROUND(percent_rank() OVER w, 6)        AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)           AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    description="distribution window functions: ntile, percent_rank, cume_dist",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q_date_functions",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)    AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+           COUNT(*)                                           AS n,
+           ROUND(SUM(o_totalprice), 2)                        AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    description="temporal scalar functions: year/quarter extraction + agg",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "q_string_functions",
+    """
+    SELECT upper(substring(c_name, 1, 8))                      AS name_prefix,
+           CAST(length(c_name) AS BIGINT)                      AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1)               AS cust_num,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    WHERE c_name LIKE '%1%'
+    """,
+    description="string scalar functions: upper/substring/length/regexp_extract/concat/LIKE",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("%1%")).select(
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("cust_num"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    """
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+    description="uncorrelated scalar subquery in predicate",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "q_correlated_avg",
+    """
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier s
+    WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    description="correlated aggregate subquery (decorrelated to window avg)",
+)
+def q_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decorrelation by hand: per-nation average via window — one shuffle,
+    # no join, the plan Catalyst itself would rewrite the subquery into.
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("nation_avg", F.avg("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") > F.col("nation_avg"))
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "q_array_agg",
+    """
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(s_suppkey)), ',') AS supplier_ids,
+           COUNT(*) AS n_suppliers
+    FROM nation JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_nationkey
+    """,
+    description="array aggregation: collect + sort + serialize",
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_suppkey")), ",").alias("supplier_ids"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "q_nonequi_semi_join",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    """,
+    description="non-equi (inequality-condition) left-semi join",
+)
+def q_nonequi_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "q_multimodal_features",
+    None,
+    description="multimodal decode plumbing: blob → stub feature vector via mapInPandas (rows-only)",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.multimodal import documents_as_assets, extract_features
+
+    assets = documents_as_assets(_t(spark, sf_dir, "documents"))
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.round(F.aggregate(F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda a, b: a + b), 6).alias("feature_sq_norm"),
+    )

@@ -1,0 +1,110 @@
+"""Streaming analytics operators over the envelope stream (SURVEY.md §2.11):
+event-time windows with watermark late-data handling, streaming dedup, and a
+custom stateful operator via applyInPandasWithState.
+
+These are the streaming twins of the batch queries in plans/events.py — the
+column semantics are identical, so the oracle-checked batch results validate
+this logic; tests here exercise the incremental/stateful execution itself.
+
+Watermark policy: the envelope Timestamp is Unix-ns; event time is the
+derived µs TimestampType. At 100 TB-scale ingest, the watermark bounds state:
+window state is dropped ``delay`` behind the max observed event time, so
+state size is O(hosts × windows-in-delay), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def with_event_time(stream: DataFrame, ts_ns_col: str = "envelope.Timestamp") -> DataFrame:
+    return stream.withColumn("event_time", F.timestamp_micros(F.expr(f"{ts_ns_col} div 1000")))
+
+
+def windowed_metric_rates(
+    stream: DataFrame,
+    *,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-host per-window event-time aggregation with late-data handling:
+    the M1 flagship query, incremental. Input: enriched_stream() output."""
+    s = with_event_time(stream).withWatermark("event_time", watermark)
+    win = F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    return (
+        s.select(F.col("envelope.Hostname").alias("hostname"), "event_time",
+                 F.explode("envelope.Metrics").alias("metric", "value"))
+        .groupBy(win.alias("w"), "hostname", "metric")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "hostname", "metric", "n", "avg_value")
+    )
+
+
+def dedup_stream(stream: DataFrame, *, watermark: str = "2 minutes") -> DataFrame:
+    """Streaming exact-once-per-key dedup: dropDuplicates scoped by watermark
+    so the dedup state ages out (unbounded keys would otherwise grow state
+    forever — the reference has no dedup at all; SURVEY §2.11)."""
+    s = (
+        with_event_time(stream)
+        .withColumn("slave_id", F.col("envelope.SlaveID"))  # dedup keys must be top-level
+        .withWatermark("event_time", watermark)
+    )
+    if hasattr(s, "dropDuplicatesWithinWatermark"):
+        return s.dropDuplicatesWithinWatermark(["slave_id", "event_time"])
+    return s.dropDuplicates(["slave_id", "event_time"])
+
+
+_COUNTER_SCHEMA = StructType(
+    [
+        StructField("hostname", StringType(), False),
+        StructField("n_ticks", LongType(), False),
+        StructField("ewma_metric_count", DoubleType(), False),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("ewma", DoubleType())]
+)
+
+
+def stateful_host_counters(stream: DataFrame, *, alpha: float = 0.3) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-host running
+    tick count + EWMA of metrics-per-tick. The kind of operator the built-in
+    window aggs can't express (cross-batch recursive state)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (hostname,) = key
+        n, ewma = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            for cnt in pdf["n_metrics"]:
+                n += 1
+                ewma = alpha * float(cnt) + (1 - alpha) * ewma
+        state.update((n, ewma))
+        yield pd.DataFrame({"hostname": [hostname], "n_ticks": [n], "ewma_metric_count": [ewma]})
+
+    prepared = stream.select(
+        F.col("envelope.Hostname").alias("hostname"),
+        F.size("envelope.Metrics").alias("n_metrics"),
+    )
+    return prepared.groupBy("hostname").applyInPandasWithState(
+        update,
+        outputStructType=_COUNTER_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

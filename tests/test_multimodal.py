@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from syscol_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    FEATURE_DIM,
+    documents_as_assets,
+    extract_features,
+    sample_frames,
+)
+from syscol_spark.sources.tables import load_table
+
+
+def test_assets_schema(spark, sf_dir):
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    assert [f.name for f in assets.schema.fields] == [f.name for f in ASSET_SCHEMA.fields]
+    row = assets.limit(1).collect()[0]
+    assert isinstance(bytes(row["blob"]), bytes)
+    assert row["meta"]["source"].startswith("src")
+
+
+def test_feature_extraction_shape_and_determinism(spark, sf_dir):
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents")).limit(10)
+    f1 = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    f2 = {r["asset_id"]: r["feature"] for r in extract_features(assets).collect()}
+    assert len(f1) == 10
+    for aid, feat in f1.items():
+        assert len(feat) == FEATURE_DIM
+        assert all(-1.0 <= x < 1.0 for x in feat)
+        assert f2[aid] == feat  # deterministic across runs
+
+
+def test_real_decoder_is_stubbed(spark, sf_dir):
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError, match="pillow"):
+        extract_features(assets, decoder="pillow")
+
+
+def test_frame_sampling_multiplies_rows(spark, sf_dir):
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents")).limit(5)
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=3).collect()
+    per_asset = {}
+    for r in frames:
+        per_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    assert len(per_asset) == 5
+    for idxs in per_asset.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame ids
+        assert 1 <= len(idxs) <= 3

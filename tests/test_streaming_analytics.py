@@ -1,0 +1,91 @@
+"""Streaming analytics tests: watermarked windows, streaming dedup, custom
+stateful operator — driven by the polling source against a stub server,
+collected through a memory sink."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def stub_server():
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = json.dumps({"slave/cpus_total": 4.0, "slave/mem_used": 100.0}).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def _enriched(spark, port):
+    from syscol_spark.config import CollectorConfig
+    from syscol_spark.streaming.pipeline import enriched_stream
+
+    cfg = CollectorConfig(hosts=["127.0.0.1"], port=port, reporting_interval_secs=0.5)
+    return enriched_stream(spark, cfg)
+
+
+def _run_to_memory(df, name, timeout=40, min_rows=1, output_mode="update"):
+    q = df.writeStream.format("memory").queryName(name).outputMode(output_mode).trigger(
+        processingTime="1 second"
+    ).start()
+    try:
+        deadline = time.time() + timeout
+        spark = df.sparkSession
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if len(rows) >= min_rows:
+                return rows
+            time.sleep(0.5)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+def test_windowed_rates_streaming(spark, stub_server):
+    from syscol_spark.streaming.analytics import windowed_metric_rates
+
+    out = windowed_metric_rates(_enriched(spark, stub_server), window="1 minute")
+    rows = _run_to_memory(out, "win_rates", min_rows=2)
+    assert rows, "no windowed aggregates produced"
+    metrics = {r["metric"] for r in rows}
+    assert "slave/cpus_total" in metrics
+    assert all(r["hostname"] == "127.0.0.1" for r in rows)
+    assert all(r["n"] >= 1 for r in rows)
+
+
+def test_stateful_host_counters(spark, stub_server):
+    from syscol_spark.streaming.analytics import stateful_host_counters
+
+    out = stateful_host_counters(_enriched(spark, stub_server))
+    rows = _run_to_memory(out, "host_counters")
+    assert rows, "no stateful output"
+    last = rows[-1]
+    assert last["hostname"] == "127.0.0.1"
+    assert last["n_ticks"] >= 1
+    assert last["ewma_metric_count"] > 0  # 2 metrics per tick → ewma → 2
+
+
+def test_dedup_stream_drops_replays(spark, stub_server):
+    from syscol_spark.streaming.analytics import dedup_stream
+
+    out = dedup_stream(_enriched(spark, stub_server)).select(
+        F.col("envelope.SlaveID").alias("sid"), "event_time"
+    )
+    rows = _run_to_memory(out, "dedup_ev", output_mode="append")
+    keys = [(r["sid"], r["event_time"]) for r in rows]
+    assert len(keys) == len(set(keys))  # no duplicate (key, time) pairs emitted
