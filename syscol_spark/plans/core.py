@@ -86,7 +86,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(broadcast(orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+        li.join(orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("_rev"))
@@ -133,7 +133,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -160,7 +160,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(F.sum("o_totalprice").alias("_spend"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("_spend").desc(), F.col("c_custkey"))
@@ -390,6 +390,124 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
             "n",
         )
+    )
+
+
+# --- Q6: scan-dominant filter + global aggregate -----------------------------
+@register(
+    "q06_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6: selective scan + global agg — pure pushdown test",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- Q14: conditional share of a join --------------------------------------
+@register(
+    "q14_promo_effect",
+    """
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    description="TPC-H Q14: broadcast dim join + conditional revenue share",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- Q10-flavor: returned-item revenue by customer ---------------------------
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10: 4-way join, agg, deterministic top-20",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", F.round("_rev", 2).alias("revenue"))
+    )
+
+
+# --- approximate distinct (sketch operator; rows-only: HLL ≠ DuckDB's) ------
+@register(
+    "q_approx_distinct",
+    None,
+    description="approx_count_distinct (HyperLogLog++) vs exact — sketch operator (rows-only)",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 4).alias("p50_approx"),
     )
 
 
