@@ -4,10 +4,12 @@ Five strategies, all shuffle-based and cluster-scalable:
 
 - exact_dedup:        md5(content) groupBy — one shuffle on a 128-bit key.
 - minhash_signatures / minhash_lsh_candidates: MinHash + banded LSH.
-  Signature = per-seed min of xxhash64(shingle ++ seed), computed entirely
-  with built-in expressions (no Python). Band buckets shuffle-join candidate
-  pairs — the standard near-dup pipeline at web scale.
-- simhash: 64-bit SimHash from token hashes via bit-count expressions.
+  Signature = per-seed min over a universal-hash family derived from ONE
+  xxhash64 per shingle, computed entirely with built-in expressions (no
+  Python). Band buckets shuffle-join candidate pairs — the standard
+  near-dup pipeline at web scale.
+- simhash: 64-bit SimHash from per-token hashes via one grouped pass of 64
+  conditional sums.
 - ngram_jaccard_pairs: exact Jaccard over distinct shingle sets for pairs
   sharing a blocking key (bounded quadratic *within* a block only).
 - embedding near-dup lives in operators/similarity.py (cosine >= threshold).
@@ -19,6 +21,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from syscol_spark.functions.text import word_shingles
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions than
+    cores. Small files scan as 1 partition, serializing heavy per-row compute
+    (shingling, hashing); a large scan already has natural parallelism and
+    must NOT pay a full-data shuffle, so this is a no-op there."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -74,20 +87,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — per-seed min over shingle hashes.
 
-    All built-in expressions: shingling via transform(sequence), hashing via
-    xxhash64 with the seed parameter, min via array aggregate. Stays in
-    whole-stage codegen; scales as a pure map over the corpus.
+    Cost shape: each shingle is string-hashed ONCE (xxhash64 → 31-bit), then
+    the n_hashes family is derived arithmetically per seed
+    (h_i = (a_i·h + b_i) mod p, p = 2^31-1 — universal hashing; all
+    intermediates < 2^62 so ANSI long arithmetic can't overflow). A pure
+    map with no shuffle — signatures stay cheap even when the LSH self-join
+    evaluates the subplan on both sides.
     """
+    df = ensure_parallelism(df)
+    pv = 2147483647  # 2^31 - 1
+    p = F.lit(pv).cast("long")
     sh = word_shingles(content_col, shingle_n)
-    sig = F.array(
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), p))
+    # (a_i, b_i) constants packed as an array<struct> so ONE aggregate pass
+    # updates all n_hashes minima per shingle (expression-level CSE does not
+    # span higher-order functions — n separate transforms would re-hash
+    # every shingle n times).
+    ab = F.array(
         *[
-            F.aggregate(
-                F.transform(sh, lambda s, i=i: _shingle_hash(s, i)),
-                F.lit(None).cast("long"),
-                lambda acc, x: F.least(F.coalesce(acc, x), x),
-            )
+            F.struct(F.lit(2 * i + 1).cast("long").alias("a"), F.lit(i * 40_503 + 1).cast("long").alias("b"))
             for i in range(n_hashes)
         ]
+    )
+    init = F.array_repeat(F.lit(pv).cast("long"), n_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(acc, ab, lambda accv, s: F.least(accv, F.pmod(s["a"] * h + s["b"], p))),
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
@@ -134,24 +160,28 @@ def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """
     from syscol_spark.functions.text import tokens
 
-    toks = F.array_distinct(tokens(content_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_contrib(mask: Column) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+    # explode → hash once → 64 conditional sums in ONE aggregation pass
+    # (the array-expression formulation re-hashed every token 64×).
+    df = ensure_parallelism(df)
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(content_col))).alias("tok")
+    )
+    hashed = exploded.select("id", F.xxhash64("tok").alias("h"))
+    # bit-63 mask as a signed-long literal is MIN_LONG (two's complement)
+    masks = [(1 << bit) - (1 << 64 if bit == 63 else 0) for bit in range(64)]
+    sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i, m in enumerate(masks)
+    ]
+    agged = hashed.groupBy("id").agg(*sums)
+    fingerprint = F.lit(0).cast("long")
+    for i, m in enumerate(masks):
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-
-    bit_cols = []
-    for bit in range(64):
-        # bit 63 as a signed-long literal is MIN_LONG (two's complement)
-        mask = F.lit((1 << bit) - (1 << 64 if bit == 63 else 0)).cast("long")
-        bit_cols.append(F.when(bit_contrib(mask) > 0, mask).otherwise(F.lit(0).cast("long")))
-    fingerprint = bit_cols[0]
-    for c in bit_cols[1:]:
-        fingerprint = fingerprint.bitwiseOR(c)
-    return df.select(F.col(id_col).alias("id"), fingerprint.alias("simhash"))
+    return agged.select("id", fingerprint.alias("simhash"))
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:

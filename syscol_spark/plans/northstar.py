@@ -288,6 +288,38 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
 
 
+# --- embedding-cosine near-dup ----------------------------------------------
+@register(
+    "q_embed_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+    description="embedding-cosine near-dup pairs (label-blocked, salted self-join)",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.functions.vectors import cosine_similarity
+    from syscol_spark.operators.dedup import salted_block_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("label").alias("block"), "embedding"
+    )
+    return (
+        salted_block_pairs(emb)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
 # --- per-label centroid ------------------------------------------------------
 @register(
     "q_embed_centroid",

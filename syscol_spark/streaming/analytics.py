@@ -68,6 +68,35 @@ def dedup_stream(stream: DataFrame, *, watermark: str = "2 minutes") -> DataFram
     return s.dropDuplicates(["slave_id", "event_time"])
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    watermark: str = "2 minutes",
+    band_seconds: int = 60,
+) -> DataFrame:
+    """Stream-stream inner join within a time band: left rows match right
+    rows with the same key whose event time is within ``band_seconds`` at or
+    before the left's. Both sides carry watermarks so Spark can bound the
+    join state buffers (unwatermarked stream-stream joins grow state forever).
+
+    Expects both inputs to already have ``event_time`` + the key column.
+    """
+    l = left.withWatermark("event_time", watermark).alias("l")
+    r = right.withWatermark("event_time", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l.{on} = r.{on} AND
+            r.event_time BETWEEN l.event_time - INTERVAL {band_seconds} SECONDS
+                             AND l.event_time
+            """
+        ),
+    )
+
+
 _COUNTER_SCHEMA = StructType(
     [
         StructField("hostname", StringType(), False),

@@ -80,6 +80,24 @@ def test_stateful_host_counters(spark, stub_server):
     assert last["ewma_metric_count"] > 0  # 2 metrics per tick → ewma → 2
 
 
+def test_interval_join_streams(spark, stub_server):
+    from syscol_spark.streaming.analytics import interval_join_streams, with_event_time
+
+    base = with_event_time(_enriched(spark, stub_server)).select(
+        F.col("envelope.Hostname").alias("host"), "event_time"
+    )
+    # self-join: every tick matches itself (band includes 0s lag)
+    joined = interval_join_streams(
+        base.select(F.col("host"), "event_time"),
+        base.select(F.col("host"), "event_time"),
+        on="host",
+        band_seconds=60,
+    ).select(F.col("l.host").alias("host"), F.col("l.event_time").alias("lt"), F.col("r.event_time").alias("rt"))
+    rows = _run_to_memory(joined, "ivj", output_mode="append", timeout=45)
+    assert rows, "stream-stream interval join produced nothing"
+    assert all(r["rt"] <= r["lt"] for r in rows)  # band is at-or-before
+
+
 def test_dedup_stream_drops_replays(spark, stub_server):
     from syscol_spark.streaming.analytics import dedup_stream
 
