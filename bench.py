@@ -39,6 +39,11 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
+    # Ingest-pipeline throughput vs the reference's operational ceiling
+    # (BASELINE.md: ~1000 msg/s for a 1000-node fleet): synthesize envelopes,
+    # run the full enrich → JSON-serialize path, measure records/sec.
+    ingest_rps = _ingest_throughput(spark)
+
     print(
         json.dumps(
             {
@@ -48,9 +53,41 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "ingest_envelopes_per_sec": ingest_rps,
             }
         )
     )
+
+
+def _ingest_throughput(spark, n_records: int = 200_000, n_metrics: int = 100) -> int:
+    """Records/sec through the reference-parity ingest path (P1 enrich +
+    P2 JSON serialization) on synthetic envelopes with ~100 metrics each —
+    the reference's record shape (BASELINE.md: 100-300 doubles)."""
+    import pyspark.sql.functions as F
+
+    from syscol_spark.functions.envelope import enrich_envelope, envelope_to_json
+
+    metrics = F.map_from_arrays(
+        F.array(*[F.lit(f"slave/metric_{i}") for i in range(n_metrics)]),
+        F.array(*[(F.col("id") * 31 + i).cast("double") for i in range(n_metrics)]),
+    )
+    base = spark.range(n_records).select(
+        F.col("id"),
+        metrics.alias("m"),
+    )
+    env = enrich_envelope(
+        F.col("m"),
+        slave_id=F.concat(F.lit("slave-"), F.col("id").cast("string")),
+        hostname=F.concat(F.lit("host-"), F.pmod(F.col("id"), F.lit(1000)).cast("string")),
+        port=5051,
+        namespace="bench",
+        timestamp_ns=F.col("id") * 1_000_000 + F.lit(1_700_000_000_000_000_000),
+    )
+    out = base.select(envelope_to_json(env).alias("value"))
+    t0 = time.time()
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return int(n_records / dt)
 
 
 if __name__ == "__main__":

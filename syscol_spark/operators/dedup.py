@@ -202,9 +202,15 @@ def ngram_jaccard_pairs(
 
     Blocking bounds the quadratic term: with B blocks of size s the join is
     O(B·s²) not O(N²); blocks shuffle independently so skew is AQE-split.
+    Shingle sets are prehashed to int64 (xxhash64) before the pairwise
+    array_intersect — set ops over longs are far cheaper than over ~20-char
+    strings, and with 64-bit hashes the collision probability is ~n²/2⁶⁴
+    (irrelevant at any realistic block size).
     """
     shingled = df.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("block"), word_shingles(content_col, shingle_n).alias("sh")
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(F.transform(word_shingles(content_col, shingle_n), lambda s: F.xxhash64(s))).alias("sh"),
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
     union = (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).cast("double") - inter
