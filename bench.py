@@ -27,6 +27,9 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     _ensure_loaded()
     spark = get_session("bench")
+    # warm up the JVM/codegen and file listing so the first query's number
+    # reflects the query, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -61,6 +61,14 @@ class CollectorManager:
     def is_running(self) -> bool:
         return self._query is not None and self._query.isActive
 
+    # K4: delivery-report stream. The reference wires a per-record metadata
+    # channel that is dead in practice (nil chan, kafka_producer.go:124,154);
+    # here progress reports actually arrive, one per micro-batch.
+    def progress_history(self, limit: int = 16) -> list[dict]:
+        if self._query is None:
+            return []
+        return [p for p in (self._query.recentProgress or [])][-limit:]
+
     # C7 status
     def status(self) -> dict:
         if self._query is None:
