@@ -189,6 +189,61 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(x).cast("long")
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", *, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster, cluster_size):
+    each document labeled with the min id reachable through the similarity
+    graph — the canonical representative its cluster keeps.
+
+    Iterative min-label propagation: each round joins labels across edges and
+    keeps the per-node minimum; converges in O(component diameter) rounds
+    (near-dup components are shallow). Every round is a distributed
+    join+groupBy — the driver only checks the converged flag, no data ever
+    leaves the cluster. This is the engine's iterative-algorithm surface:
+    not expressible as one SQL query (the oracle uses a recursive CTE).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        # materialize + truncate lineage: without this every iteration
+        # re-executes the (possibly expensive) pair-generation subplan, and
+        # the loop's plan grows exponentially
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "id", F.col("label").alias("cluster"), "cluster_size"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str,

@@ -262,6 +262,78 @@ def q_ev_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- time-range moving average (RANGE frame) --------------------------------
+@register(
+    "q_ev_moving_avg",
+    """
+    SELECT event_id,
+           ROUND(AVG(value) OVER w, 4)      AS mavg_5m,
+           CAST(COUNT(*) OVER w AS BIGINT)  AS n_in_window
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+    """,
+    description="time-based moving average: RANGE window frame over µs epoch",
+)
+def q_ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-300_000_000, 0)
+    return ev.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg_5m"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+    )
+
+
+# --- resample / gap-fill -----------------------------------------------------
+@register(
+    "q_ev_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(floor(MIN(epoch_us(ts)) / 21600000000) AS BIGINT) AS lo,
+             CAST(floor(MAX(epoch_us(ts)) / 21600000000) AS BIGINT) AS hi
+      FROM events
+    ), grid AS (
+      SELECT u.user_id, b.bucket
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS bucket FROM bounds) b
+    ), agg AS (
+      SELECT user_id, CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.bucket,
+           COALESCE(a.n, 0)          AS n,
+           COALESCE(a.sum_value, 0)  AS sum_value
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+    """,
+    description="resample: dense 6h time grid per entity with zero-filled gaps",
+)
+def q_ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = F.expr("ts_us div 21600000000")
+    agg = (
+        ev.groupBy(F.col("user_id"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    bounds = ev.agg(
+        F.expr("min(ts_us) div 21600000000").alias("lo"), F.expr("max(ts_us) div 21600000000").alias("hi")
+    )
+    grid = (
+        ev.select("user_id").distinct()
+        .crossJoin(bounds.select(F.explode(F.sequence("lo", "hi")).alias("bucket")))
+    )
+    return (
+        grid.join(agg, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
 # --- flagship: avg metric per entity per minute (SURVEY.md §7 M1) -----------
 @register(
     "q_ev_minutely",

@@ -195,6 +195,129 @@ def q_nonequi_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pivot",
+    """
+    SELECT o_orderpriority,
+           ROUND(COALESCE("O", 0), 2) AS open_total,
+           ROUND(COALESCE("F", 0), 2) AS filled_total,
+           ROUND(COALESCE("P", 0), 2) AS pending_total
+    FROM (PIVOT orders ON o_orderstatus IN ('O', 'F', 'P')
+          USING SUM(o_totalprice) GROUP BY o_orderpriority)
+    """,
+    description="pivot: status columns from rows",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .sum("o_totalprice")
+        .select(
+            "o_orderpriority",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("open_total"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("filled_total"),
+            F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("pending_total"),
+        )
+    )
+
+
+@register(
+    "q_unpivot",
+    """
+    WITH wide AS (
+      SELECT c_mktsegment,
+             ROUND(SUM(CASE WHEN c_nationkey < 10 THEN c_acctbal ELSE 0 END), 2) AS low_nations,
+             ROUND(SUM(CASE WHEN c_nationkey >= 10 THEN c_acctbal ELSE 0 END), 2) AS high_nations
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, band, bal
+    FROM wide UNPIVOT (bal FOR band IN (low_nations, high_nations))
+    """,
+    description="unpivot/melt: columns back to rows",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.when(F.col("c_nationkey") < 10, F.col("c_acctbal")).otherwise(0.0)), 2).alias("low_nations"),
+            F.round(F.sum(F.when(F.col("c_nationkey") >= 10, F.col("c_acctbal")).otherwise(0.0)), 2).alias("high_nations"),
+        )
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["low_nations", "high_nations"],
+        variableColumnName="band",
+        valueColumnName="bal",
+    )
+
+
+@register(
+    "q_argmax",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey) AS latest_orderkey,
+           ROUND(arg_max(o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) * 100000000 + o_orderkey), 2) AS latest_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    description="arg-max aggregation (max_by) with a unique composite key",
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # unique ordering key: (orderdate epoch, orderkey) packed into one long
+    key = F.unix_timestamp("o_orderdate") * F.lit(100_000_000).cast("long") + F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", key).alias("latest_orderkey"),
+        F.round(F.max_by("o_totalprice", key), 2).alias("latest_price"),
+    )
+
+
+@register(
+    "q_stats_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_quantity), 4)         AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(median(l_quantity), 4)           AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="statistical aggregates: stddev/variance/corr/covar/median",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+    )
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT CAST(floor(l_discount * 100) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    description="histogram bucketing of a continuous column",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_discount") * 100).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+    )
+
+
+@register(
     "q_multimodal_features",
     None,
     description="multimodal decode plumbing: blob → stub feature vector via mapInPandas (rows-only)",

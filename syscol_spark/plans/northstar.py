@@ -200,6 +200,46 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", "lang", shingle_n=3, min_jaccard=0.2)
 
 
+# --- dedup clustering: connected components over near-dup pairs -------------
+@register(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN array_length(toks) >= 3
+               THEN list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS shset
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+            / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ), labeled AS (
+      SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
+    )
+    SELECT id, cluster, CAST(cnt AS BIGINT) AS cluster_size
+    FROM labeled JOIN (SELECT cluster AS c2, COUNT(*) AS cnt FROM labeled GROUP BY 1) s
+      ON labeled.cluster = s.c2
+    """,
+    description="iterative connected components over near-dup pairs (recursive-CTE oracle)",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", "lang", shingle_n=3, min_jaccard=0.5)
+    return dedup_clusters(pairs)
+
+
 # --- MinHash + LSH (rows-only: xxhash64 kernel has no DuckDB equivalent) ----
 @register(
     "q_minhash_lsh",

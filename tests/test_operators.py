@@ -79,6 +79,15 @@ def test_simhash_identical_zero_hamming(spark):
     assert d["h"] == 0
 
 
+def test_dedup_clusters_two_components(spark):
+    from syscol_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3 and pair 10-11: two components, min-id labels
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    out = {r["id"]: (r["cluster"], r["cluster_size"]) for r in dedup_clusters(pairs).collect()}
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
 def test_cosine_similarity_known_values(spark):
     from syscol_spark.functions.vectors import cosine_similarity
 
