@@ -1,0 +1,108 @@
+"""CLI surface (C1 parity): the reference dispatches
+``help|scheduler|start|stop|update|status`` (/root/reference/cli.go:44-58).
+
+Spark owns scheduling, so `scheduler` collapses into session startup and the
+lifecycle verbs drive one CollectorManager within a single process run:
+
+    python -m syscol_spark.cli run --hosts h1,h2 --topic metrics \
+        --producer-properties producer.properties [--transform avro \
+        --schema-registry-url URL] [--duration 10]
+
+    python -m syscol_spark.cli validate --topic t ...   # F4 gate, no session
+    python -m syscol_spark.cli describe                 # engine + catalog info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--producer-properties", default="")
+    p.add_argument("--topic", default="")
+    p.add_argument("--transform", default="none", choices=["none", "avro"])
+    p.add_argument("--schema-registry-url", default="")
+    p.add_argument("--hosts", default="localhost")
+    p.add_argument("--port", type=int, default=5051)
+    p.add_argument("--namespace", default="")
+    p.add_argument("--interval", type=float, default=1.0)
+
+
+def _config_from(args: argparse.Namespace):
+    from syscol_spark.config import CollectorConfig
+
+    return CollectorConfig(
+        producer_properties=args.producer_properties,
+        topic=args.topic,
+        transform=args.transform,
+        schema_registry_url=args.schema_registry_url,
+        hosts=[h for h in args.hosts.split(",") if h],
+        port=args.port,
+        namespace=args.namespace,
+        reporting_interval_secs=args.interval,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="syscol-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="start the collection pipeline (start+status+stop)")
+    _add_config_args(run_p)
+    run_p.add_argument("--duration", type=float, default=10.0, help="seconds to run before stopping")
+    run_p.add_argument("--checkpoint", default="", help="checkpoint dir (resume from a prior run)")
+    run_p.add_argument("--key-by-slave", action="store_true")
+
+    val_p = sub.add_parser("validate", help="check the start gate (F4) without a session")
+    _add_config_args(val_p)
+
+    sub.add_parser("describe", help="print engine/catalog summary as JSON")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "validate":
+        ok, reason = _config_from(args).can_start()
+        print(json.dumps({"can_start": ok, "reason": reason}))
+        return 0 if ok else 1
+
+    if args.cmd == "describe":
+        from syscol_spark import __version__
+        from syscol_spark.plans.catalog import oracle_sql_catalog, query_catalog
+
+        print(
+            json.dumps(
+                {
+                    "version": __version__,
+                    "n_queries": len(query_catalog()),
+                    "n_oracles": len(oracle_sql_catalog()),
+                    "queries": sorted(query_catalog()),
+                }
+            )
+        )
+        return 0
+
+    # run
+    from syscol_spark.session import get_session
+    from syscol_spark.streaming.control import CollectorManager
+
+    config = _config_from(args)
+    ok, reason = config.can_start()
+    if not ok:
+        print(json.dumps({"error": f"cannot start: {reason}"}), file=sys.stderr)
+        return 1
+    spark = get_session("syscol-cli")
+    mgr = CollectorManager(spark, config)
+    mgr.start(checkpoint_dir=args.checkpoint or None, key_by_slave=args.key_by_slave)
+    try:
+        time.sleep(args.duration)
+        print(json.dumps(mgr.status(), default=str))
+    finally:
+        mgr.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -78,10 +78,6 @@ def salted_block_pairs(df: DataFrame, n_salts: int = 32) -> DataFrame:
     )
 
 
-def _shingle_hash(sh: Column, seed: int) -> Column:
-    return F.xxhash64(sh, F.lit(seed))
-
-
 def minhash_signatures(
     df: DataFrame, content_col: str, id_col: str, *, n_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
