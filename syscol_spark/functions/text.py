@@ -54,6 +54,47 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
+# GPT-2-flavored pretokenization shape: word runs OR punctuation runs.
+# Deliberately simple enough to be engine-portable (Java regex ≡ RE2 here).
+BPE_PATTERN = r"\w+|[^\w\s]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pretokenization: word runs and punctuation runs as separate
+    tokens (whitespace dropped) — the token-counting primitive an LLM data
+    pipeline budgets with."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
+
+
+FINGERPRINT_P = 2147483647  # 2^31-1: keeps rolling-hash arithmetic overflow-free
+
+
+def token_int(tok: Column) -> Column:
+    """Deterministic engine-portable token→int: first 15 hex chars of md5
+    (60 bits), mod p. (md5 exists in every engine; xxhash64 does not.)"""
+    p = F.lit(FINGERPRINT_P).cast("long")
+    return F.pmod(F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"), p)
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Karp-Rabin rolling hash over whitespace tokens in Z_p, seeded with the
+    first token's int (matches a first-element-init reduce, so any engine's
+    fold can reproduce it)."""
+    p = F.lit(FINGERPRINT_P).cast("long")
+    ints = F.transform(tokens(col), token_int)
+    rest = F.slice(ints, 2, F.greatest(F.size(ints) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.element_at(ints, 1),
+        lambda acc, x: F.pmod(acc * F.lit(31).cast("long") + x, p),
+    )
+
+
 def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:
     """Deterministic heuristic quality score in [0, 1]:
     rewards reasonable length, stopword presence and low punctuation noise.

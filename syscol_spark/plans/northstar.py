@@ -274,23 +274,49 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- document fingerprint (rows-only) ---------------------------------------
+# --- document fingerprint ----------------------------------------------------
 @register(
     "q_doc_fingerprint",
-    None,
-    description="rolling polynomial token fingerprint (rows-only check)",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+    description="Karp-Rabin rolling token fingerprint (md5-int kernel, mod 2^31-1)",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.functions.text import rolling_fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+# --- BPE-ish token counting --------------------------------------------------
+@register(
+    "q_token_bpe",
+    r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]+'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '\w+|[^\w\s]+'))), 4)       AS avg_tokens,
+           CAST(SUM(len(list_filter(regexp_extract_all(text, '\w+|[^\w\s]+'),
+                                    t -> NOT regexp_matches(t, '^\w')))) AS BIGINT) AS punct_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    description="BPE-ish regex tokenization: word + punctuation runs per language",
+)
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.functions.text import bpe_token_count, bpe_tokens
+
     d = _docs(spark, sf_dir)
-    # Karp-Rabin over tokens in Z_p (p = 2^31-1): keeps every intermediate
-    # < 2^36 so ANSI-mode long arithmetic never overflows.
-    p = F.lit(2147483647).cast("long")
-    fp = F.aggregate(
-        tokens("text"),
-        F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), p), p),
+    punct = F.size(F.filter(bpe_tokens("text"), lambda t: ~t.rlike(r"^\w"))).cast("long")
+    return d.groupBy("lang").agg(
+        F.sum(bpe_token_count("text")).alias("total_tokens"),
+        F.round(F.avg(bpe_token_count("text")), 4).alias("avg_tokens"),
+        F.sum(punct).alias("punct_tokens"),
     )
-    return d.select("doc_id", fp.alias("fingerprint"))
 
 
 # --- embedding brute-force top-k --------------------------------------------

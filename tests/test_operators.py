@@ -107,6 +107,22 @@ def test_word_shingles_and_tokens(spark):
     assert rows[1]["sh"] == ["x y"]  # shorter than n → whole doc
 
 
+def test_bpe_tokens_and_fingerprint(spark):
+    from syscol_spark.functions.text import bpe_tokens, rolling_fingerprint
+
+    df = spark.createDataFrame([("hello, world!!",), ("single",)], ["txt"])
+    rows = df.select(
+        bpe_tokens("txt").alias("t"), rolling_fingerprint("txt").alias("fp")
+    ).collect()
+    assert rows[0]["t"] == ["hello", ",", "world", "!!"]
+    assert rows[1]["t"] == ["single"]
+    # single-token doc: fingerprint == token_int(token) (first-element init)
+    assert 0 <= rows[1]["fp"] < 2147483647
+    # deterministic across runs
+    rows2 = df.select(rolling_fingerprint("txt").alias("fp")).collect()
+    assert [r["fp"] for r in rows2] == [r["fp"] for r in rows]
+
+
 def test_brute_force_topk_self_excluded(spark):
     from syscol_spark.operators.similarity import brute_force_topk
 
