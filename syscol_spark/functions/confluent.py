@@ -159,23 +159,32 @@ def to_confluent_avro(envelope: Column, schema_id: int) -> Column:
 
 def from_confluent_avro(value: Column) -> Column:
     """Confluent-framed binary → JSON string of the envelope (parse with
-    from_json(ENVELOPE_SCHEMA) downstream)."""
+    from_json(ENVELOPE_SCHEMA) downstream).
+
+    Malformed frames decode to NULL — matching from_json's null-on-malformed
+    semantics — so one corrupt record cannot fail a 100 TB batch (same
+    tolerance philosophy as the scrape path, S3)."""
 
     @F.pandas_udf(StringType())
     def _decode(vs: pd.Series) -> pd.Series:
-        def one(v: bytes) -> str:
-            _, body = unframe_confluent(bytes(v))
-            d = decode_slave_metrics(body)
-            return json.dumps(
-                {
-                    "SlaveID": d["slave_id"],
-                    "Hostname": d["hostname"],
-                    "Port": d["port"],
-                    "Namespace": d["namespace"],
-                    "Timestamp": d["timestamp"],
-                    "Metrics": json.loads(d["metrics"].decode("utf-8") or "{}"),
-                }
-            )
+        def one(v: bytes | None) -> str | None:
+            if v is None:
+                return None
+            try:
+                _, body = unframe_confluent(bytes(v))
+                d = decode_slave_metrics(body)
+                return json.dumps(
+                    {
+                        "SlaveID": d["slave_id"],
+                        "Hostname": d["hostname"],
+                        "Port": d["port"],
+                        "Namespace": d["namespace"],
+                        "Timestamp": d["timestamp"],
+                        "Metrics": json.loads(d["metrics"].decode("utf-8") or "{}"),
+                    }
+                )
+            except Exception:  # noqa: BLE001 — corrupt frame → null row
+                return None
 
         return vs.map(one)
 

@@ -74,6 +74,8 @@ def get_session(app_name: str = "syscol-spark", *, shuffle_partitions: int | Non
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep managed tables (bucketing tests/demos) out of the repo tree
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/syscol-warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

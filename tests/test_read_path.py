@@ -1,0 +1,61 @@
+"""Consumer-side round trip: producer-serialized bytes → parse → long view →
+aggregation, for BOTH wire formats (batch frames stand in for a Kafka topic;
+identical bytes, different transport)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from syscol_spark.config import CollectorConfig
+from syscol_spark.functions.envelope import ENVELOPE_SCHEMA, enrich_envelope
+from syscol_spark.streaming.analytics import long_view, parse_serialized_stream
+from syscol_spark.streaming.pipeline import serialized_value
+
+
+def _envelope_frame(spark):
+    rows = [
+        ("S1", "h1", 5051, "ns", 1_704_067_200_000_000_000 + i * 10**9, {"m/a": float(i), "m/b": 2.0 * i})
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+    return df.select(
+        enrich_envelope(
+            F.col("Metrics"), slave_id=F.col("SlaveID"), hostname=F.col("Hostname"),
+            port=F.col("Port"), namespace=F.col("Namespace"), timestamp_ns=F.col("Timestamp"),
+        ).alias("envelope")
+    )
+
+
+def _round_trip(spark, transform: str):
+    cfg = CollectorConfig(transform=transform, schema_registry_url="http://127.0.0.1:1")
+    env = _envelope_frame(spark)
+    wire = env.select(serialized_value(F.col("envelope"), cfg).alias("value"))
+    parsed = parse_serialized_stream(wire, transform=transform)
+    lv = long_view(parsed)
+    agg = (
+        lv.groupBy("hostname", "metric")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    )
+    out = {(r["hostname"], r["metric"]): (r["n"], r["total"]) for r in agg}
+    assert out[("h1", "m/a")] == (10, 45.0)
+    assert out[("h1", "m/b")] == (10, 90.0)
+    # ns fidelity survives the round trip
+    ts_ns = sorted(r["ts_ns"] for r in lv.select("ts_ns").distinct().collect())
+    assert ts_ns[0] == 1_704_067_200_000_000_000
+
+
+def test_read_path_json(spark):
+    _round_trip(spark, "none")
+
+
+def test_corrupt_avro_frame_yields_null_not_failure(spark):
+    bad = spark.createDataFrame([(bytearray(b"\x07garbage"),), (None,)], "value binary")
+    parsed = parse_serialized_stream(bad, transform="avro")
+    rows = parsed.collect()  # must NOT raise
+    assert all(r["envelope"] is None for r in rows)
+    assert long_view(parsed).count() == 0  # nulls drop out of the long view
+
+
+def test_read_path_confluent_avro(spark):
+    _round_trip(spark, "avro")
