@@ -496,6 +496,106 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q4: priority counts gated by an EXISTS ---------------------------------
+@register(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4: EXISTS-gated priority counts (semi join + agg)",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- Q18: large-volume customers (agg-filtered join) -------------------------
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, ROUND(total_qty, 2) AS total_qty,
+           ROUND(o_totalprice, 2) AS o_price
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    description="TPC-H Q18: HAVING-filtered aggregate joined back to dims, top-k",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("total_qty", 2).alias("total_qty"),
+            F.round("o_totalprice", 2).alias("o_price"),
+        )
+    )
+
+
+# --- Q19: disjunctive multi-band predicate -----------------------------------
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO'    AND p_size BETWEEN 1 AND 50 AND l_quantity >= 20)
+    """,
+    description="TPC-H Q19: OR-of-ANDs predicate across a join (CNF pushdown)",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 50) & (F.col("l_quantity") >= 20))
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --- approximate distinct (sketch operator; rows-only: HLL ≠ DuckDB's) ------
 @register(
     "q_approx_distinct",
