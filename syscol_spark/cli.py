@@ -61,6 +61,19 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("describe", help="print engine/catalog summary as JSON")
 
+    serve_p = sub.add_parser("serve", help="run the HTTP control plane (≈ reference `cli scheduler`)")
+    serve_p.add_argument("--bind", default="127.0.0.1")
+    serve_p.add_argument("--control-port", type=int, default=0)
+    serve_p.add_argument("--duration", type=float, default=0.0, help="seconds to serve (0 = forever)")
+
+    # client verbs: GET the control API (reference cli.go:140-164 / api.go)
+    for verb in ("start", "stop", "status"):
+        cp = sub.add_parser(verb, help=f"call /api/{verb} on a running control server")
+        cp.add_argument("--api", default="", help="control server URL (or $SYSCOL_API)")
+    up = sub.add_parser("update", help="call /api/update on a running control server")
+    up.add_argument("--api", default="")
+    up.add_argument("params", nargs="*", help="key=value pairs, reference names (topic=…, transform=…)")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "validate":
@@ -82,6 +95,47 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd in ("start", "stop", "status", "update"):
+        import os
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        api = args.api or os.environ.get("SYSCOL_API", "")
+        if not api:
+            print(json.dumps({"error": "no control server: pass --api or set SYSCOL_API"}), file=sys.stderr)
+            return 1
+        path = f"/api/{args.cmd}"
+        if args.cmd == "update":
+            pairs = dict(p.split("=", 1) for p in args.params if "=" in p)
+            path += "?" + urllib.parse.urlencode(pairs)
+        try:
+            with urllib.request.urlopen(api.rstrip("/") + path) as resp:  # noqa: S310
+                print(resp.read().decode())
+                return 0
+        except urllib.error.HTTPError as e:
+            print(e.read().decode())
+            return 1
+
+    if args.cmd == "serve":
+        from syscol_spark.session import get_session
+        from syscol_spark.streaming.control import CollectorManager
+        from syscol_spark.streaming.http_control import ControlServer
+
+        spark = get_session("syscol-control")
+        ctl = ControlServer(CollectorManager(spark), host=args.bind, port=args.control_port)
+        addr = ctl.start()
+        print(json.dumps({"serving": addr}), flush=True)
+        try:
+            if args.duration > 0:
+                time.sleep(args.duration)
+            else:  # pragma: no cover — interactive mode
+                while True:
+                    time.sleep(3600)
+        finally:
+            ctl.shutdown()
         return 0
 
     # run
