@@ -1,0 +1,56 @@
+"""Language identification via character n-gram profiles (north star:
+"language-ID (n-gram heuristic)").
+
+Classic Cavnar-Trenkle shape, fully deterministic and engine-portable:
+
+1. profile: top-K character trigrams per language by corpus frequency
+   (rank ties broken by gram text),
+2. classify: score each document by how many of its distinct trigrams hit
+   each language profile; predicted language = argmax (ties → lang asc).
+
+Everything is built-in expressions + two shuffles (profile groupBy, score
+join). The profile side is tiny (n_langs × K rows) and broadcast — at
+100 TB the classify pass is one scan + one broadcast join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+
+def char_trigrams(col: str) -> F.Column:
+    """Distinct character trigrams of a string column (positions 1..len-2)."""
+    c = F.col(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i.cast("int"), 3)))
+
+
+def ngram_profiles(docs: DataFrame, text_col: str, lang_col: str, *, top_k: int = 50) -> DataFrame:
+    """(lang, gram) rows: each language's top-K trigrams by frequency."""
+    grams = docs.select(F.col(lang_col).alias("lang"), F.explode(char_trigrams(text_col)).alias("gram"))
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram"))
+    return counts.select("lang", "gram", F.row_number().over(w).alias("rk")).filter(
+        F.col("rk") <= top_k
+    ).select(F.col("lang").alias("profile_lang"), "gram")
+
+
+def classify_by_ngram(
+    docs: DataFrame, text_col: str, id_col: str, profiles: DataFrame
+) -> DataFrame:
+    """(id, predicted_lang, score): overlap of each doc's distinct trigrams
+    with every profile; argmax with lang-asc tiebreak."""
+    doc_grams = docs.select(F.col(id_col).alias("id"), F.explode(char_trigrams(text_col)).alias("gram"))
+    scored = (
+        doc_grams.join(broadcast(profiles), "gram")
+        .groupBy("id", "profile_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("profile_lang"))
+    return (
+        scored.select("id", "profile_lang", "score", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("id", F.col("profile_lang").alias("predicted_lang"), "score")
+    )

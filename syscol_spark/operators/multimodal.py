@@ -118,6 +118,51 @@ def extract_features(assets: DataFrame, *, decoder: str = "stub", dim: int = FEA
     return assets.mapInPandas(batches, schema=_FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("blob", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, *, width: int = 64, height: int = 64, decoder: str = "stub") -> DataFrame:
+    """Image-resize stage. ``stub`` decoder emits a deterministic
+    width×height byte grid sampled from the source blob (sha-independent,
+    pure indexing) with the target dimensions as typed metadata — the real
+    pillow/opencv resize plugs into the same mapInPandas contract and
+    schema. Raises NotImplementedError for real decoders (not available in
+    this environment)."""
+    if decoder != "stub":
+        raise NotImplementedError(
+            f"decoder {decoder!r}: image libraries unavailable; plug the real resize here"
+        )
+    n_out = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def one(b: bytes) -> bytes:
+                raw = bytes(b) or b"\x00"
+                # nearest-neighbor byte sampling: output k maps to source
+                # index k*len/n_out — the shape of a real resize kernel
+                return bytes(raw[(k * len(raw)) // n_out] for k in range(n_out))
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "blob": pdf["blob"].map(one),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=_RESIZED_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, *, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
     """Video-style frame sampling: one output row per sampled "frame"
     (byte-window stand-in). Real ffmpeg sampling plugs into the same

@@ -175,6 +175,49 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- language-ID via character n-gram profiles (Cavnar-Trenkle shape) -------
+@register(
+    "q_lang_id_ngram",
+    """
+    WITH doc_grams AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(length(text) - 2, 1) + 1),
+               i -> substr(text, i, 3)))) AS gram
+      FROM documents
+    ), counts AS (
+      SELECT lang, gram, COUNT(*) AS cnt FROM doc_grams GROUP BY 1, 2
+    ), profiles AS (
+      SELECT lang AS profile_lang, gram FROM (
+        SELECT lang, gram, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rk
+        FROM counts) WHERE rk <= 50
+    ), scored AS (
+      SELECT d.doc_id, d.lang AS true_lang, p.profile_lang, COUNT(*) AS score
+      FROM doc_grams d JOIN profiles p ON d.gram = p.gram
+      GROUP BY 1, 2, 3
+    ), predicted AS (
+      SELECT doc_id, true_lang, profile_lang AS predicted_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rk
+        FROM scored) WHERE rk = 1
+    )
+    SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM predicted GROUP BY 1, 2
+    """,
+    description="language-ID: char-trigram frequency profiles, confusion matrix",
+)
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.langid import classify_by_ngram, ngram_profiles
+
+    d = _docs(spark, sf_dir)
+    profiles = ngram_profiles(d, "text", "lang", top_k=50)
+    predicted = classify_by_ngram(d, "text", "doc_id", profiles)
+    return (
+        predicted.join(d.select(F.col("doc_id").alias("id"), F.col("lang").alias("true_lang")), "id")
+        .groupBy("true_lang", F.col("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # --- n-gram Jaccard near-dup -------------------------------------------------
 @register(
     "q_ngram_jaccard",

@@ -39,6 +39,19 @@ def test_real_decoder_is_stubbed(spark, sf_dir):
         extract_features(assets, decoder="pillow")
 
 
+def test_resize_stub_shapes(spark, sf_dir):
+    from syscol_spark.operators.multimodal import resize_assets
+
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents")).limit(4)
+    out = resize_assets(assets, width=8, height=4).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(bytes(r["blob"])) == 8 * 4  # resized payload is exactly w*h
+    with pytest.raises(NotImplementedError):
+        resize_assets(assets, decoder="opencv").collect()
+
+
 def test_frame_sampling_multiplies_rows(spark, sf_dir):
     assets = documents_as_assets(load_table(spark, sf_dir, "documents")).limit(5)
     frames = sample_frames(assets, every_n_bytes=64, max_frames=3).collect()
