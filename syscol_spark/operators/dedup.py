@@ -263,10 +263,17 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("block"),
         F.array_distinct(F.transform(word_shingles(content_col, shingle_n), lambda s: F.xxhash64(s))).alias("sh"),
     )
+    na, nb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-    union = (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).cast("double") - inter
+    union = (na + nb).cast("double") - inter
+    # provably-safe prune before the intersect: J(A,B) ≤ min/max of the set
+    # sizes (|A∩B| ≤ min, |A∪B| ≥ max), so pairs whose size ratio is below
+    # the threshold cannot match — skips the O(|A|+|B|) intersect for them.
+    # Sizes come from the already-materialized arrays (O(1) per pair).
+    size_ok = F.least(na, nb).cast("double") >= F.lit(min_jaccard) * F.greatest(na, nb)
     return (
         salted_block_pairs(shingled)
+        .filter(size_ok)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
