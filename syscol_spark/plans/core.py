@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from syscol_spark.plans.catalog import register
+from syscol_spark.plans.stable import davg, dec6, dsum
 from syscol_spark.sources.tables import load_table
 
 
@@ -28,13 +29,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)                                        AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)                                   AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)                AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE)  AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity)                                        AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_extendedprice)                                   AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_discount)                                        AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -49,13 +50,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,7 +67,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
            CAST(epoch(o_orderdate) AS BIGINT)                AS orderdate_epoch,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -84,7 +85,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
@@ -94,7 +95,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             "l_orderkey",
-            F.round("_rev", 2).alias("revenue"),
+            F.col("_rev").alias("revenue"),
             F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
             "o_orderpriority",
         )
@@ -105,7 +106,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_local_supplier",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -139,7 +140,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -147,7 +148,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_top_customers",
     """
-    SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total_spend,
+    SELECT c_custkey, c_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_spend,
            COUNT(*) AS n_orders
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -162,10 +163,10 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum("o_totalprice").alias("_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(dsum("o_totalprice").alias("_spend"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("_spend").desc(), F.col("c_custkey"))
         .limit(10)
-        .select("c_custkey", "c_name", F.round("_spend", 2).alias("total_spend"), "n_orders")
+        .select("c_custkey", "c_name", F.col("_spend").alias("total_spend"), "n_orders")
     )
 
 
@@ -236,7 +237,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
            COUNT(*)                                    AS n_customers,
-           ROUND(SUM(c_acctbal), 2)                    AS sum_acctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)                    AS sum_acctbal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -249,7 +250,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("c_nationkey").alias("n_nations"),
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            dsum("c_acctbal").alias("sum_acctbal"),
         )
     )
 
@@ -315,9 +316,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     """
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
            ROUND(COALESCE(LAG(o_totalprice) OVER (PARTITION BY o_custkey
                                                   ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price,
            ROUND(COALESCE(LEAD(o_totalprice) OVER (PARTITION BY o_custkey
@@ -332,7 +333,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_spend"),
+        F.sum(dec6("o_totalprice")).over(wsum).cast("double").alias("running_spend"),
         F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
         F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias("next_price"),
     )
@@ -346,7 +347,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
-           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4)   AS avg_filled_price
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(27,6))) AS DOUBLE) / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)   AS avg_filled_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -361,7 +362,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(st == "O", 1).otherwise(0)).alias("n_open"),
             F.sum(F.when(st == "F", 1).otherwise(0)).alias("n_filled"),
             F.sum(F.when(st == "P", 1).otherwise(0)).alias("n_pending"),
-            F.round(F.avg(F.when(st == "F", F.col("o_totalprice"))), 4).alias("avg_filled_price"),
+            davg(F.when(st == "F", F.col("o_totalprice"))).alias("avg_filled_price"),
         )
     )
 
@@ -372,7 +373,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)     AS sum_qty,
            COUNT(*)                      AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -383,7 +384,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -397,7 +398,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -417,7 +418,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -427,10 +428,10 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_effect",
     """
-    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    SELECT 100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01'
       AND l_shipdate <  TIMESTAMP '1997-10-01'
@@ -447,11 +448,10 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                4,
+                * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / dsum(rev)
             ).alias("promo_revenue_pct")
         )
     )
@@ -462,7 +462,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -489,10 +489,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
         .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", "n_name", F.round("_rev", 2).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", F.col("_rev").alias("revenue"))
     )
 
 
@@ -531,10 +531,11 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_orders",
     """
-    SELECT c_custkey, o_orderkey, ROUND(total_qty, 2) AS total_qty,
+    SELECT c_custkey, o_orderkey, CAST(total_qty AS DOUBLE) AS total_qty,
            ROUND(o_totalprice, 2) AS o_price
-    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
-          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+    FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(27,6))) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 150) big
     JOIN orders   ON o_orderkey = big.l_orderkey
     JOIN customer ON c_custkey = o_custkey
     ORDER BY total_qty DESC, o_orderkey
@@ -548,7 +549,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(F.sum(dec6("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -559,7 +560,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "o_orderkey",
-            F.round("total_qty", 2).alias("total_qty"),
+            F.col("total_qty").cast("double").alias("total_qty"),
             F.round("o_totalprice", 2).alias("o_price"),
         )
     )
@@ -569,7 +570,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_discounted_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -590,7 +591,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from syscol_spark.operators.joins import asof_join, range_join_count
 from syscol_spark.plans.catalog import register
+from syscol_spark.plans.stable import davg, dec6, dsum
 from syscol_spark.sources.tables import load_table
 
 
@@ -32,8 +33,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
            event_type,
            COUNT(*)             AS n_events,
-           ROUND(SUM(value), 2) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -45,8 +46,8 @@ def q_ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts_utc", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -69,7 +70,7 @@ def q_ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT slot - 1800 AS window_start, value FROM slotted
     )
-    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    SELECT window_start, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
     FROM windows GROUP BY window_start
     """,
     description="sliding window (1h length, 30m slide): each event in 2 windows",
@@ -78,7 +79,7 @@ def q_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts_utc", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_events", "sum_value")
     )
 
@@ -99,7 +100,7 @@ def q_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o
     )
     SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, sess
     """,
     description="session windows (10m gap) per user — native session_window",
@@ -108,7 +109,7 @@ def q_ev_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.session_window("ts_utc", "10 minutes").alias("sw"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(
             "user_id",
             F.unix_micros(F.col("sw.start")).alias("session_start_us"),
@@ -147,8 +148,8 @@ def q_ev_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
            COUNT(*)             AS n,
-           ROUND(SUM(value), 2) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -162,8 +163,8 @@ def q_ev_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
         )
     )
 
@@ -267,7 +268,7 @@ def q_ev_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ev_moving_avg",
     """
     SELECT event_id,
-           ROUND(AVG(value) OVER w, 4)      AS mavg_5m,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mavg_5m,
            CAST(COUNT(*) OVER w AS BIGINT)  AS n_in_window
     FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
@@ -280,7 +281,7 @@ def q_ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-300_000_000, 0)
     return ev.select(
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("mavg_5m"),
+        (F.sum(dec6("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("mavg_5m"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
     )
 
@@ -299,7 +300,7 @@ def q_ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS bucket FROM bounds) b
     ), agg AS (
       SELECT user_id, CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
-             COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+             COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2
     )
     SELECT g.user_id, g.bucket,
@@ -314,7 +315,7 @@ def q_ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr("ts_us div 21600000000")
     agg = (
         ev.groupBy(F.col("user_id"), bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
     )
     bounds = ev.agg(
         F.expr("min(ts_us) div 21600000000").alias("lo"), F.expr("max(ts_us) div 21600000000").alias("hi")
@@ -341,7 +342,7 @@ def q_ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute_start,
            COUNT(*)             AS n_events,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -351,7 +352,7 @@ def q_ev_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy("user_id", F.window("ts_utc", "1 minute").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), davg("value").alias("avg_value"))
         .select(
             "user_id",
             F.unix_timestamp(F.col("w.start")).alias("minute_start"),

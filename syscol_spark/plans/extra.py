@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from syscol_spark.plans.catalog import register
+from syscol_spark.plans.stable import davg, dec6, dsum
 from syscol_spark.sources.tables import load_table
 
 
@@ -23,7 +24,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL')    AS status,
            COALESCE(o_orderpriority, 'ALL')  AS priority,
            COUNT(*)                          AS n,
-           ROUND(SUM(o_totalprice), 2)       AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)       AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -33,7 +34,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -71,7 +72,7 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)    AS yr,
            CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
            COUNT(*)                                           AS n,
-           ROUND(SUM(o_totalprice), 2)                        AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)                        AS total
     FROM orders
     GROUP BY 1, 2
     """,
@@ -81,7 +82,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
     )
 
 
@@ -112,13 +113,13 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) FROM customer)
     """,
     description="uncorrelated scalar subquery in predicate",
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    avg_bal = c.agg(F.avg("c_acctbal").alias("a"))
+    avg_bal = c.agg(davg("c_acctbal").alias("a"))
     return (
         c.crossJoin(broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
@@ -131,7 +132,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
     FROM supplier s
-    WHERE s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+    WHERE s_acctbal > (SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) FROM supplier s2
                        WHERE s2.s_nationkey = s.s_nationkey)
     """,
     description="correlated aggregate subquery (decorrelated to window avg)",
@@ -142,7 +143,7 @@ def q_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey")
     return (
-        s.withColumn("nation_avg", F.avg("s_acctbal").over(w))
+        s.withColumn("nation_avg", F.sum(dec6("s_acctbal")).over(w).cast("double") / F.count(F.lit(1)).over(w))
         .filter(F.col("s_acctbal") > F.col("nation_avg"))
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
     )
@@ -226,8 +227,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH wide AS (
       SELECT c_mktsegment,
-             ROUND(SUM(CASE WHEN c_nationkey < 10 THEN c_acctbal ELSE 0 END), 2) AS low_nations,
-             ROUND(SUM(CASE WHEN c_nationkey >= 10 THEN c_acctbal ELSE 0 END), 2) AS high_nations
+             CAST(SUM(CAST(CASE WHEN c_nationkey < 10 THEN c_acctbal ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE) AS low_nations,
+             CAST(SUM(CAST(CASE WHEN c_nationkey >= 10 THEN c_acctbal ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE) AS high_nations
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, band, bal
@@ -240,8 +241,8 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(F.when(F.col("c_nationkey") < 10, F.col("c_acctbal")).otherwise(0.0)), 2).alias("low_nations"),
-            F.round(F.sum(F.when(F.col("c_nationkey") >= 10, F.col("c_acctbal")).otherwise(0.0)), 2).alias("high_nations"),
+            dsum(F.when(F.col("c_nationkey") < 10, F.col("c_acctbal")).otherwise(0.0)).alias("low_nations"),
+            dsum(F.when(F.col("c_nationkey") >= 10, F.col("c_acctbal")).otherwise(0.0)).alias("high_nations"),
         )
     )
     return wide.unpivot(
@@ -303,7 +304,7 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(floor(l_discount * 100) AS INTEGER) AS bucket,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS total_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
     FROM lineitem
     GROUP BY 1
     """,
@@ -313,7 +314,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy(F.floor(F.col("l_discount") * 100).cast("int").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("total_price"))
     )
 
 

@@ -48,10 +48,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 2) AS avg_chars,
-           ROUND(AVG(array_length(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
-           ROUND(AVG(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
-                     / length(text)), 6) AS avg_punct_ratio
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(array_length(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(CAST(floor(1000000.0 * (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))
+                     / length(text)) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_punct_micro
     FROM documents
     GROUP BY lang
     """,
@@ -63,9 +63,9 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
-            F.round(F.avg(punct_ratio("text")), 6).alias("avg_punct_ratio"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            (F.sum(token_count("text")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum(F.floor(F.lit(1000000.0) * (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))) / F.length("text")).cast("long")).cast("double") / F.count(F.lit(1))).alias("avg_punct_micro"),
         )
     )
 
@@ -342,7 +342,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang,
            CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]+'))) AS BIGINT) AS total_tokens,
-           ROUND(AVG(len(regexp_extract_all(text, '\w+|[^\w\s]+'))), 4)       AS avg_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
            CAST(SUM(len(list_filter(regexp_extract_all(text, '\w+|[^\w\s]+'),
                                     t -> NOT regexp_matches(t, '^\w')))) AS BIGINT) AS punct_tokens
     FROM documents
@@ -357,7 +357,7 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = F.size(F.filter(bpe_tokens("text"), lambda t: ~t.rlike(r"^\w"))).cast("long")
     return d.groupBy("lang").agg(
         F.sum(bpe_token_count("text")).alias("total_tokens"),
-        F.round(F.avg(bpe_token_count("text")), 4).alias("avg_tokens"),
+        (F.sum(bpe_token_count("text")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         F.sum(punct).alias("punct_tokens"),
     )
 
