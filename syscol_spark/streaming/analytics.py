@@ -85,6 +85,33 @@ def windowed_metric_rates(
     )
 
 
+def session_rollup(
+    stream: DataFrame, *, gap: str = "30 seconds", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Streaming session windows per host: sessions close ``gap`` after the
+    last event and are finalized once the watermark passes the session end
+    (SURVEY.md §7 hard-part 2: session windows + watermark, incremental).
+    Batch twin: plans/events.py q_ev_session (oracle-checked)."""
+    s = with_event_time(stream).withWatermark("event_time", watermark)
+    return (
+        s.groupBy(
+            F.session_window("event_time", gap).alias("sw"),
+            F.col("envelope.Hostname").alias("hostname"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.size("envelope.Metrics")).alias("n_metrics"),
+        )
+        .select(
+            "hostname",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_ticks",
+            "n_metrics",
+        )
+    )
+
+
 def dedup_stream(stream: DataFrame, *, watermark: str = "2 minutes") -> DataFrame:
     """Streaming exact-once-per-key dedup: dropDuplicates scoped by watermark
     so the dedup state ages out (unbounded keys would otherwise grow state

@@ -80,6 +80,20 @@ def test_stateful_host_counters(spark, stub_server):
     assert last["ewma_metric_count"] > 0  # 2 metrics per tick → ewma → 2
 
 
+def test_session_rollup_streaming(spark, stub_server):
+    from syscol_spark.streaming.analytics import session_rollup
+
+    out = session_rollup(_enriched(spark, stub_server), gap="30 seconds")
+    # session-window streaming aggregations support append (watermark-closed
+    # sessions only) and complete; complete shows in-flight sessions too
+    rows = _run_to_memory(out, "sess_roll", output_mode="complete", timeout=45)
+    assert rows, "no session rows produced"
+    last = rows[-1]
+    assert last["hostname"] == "127.0.0.1"
+    assert last["session_end"] > last["session_start"]
+    assert last["n_ticks"] >= 1 and last["n_metrics"] >= last["n_ticks"]
+
+
 def test_interval_join_streams(spark, stub_server):
     from syscol_spark.streaming.analytics import interval_join_streams, with_event_time
 
