@@ -32,19 +32,23 @@ from pyspark.sql.types import BinaryType, StringType
 
 MAGIC_BYTE = b"\x00"  # avro_encoder_decoder.go:26
 
-# Embedded envelope schema, identical content to
-# /root/reference/avro/slave_metrics.go:28-58 (codegen'd constant there).
+# Embedded envelope schema — the EXACT reference schema (field names and
+# namespace from /root/reference/avro/slave_metrics.go:25-58, codegen'd from
+# avro/slave_metrics.avsc): registering it yields the same subject content as
+# the reference producer, and generic by-id decoders see identical field
+# names. (Avro binary bodies are name-independent, but registry identity is
+# not.)
 SLAVE_METRICS_AVSC = {
     "type": "record",
-    "namespace": "net.elodina.syscol.avro",
+    "namespace": "avro",
     "name": "SlaveMetrics",
     "fields": [
-        {"name": "slave_id", "type": "string"},
-        {"name": "hostname", "type": "string"},
-        {"name": "port", "type": "int"},
-        {"name": "namespace", "type": "string"},
-        {"name": "timestamp", "type": "long"},
-        {"name": "metrics", "type": "bytes"},
+        {"name": "SlaveID", "type": "string"},
+        {"name": "Hostname", "type": "string"},
+        {"name": "Port", "type": "int"},
+        {"name": "Namespace", "type": "string"},
+        {"name": "Timestamp", "type": "long"},
+        {"name": "Metrics", "type": "bytes"},
     ],
 }
 
@@ -87,37 +91,118 @@ def _enc_bytes(b: bytes) -> bytes:
     return zigzag_encode(len(b)) + b
 
 
+class FlatAvroCodec:
+    """Generic Avro binary codec for FLAT record schemas.
+
+    Covers the primitive type universe of the reference's vendored decoder
+    (go-kafka-avro/avro_encoder_decoder.go:127-170 over go-avro's
+    schema.go:11-26): null, boolean, int, long, float, double, bytes,
+    string — plus optional-field unions ``["null", <primitive>]``. Nested
+    records/arrays/maps/enums are out of scope for the wire path (the
+    reference's only production record is flat; nested payloads travel as
+    JSON-in-bytes, same as its Metrics field).
+
+    Implemented directly from the Avro 1.x binary spec: zigzag-varint
+    int/long, IEEE little-endian float/double, length-prefixed utf8/bytes,
+    union = varint branch index + branch value.
+    """
+
+    def __init__(self, schema: dict):
+        if schema.get("type") != "record":
+            raise ValueError("FlatAvroCodec needs a record schema")
+        self.name = schema["name"]
+        self.fields: list[tuple[str, object]] = []
+        for f in schema["fields"]:
+            t = f["type"]
+            if isinstance(t, list):
+                if len(t) != 2 or "null" not in t:
+                    raise ValueError(f"field {f['name']}: only [null, primitive] unions supported")
+            elif t not in ("null", "boolean", "int", "long", "float", "double", "bytes", "string"):
+                raise ValueError(f"field {f['name']}: unsupported type {t!r} (flat records only)")
+            self.fields.append((f["name"], t))
+
+    @staticmethod
+    def _enc_value(t: str, v: object) -> bytes:
+        if t == "null":
+            return b""
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t in ("int", "long"):
+            return zigzag_encode(int(v))
+        if t == "float":
+            return struct.pack("<f", float(v))
+        if t == "double":
+            return struct.pack("<d", float(v))
+        if t == "bytes":
+            return _enc_bytes(bytes(v))
+        if t == "string":
+            return _enc_str(str(v))
+        raise ValueError(f"unsupported type {t!r}")
+
+    @staticmethod
+    def _dec_value(t: str, buf: bytes, pos: int) -> tuple[object, int]:
+        if t == "null":
+            return None, pos
+        if t == "boolean":
+            return buf[pos] != 0, pos + 1
+        if t in ("int", "long"):
+            return zigzag_decode(buf, pos)
+        if t == "float":
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if t == "double":
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if t in ("bytes", "string"):
+            n, pos = zigzag_decode(buf, pos)
+            raw = buf[pos : pos + n]
+            return (raw.decode("utf-8") if t == "string" else raw), pos + n
+        raise ValueError(f"unsupported type {t!r}")
+
+    def encode(self, record: dict) -> bytes:
+        out = []
+        for name, t in self.fields:
+            v = record.get(name)
+            if isinstance(t, list):  # [null, primitive] union
+                branch = t.index("null") if v is None else 1 - t.index("null")
+                out.append(zigzag_encode(branch))
+                out.append(self._enc_value(t[branch], v))
+            else:
+                out.append(self._enc_value(t, v))
+        return b"".join(out)
+
+    def decode(self, body: bytes) -> dict:
+        pos = 0
+        out = {}
+        for name, t in self.fields:
+            if isinstance(t, list):
+                branch, pos = zigzag_decode(body, pos)
+                out[name], pos = self._dec_value(t[branch], body, pos)
+            else:
+                out[name], pos = self._dec_value(t, body, pos)
+        return out
+
+
+_ENVELOPE_CODEC = FlatAvroCodec(SLAVE_METRICS_AVSC)
+
+
 def encode_slave_metrics(
     slave_id: str, hostname: str, port: int, namespace: str, timestamp: int, metrics_json: bytes
 ) -> bytes:
     """Avro-binary body of one SlaveMetrics record (schema field order)."""
-    return b"".join(
-        [
-            _enc_str(slave_id),
-            _enc_str(hostname),
-            zigzag_encode(port),
-            _enc_str(namespace or ""),
-            zigzag_encode(timestamp),
-            _enc_bytes(metrics_json),
-        ]
+    return _ENVELOPE_CODEC.encode(
+        {
+            "SlaveID": slave_id,
+            "Hostname": hostname,
+            "Port": port,
+            "Namespace": namespace or "",
+            "Timestamp": timestamp,
+            "Metrics": metrics_json,
+        }
     )
 
 
 def decode_slave_metrics(body: bytes) -> dict:
-    pos = 0
-    out = {}
-    for name in ("slave_id", "hostname"):
-        n, pos = zigzag_decode(body, pos)
-        out[name] = body[pos : pos + n].decode("utf-8")
-        pos += n
-    out["port"], pos = zigzag_decode(body, pos)
-    n, pos = zigzag_decode(body, pos)
-    out["namespace"] = body[pos : pos + n].decode("utf-8")
-    pos += n
-    out["timestamp"], pos = zigzag_decode(body, pos)
-    n, pos = zigzag_decode(body, pos)
-    out["metrics"] = body[pos : pos + n]
-    return out
+    """Decode one SlaveMetrics body; keys = reference schema field names."""
+    return _ENVELOPE_CODEC.decode(body)
 
 
 def frame_confluent(body: bytes, schema_id: int) -> bytes:
@@ -173,22 +258,74 @@ def from_confluent_avro(value: Column) -> Column:
             try:
                 _, body = unframe_confluent(bytes(v))
                 d = decode_slave_metrics(body)
-                return json.dumps(
-                    {
-                        "SlaveID": d["slave_id"],
-                        "Hostname": d["hostname"],
-                        "Port": d["port"],
-                        "Namespace": d["namespace"],
-                        "Timestamp": d["timestamp"],
-                        "Metrics": json.loads(d["metrics"].decode("utf-8") or "{}"),
-                    }
-                )
+                d["Metrics"] = json.loads(d["Metrics"].decode("utf-8") or "{}")
+                return json.dumps(d)
             except Exception:  # noqa: BLE001 — corrupt frame → null row
                 return None
 
         return vs.map(one)
 
     return _decode(value)
+
+
+def from_confluent_avro_generic(value: Column, schemas_by_id: dict[int, dict]) -> Column:
+    """Generic Confluent read path: framed binary → JSON string, dispatching
+    on the frame's schema id against a plan-time-resolved ``{id: schema}``
+    map (populate it with ``ConfluentRegistryClient.get_by_id`` — the same
+    cached-by-id flow as the reference's vendored decoder,
+    go-kafka-avro/avro_encoder_decoder.go:127-170). Resolution happens ONCE
+    on the driver; executors only run the pure codec — no registry calls in
+    the hot path. Unknown ids and corrupt frames decode to NULL (the same
+    tolerance as from_json on malformed input).
+
+    ``bytes`` fields are emitted as latin-1-mapped strings in the JSON (a
+    lossless byte↔codepoint mapping) since JSON has no binary type; parse
+    with from_json downstream using a matching schema.
+    """
+    codecs = {sid: FlatAvroCodec(s) for sid, s in schemas_by_id.items()}
+
+    @F.pandas_udf(StringType())
+    def _decode(vs: pd.Series) -> pd.Series:
+        def one(v: bytes | None) -> str | None:
+            if v is None:
+                return None
+            try:
+                sid, body = unframe_confluent(bytes(v))
+                codec = codecs.get(sid)
+                if codec is None:
+                    return None
+                d = codec.decode(body)
+                d = {k: (v2.decode("latin-1") if isinstance(v2, bytes) else v2) for k, v2 in d.items()}
+                return json.dumps(d)
+            except Exception:  # noqa: BLE001 — corrupt frame → null row
+                return None
+
+        return vs.map(one)
+
+    return _decode(value)
+
+
+def to_confluent_avro_generic(record: Column, schema: dict, schema_id: int) -> Column:
+    """Generic write path: a struct column whose field names match the flat
+    Avro ``schema`` → Confluent-framed binary. The struct is serialized
+    JVM-side (to_json); only byte framing crosses to Python, Arrow-batched."""
+    codec = FlatAvroCodec(schema)
+
+    @F.pandas_udf(BinaryType())
+    def _encode(js: pd.Series) -> pd.Series:
+        def one(j: str) -> bytes:
+            d = json.loads(j)
+            rec = {}
+            for name, t in codec.fields:
+                v = d.get(name)
+                if t == "bytes" and isinstance(v, str):
+                    v = v.encode("latin-1")
+                rec[name] = v
+            return frame_confluent(codec.encode(rec), schema_id)
+
+        return js.map(one)
+
+    return _encode(F.to_json(record))
 
 
 # --- schema registry client (§2.9) ------------------------------------------

@@ -18,7 +18,25 @@ these implement the §2.11 "as-of/range joins for metric correlation" surface.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _floordiv_long(c: Column, divisor: int) -> Column:
+    """Exact floor division of a long column by a positive int literal.
+
+    Pure 64-bit integer arithmetic — no double rounding at any timestamp
+    magnitude (epoch-µs or epoch-ns). pmod is always in [0, divisor), so the
+    adjusted dividend is an exact multiple and long division equals floor
+    (including for negative dividends, where cast-style truncation would
+    round toward zero instead).
+    """
+    if divisor <= 0:
+        raise ValueError("divisor must be positive")
+    c = c.cast("long")
+    adjusted = c - F.pmod(c, F.lit(divisor))
+    # adjusted is an exact multiple of divisor; dividing in DECIMAL(38,0)
+    # (not double!) keeps the quotient exact even past 2^53 (epoch-ns).
+    return (adjusted.cast("decimal(38,0)") / F.lit(divisor)).cast("long")
 
 
 def asof_join(
@@ -90,9 +108,19 @@ def range_join_count(
     span = upper_us - lower_us
     if span <= 0:
         raise ValueError("upper_us must be > lower_us")
-    lbucket = ((F.col(left_time) + F.lit(lower_us)) / F.lit(span)).cast("long")
-    l2 = left.select(F.col(on).alias("__k"), F.col(left_time).alias("__lt"), lbucket.alias("__b"), "*")
-    rbucket = (F.col(right_time) / F.lit(span)).cast("long")
+    # Bucket ids MUST use exact integer floor division: double division +
+    # cast('long') can flip a boundary timestamp (epoch-µs ≈ 1.7e15, within
+    # a few ulps of an integer quotient) into the adjacent bucket — the two
+    # sides then disagree and the pair is silently dropped. Subtracting
+    # pmod first makes the dividend an exact multiple, so `div` (integer
+    # division on longs) IS floor division, for negative times too.
+    lbucket = _floordiv_long(F.col(left_time) + F.lit(lower_us), span)
+    # Unique row id: grouping on the left columns alone would collapse
+    # duplicate left rows into one output row with a summed count.
+    l2 = left.withColumn("__rid", F.monotonically_increasing_id()).select(
+        F.col(on).alias("__k"), F.col(left_time).alias("__lt"), lbucket.alias("__b"), "*"
+    )
+    rbucket = _floordiv_long(F.col(right_time), span)
     r2 = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__rt"),
@@ -107,6 +135,7 @@ def range_join_count(
         "left",
     )
     return (
-        joined.groupBy(*[l2[c] for c in left.columns])
+        joined.groupBy(l2["__rid"], *[l2[c] for c in left.columns])
         .agg(F.count(r2["__rt"]).alias(count_alias))
+        .drop("__rid")
     )

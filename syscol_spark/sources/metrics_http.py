@@ -90,21 +90,33 @@ class _HostTickPartition(InputPartition):
 
 
 class MetricsSnapshotStreamReader(DataSourceStreamReader):
-    """Offsets: {"tick": n} — each micro-batch advances the global tick by
-    ceil(elapsed/interval); partitions = one per host per tick."""
+    """Offsets: {"tick": n} where n is the EPOCH-based tick
+    ``floor(unix_time / interval)`` — not ticks since reader construction.
+
+    Epoch ticks are globally monotonic across process restarts, which is what
+    makes checkpoint recovery immediate: a reader constructed after a restart
+    reports a latestOffset already past the committed offset, so the next
+    micro-batch fires within one interval. (A construction-relative tick
+    counter would restart near zero and the stream would stall until
+    wall-clock elapsed caught up to the previous run's entire uptime.)
+    A monotonic guard absorbs wall-clock steps backwards (NTP)."""
 
     def __init__(self, schema: StructType, options: dict):
         self.hosts = [h.strip() for h in options.get("hosts", "localhost").split(",") if h.strip()]
         self.port = int(options.get("port", 5051))
         self.namespace = options.get("namespace", "")
         self.interval = float(options.get("interval", 1.0))
-        self._t0 = time.time()
+        self._max_tick = self._epoch_tick()
+
+    def _epoch_tick(self) -> int:
+        return int(time.time() / self.interval)
 
     def initialOffset(self) -> dict:
-        return {"tick": 0}
+        return {"tick": self._epoch_tick()}
 
     def latestOffset(self) -> dict:
-        return {"tick": int((time.time() - self._t0) / self.interval) + 1}
+        self._max_tick = max(self._max_tick, self._epoch_tick())
+        return {"tick": self._max_tick}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         return [

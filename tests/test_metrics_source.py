@@ -171,6 +171,34 @@ def test_checkpoint_recovery(spark, stub_server, tmp_path):
     assert n_after > n_before, "restart from checkpoint did not continue producing"
 
 
+def test_stream_offset_no_recovery_stall():
+    """Regression: offsets must be epoch-based, not reader-construction-based.
+    A reader constructed AFTER a restart must immediately report a
+    latestOffset at/past the offset a previous long-running reader committed
+    — otherwise the stream stalls for the previous run's entire uptime."""
+    from syscol_spark.sources.metrics_http import SOURCE_SCHEMA, MetricsSnapshotStreamReader
+
+    opts = {"hosts": "127.0.0.1", "interval": "0.2"}
+    r1 = MetricsSnapshotStreamReader(SOURCE_SCHEMA, opts)
+    time.sleep(0.5)  # r1 "runs" for a while before the checkpoint
+    committed = r1.latestOffset()["tick"]
+    r2 = MetricsSnapshotStreamReader(SOURCE_SCHEMA, opts)  # process restart
+    assert r2.latestOffset()["tick"] >= committed  # no stall at construction
+    time.sleep(0.45)  # within ~one interval the offset must move PAST it
+    assert r2.latestOffset()["tick"] > committed
+
+
+def test_stream_offset_monotonic_guard():
+    from syscol_spark.sources.metrics_http import SOURCE_SCHEMA, MetricsSnapshotStreamReader
+
+    r = MetricsSnapshotStreamReader(SOURCE_SCHEMA, {"interval": "0.1"})
+    ticks = []
+    for _ in range(5):
+        ticks.append(r.latestOffset()["tick"])
+        time.sleep(0.05)
+    assert ticks == sorted(ticks), "latestOffset went backwards"
+
+
 def test_control_plane_gates(spark):
     from syscol_spark.config import CollectorConfig
     from syscol_spark.streaming.control import CollectorManager

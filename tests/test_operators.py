@@ -48,6 +48,63 @@ def test_range_join_count(spark):
     assert out["b"] == 0
 
 
+def test_range_join_count_exact_bucket_boundaries(spark):
+    """Timestamps at epoch-µs magnitude landing EXACTLY on bucket-span
+    multiples (±1 µs): float-division bucketing can flip these into the
+    adjacent bucket and silently drop the pair; integer floor-div must not."""
+    from syscol_spark.operators.joins import range_join_count
+
+    span = 30_000_000
+    base = (1_723_500_000_000_000 // span) * span  # exact multiple of span
+    lefts = [base - 1, base, base + 1, base + span]
+    left = spark.createDataFrame([(1, t, f"L{i}") for i, t in enumerate(lefts)], ["k", "t", "name"])
+    # each left row gets one right row exactly at its window's lower edge
+    # (included) and one just before it (excluded)
+    right = spark.createDataFrame(
+        [(1, t - span) for t in lefts] + [(1, t - span - 1) for t in lefts], ["k", "t"]
+    )
+    out = {
+        r["name"]: r["n_in_range"]
+        for r in range_join_count(
+            left, right, on="k", left_time="t", right_time="t", lower_us=-span, upper_us=0
+        ).collect()
+    }
+    # window [t-span, t): lower edge in, t-span-1 out — but L1's excluded
+    # right (base-span-1) is L0's included one, etc.; compute directly:
+    expected = {}
+    rts = [t - span for t in lefts] + [t - span - 1 for t in lefts]
+    for i, t in enumerate(lefts):
+        expected[f"L{i}"] = sum(1 for rt in rts if t - span <= rt < t)
+    assert out == expected
+
+
+def test_range_join_count_duplicate_left_rows_not_collapsed(spark):
+    """Duplicate left rows must each produce their own output row with their
+    own count — not collapse into one row with a summed count."""
+    from syscol_spark.operators.joins import range_join_count
+
+    left = spark.createDataFrame([(1, 1000, "a"), (1, 1000, "a")], ["k", "t", "name"])
+    right = spark.createDataFrame([(1, 900), (1, 950)], ["k", "t"])
+    rows = range_join_count(
+        left, right, on="k", left_time="t", right_time="t", lower_us=-200, upper_us=0
+    ).collect()
+    assert len(rows) == 2
+    assert [r["n_in_range"] for r in rows] == [2, 2]
+
+
+def test_range_join_count_negative_times_floor_semantics(spark):
+    """Negative timestamps: truncate-toward-zero bucketing disagrees between
+    sides; floor semantics must keep pairs intact below zero too."""
+    from syscol_spark.operators.joins import range_join_count
+
+    left = spark.createDataFrame([(1, -1000, "a")], ["k", "t", "name"])
+    right = spark.createDataFrame([(1, -1150), (1, -1000), (1, -999)], ["k", "t"])
+    [row] = range_join_count(
+        left, right, on="k", left_time="t", right_time="t", lower_us=-200, upper_us=0
+    ).collect()
+    assert row["n_in_range"] == 1  # only -1150 in [-1200, -1000)
+
+
 def test_exact_dedup(spark):
     from syscol_spark.operators.dedup import exact_dedup
 

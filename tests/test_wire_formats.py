@@ -49,14 +49,133 @@ def test_avro_body_layout():
     # field order per avsc: slave_id, hostname, port, namespace, timestamp, metrics
     assert body.startswith(zigzag_encode(2) + b"S7" + zigzag_encode(6) + b"node-1")
     decoded = decode_slave_metrics(body)
+    # keys = the exact reference schema field names (avro/slave_metrics.avsc)
     assert decoded == {
-        "slave_id": "S7",
-        "hostname": "node-1",
-        "port": 5051,
-        "namespace": "",
-        "timestamp": 123456789,
-        "metrics": metrics,
+        "SlaveID": "S7",
+        "Hostname": "node-1",
+        "Port": 5051,
+        "Namespace": "",
+        "Timestamp": 123456789,
+        "Metrics": metrics,
     }
+
+
+def test_envelope_schema_matches_reference_exactly():
+    from syscol_spark.functions.confluent import SLAVE_METRICS_AVSC
+
+    assert SLAVE_METRICS_AVSC["namespace"] == "avro"
+    assert SLAVE_METRICS_AVSC["name"] == "SlaveMetrics"
+    assert [f["name"] for f in SLAVE_METRICS_AVSC["fields"]] == [
+        "SlaveID", "Hostname", "Port", "Namespace", "Timestamp", "Metrics",
+    ]
+    assert [f["type"] for f in SLAVE_METRICS_AVSC["fields"]] == [
+        "string", "string", "int", "string", "long", "bytes",
+    ]
+
+
+PAGE_VIEW_AVSC = {
+    "type": "record",
+    "name": "PageView",
+    "fields": [
+        {"name": "url", "type": "string"},
+        {"name": "user_id", "type": "long"},
+        {"name": "duration_s", "type": "double"},
+        {"name": "score", "type": "float"},
+        {"name": "bounced", "type": "boolean"},
+        {"name": "referrer", "type": ["null", "string"]},
+        {"name": "payload", "type": "bytes"},
+    ],
+}
+
+
+def test_flat_codec_second_schema_round_trip():
+    """General read/write path beyond the fixed envelope: a second flat
+    record with every primitive type + an optional union."""
+    from syscol_spark.functions.confluent import FlatAvroCodec
+
+    codec = FlatAvroCodec(PAGE_VIEW_AVSC)
+    rec = {
+        "url": "https://example.com/a?b=c",
+        "user_id": 2**40 + 7,
+        "duration_s": 12.375,
+        "score": 0.5,
+        "bounced": True,
+        "referrer": None,
+        "payload": b"\x00\x01\xfe\xff",
+    }
+    body = codec.encode(rec)
+    assert codec.decode(body) == rec
+    # and with the union's non-null branch
+    rec2 = dict(rec, referrer="https://other.example")
+    assert codec.decode(codec.encode(rec2)) == rec2
+    # byte-level goldens: float/double are IEEE little-endian per Avro spec
+    assert struct.pack("<d", 12.375) in body
+    assert struct.pack("<f", 0.5) in body
+
+
+def test_flat_codec_rejects_nested():
+    import pytest
+
+    from syscol_spark.functions.confluent import FlatAvroCodec
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        FlatAvroCodec(
+            {"type": "record", "name": "X",
+             "fields": [{"name": "m", "type": {"type": "map", "values": "double"}}]}
+        )
+
+
+def test_generic_confluent_dispatch_spark(spark):
+    """Schema-id dispatch: one binary column carrying two different record
+    types decodes row-by-row against the right schema; unknown ids → NULL."""
+    from syscol_spark.functions.confluent import (
+        SLAVE_METRICS_AVSC,
+        FlatAvroCodec,
+        frame_confluent,
+        from_confluent_avro_generic,
+    )
+
+    pv = FlatAvroCodec(PAGE_VIEW_AVSC)
+    sm = FlatAvroCodec(SLAVE_METRICS_AVSC)
+    rows = [
+        (1, frame_confluent(sm.encode({
+            "SlaveID": "S1", "Hostname": "h", "Port": 1, "Namespace": "",
+            "Timestamp": 7, "Metrics": b"{}"}), 1),),
+        (2, frame_confluent(pv.encode({
+            "url": "u", "user_id": 5, "duration_s": 1.5, "score": 2.0,
+            "bounced": False, "referrer": "r", "payload": b"zz"}), 2),),
+        (3, frame_confluent(b"junk-body", 99),),  # unknown id
+    ]
+    df = spark.createDataFrame(rows, ["n", "value"])
+    out = df.select(
+        "n", from_confluent_avro_generic(F.col("value"), {1: SLAVE_METRICS_AVSC, 2: PAGE_VIEW_AVSC}).alias("j")
+    ).orderBy("n").collect()
+    d1 = json.loads(out[0]["j"])
+    assert d1["SlaveID"] == "S1" and d1["Timestamp"] == 7
+    d2 = json.loads(out[1]["j"])
+    assert d2["url"] == "u" and d2["bounced"] is False and d2["referrer"] == "r"
+    assert d2["payload"] == "zz"
+    assert out[2]["j"] is None
+
+
+def test_generic_confluent_write_read_spark(spark):
+    from syscol_spark.functions.confluent import from_confluent_avro_generic, to_confluent_avro_generic
+
+    df = spark.createDataFrame([("u1", 42, 1.25, True)], ["url", "user_id", "duration_s", "bounced"])
+    schema = {
+        "type": "record", "name": "Visit",
+        "fields": [
+            {"name": "url", "type": "string"},
+            {"name": "user_id", "type": "long"},
+            {"name": "duration_s", "type": "double"},
+            {"name": "bounced", "type": "boolean"},
+        ],
+    }
+    framed = df.select(
+        to_confluent_avro_generic(F.struct("url", "user_id", "duration_s", "bounced"), schema, 7).alias("v")
+    )
+    [row] = framed.select(from_confluent_avro_generic(F.col("v"), {7: schema}).alias("j")).collect()
+    assert json.loads(row["j"]) == {"url": "u1", "user_id": 42, "duration_s": 1.25, "bounced": True}
 
 
 def test_confluent_frame_layout():
