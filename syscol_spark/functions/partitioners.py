@@ -71,3 +71,32 @@ def partition_like_reference(df: DataFrame, key_col: str | None, n_partitions: i
     if key_col is None:
         return df.repartition(n_partitions)
     return df.repartition(n_partitions, fnv1a_partition(key_col, n_partitions))
+
+
+def manual_partition(df: DataFrame, partition_col: str, n_partitions: int) -> DataFrame:
+    """X3: honor an EXPLICIT per-record partition id — row lands in Spark
+    partition ``value % n_partitions``, mirroring the reference's
+    explicit-partition branch (siesta-producer/partitioner.go:60-73).
+
+    The DataFrame API cannot express identity placement (``repartition(n,
+    col)`` HASH-partitions, scrambling the requested id), so this narrow
+    parity shim drops to the RDD partitioner — the engine's one legitimate
+    RDD use, paid only when a caller demands manual placement. For Kafka
+    output prefer ``with_explicit_partition``: the Kafka sink honors a
+    ``partition`` column natively with no RDD round-trip."""
+    schema = df.schema
+    idx = schema.names.index(partition_col)
+    rdd = (
+        df.rdd.map(lambda r: (r[idx], r))
+        .partitionBy(n_partitions, lambda k: int(k) % n_partitions)
+        .values()
+    )
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
+def with_explicit_partition(df: DataFrame, partition_col: str | Column) -> DataFrame:
+    """Attach the explicit target partition as the ``partition`` int column
+    the Spark Kafka sink honors — the zero-copy route for X3 semantics on
+    the produce path."""
+    c = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    return df.withColumn("partition", c.cast("int"))

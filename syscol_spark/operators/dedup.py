@@ -8,10 +8,13 @@ Five strategies, all shuffle-based and cluster-scalable:
   xxhash64 per shingle, computed entirely with built-in expressions (no
   Python). Band buckets shuffle-join candidate pairs — the standard
   near-dup pipeline at web scale.
-- simhash: 64-bit SimHash from per-token hashes via one grouped pass of 64
-  conditional sums.
-- ngram_jaccard_pairs: exact Jaccard over distinct shingle sets for pairs
-  sharing a blocking key (bounded quadratic *within* a block only).
+- simhash / simhash_band_pairs: 64-bit SimHash from per-token hashes via one
+  grouped pass of 64 conditional sums; pairing via pigeonhole banding
+  (k+1 bands → PROVABLY complete at Hamming <= k), never all-pairs.
+- ngram_jaccard_pairs: exact Jaccard >= t with candidates from PREFIX
+  FILTERING (prefix_filter_pairs) — provably complete for the threshold, so
+  the result is identical to all-pairs, but candidate generation is an
+  inverted-index equi-join instead of a quadratic block self-join.
 - embedding near-dup lives in operators/similarity.py (cosine >= threshold).
 """
 
@@ -75,6 +78,53 @@ def salted_block_pairs(df: DataFrame, n_salts: int = 32) -> DataFrame:
         (F.col("a.block") == F.col("b.block"))
         & (F.col("a.__salt") == F.col("b.__salt"))
         & (F.col("a.id") < F.col("b.id")),
+    )
+
+
+def prefix_filter_pairs(shingled: DataFrame, min_jaccard: float) -> DataFrame:
+    """Complete candidate pairs for Jaccard >= t via prefix filtering
+    (the AllPairs/PPJoin inverted-index scheme — Bayardo et al., WWW 2007;
+    Xiao et al., WWW 2008; both public literature).
+
+    Input: (id, block, sh) with ``sh`` a SORTED array of distinct int64
+    shingle hashes — the sort order is the global token order the lemma
+    needs. A pair with J(A,B) >= t must share at least one element within
+    each side's first ``|S| - ceil(t*|S|) + 1`` elements, so exploding only
+    that prefix into an inverted index and equi-joining on
+    (block, token) yields a candidate superset with NO false negatives —
+    unlike MinHash/SimHash banding this prefilter is deterministic and
+    lossless, which is what lets the exact-Jaccard queries keep their exact
+    DuckDB oracles.
+
+    Shape at scale: posting rows are narrow (id, block, token); the join is
+    a plain shuffled equi-join AQE can skew-split; the full shingle arrays
+    are re-attached to the (distinct, much smaller) candidate pairs
+    afterwards so arrays never travel through the exploded index.
+    Output: (id_a, id_b, sh_a, sh_b).
+    """
+    n = F.size("sh")
+    # ceil(t*n) with an epsilon guard: double rounding can push an exactly-
+    # integer t*n (0.2*5 -> 1.0000000000000002) over the next integer, which
+    # would SHORTEN the prefix and break completeness. Erring long is safe.
+    plen = (n - F.ceil(F.lit(min_jaccard) * n - F.lit(1e-9)) + 1).cast("int")
+    posting = shingled.select(
+        "id", "block", F.explode(F.slice("sh", F.lit(1), F.greatest(plen, F.lit(1)))).alias("tok")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sides = shingled.select("id", "sh")
+    return (
+        pairs.join(sides.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sides.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
 
 
@@ -185,6 +235,64 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(x).cast("long")
 
 
+def simhash_band_pairs(
+    fingerprints: DataFrame,
+    *,
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs (id_a, id_b, hamming <= max_hamming) WITHOUT an
+    all-pairs scan, via pigeonhole banding (the scheme of Manku et al.,
+    WWW 2007 — public literature).
+
+    Split the 64-bit fingerprint into ``max_hamming + 1`` bands: two
+    fingerprints within Hamming distance k differ in at most k bit
+    positions, so by pigeonhole at least one of the k+1 bands is IDENTICAL
+    — banding is provably complete, not probabilistic. Candidates are an
+    equi-join on (block, band index, band bits); the exact Hamming distance
+    verifies each candidate. With k=3 the bands are 16 bits wide (65536
+    values), so within-block bucket sizes — and therefore candidate counts
+    — shrink by ~2^16 vs all-pairs. Wider radii need narrower bands: the
+    discriminative-band tradeoff is inherent to the scheme.
+
+    Input: (id, block, <fp_col>).
+    """
+    k1 = max_hamming + 1
+    base, rem = divmod(64, k1)
+    widths = [base + 1] * rem + [base] * (k1 - rem)
+    offsets = [sum(widths[:i]) for i in range(k1)]
+    fp = F.col(fp_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(fp, off).bitwiseAND(F.lit((1 << w) - 1).cast("long")).alias("bits"),
+            )
+            for i, (off, w) in enumerate(zip(offsets, widths))
+        ]
+    )
+    exploded = fingerprints.select(
+        "id", "block", fp, F.explode(bands).alias("bb")
+    ).select("id", "block", fp, F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col(f"a.{fp_col}"), F.col(f"b.{fp_col}")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", *, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster, cluster_size):
     each document labeled with the min id reachable through the similarity
@@ -249,34 +357,39 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.2,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs inside a blocking key.
+    """Exact n-gram Jaccard >= t inside a blocking key, sub-quadratically.
 
-    Blocking bounds the quadratic term: with B blocks of size s the join is
-    O(B·s²) not O(N²); blocks shuffle independently so skew is AQE-split.
+    Candidates come from ``prefix_filter_pairs`` — a lossless inverted-index
+    prefilter, so the output is IDENTICAL to an all-pairs block self-join
+    (the exact DuckDB oracle keeps passing) while candidate generation is an
+    equi-join on (block, prefix-token) instead of O(block²).
     Shingle sets are prehashed to int64 (xxhash64) before the pairwise
     array_intersect — set ops over longs are far cheaper than over ~20-char
     strings, and with 64-bit hashes the collision probability is ~n²/2⁶⁴
-    (irrelevant at any realistic block size).
+    (irrelevant at any realistic block size). The arrays are kept SORTED
+    (sort_array): prefix filtering needs a global token order, and sorted
+    input also lets array_intersect-style set ops behave predictably.
     """
-    shingled = df.select(
+    shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
-        F.array_distinct(F.transform(word_shingles(content_col, shingle_n), lambda s: F.xxhash64(s))).alias("sh"),
+        F.sort_array(
+            F.array_distinct(F.transform(word_shingles(content_col, shingle_n), lambda s: F.xxhash64(s)))
+        ).alias("sh"),
     )
-    na, nb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    na, nb = F.size(F.col("sh_a")), F.size(F.col("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (na + nb).cast("double") - inter
     # provably-safe prune before the intersect: J(A,B) ≤ min/max of the set
     # sizes (|A∩B| ≤ min, |A∪B| ≥ max), so pairs whose size ratio is below
     # the threshold cannot match — skips the O(|A|+|B|) intersect for them.
-    # Sizes come from the already-materialized arrays (O(1) per pair).
     size_ok = F.least(na, nb).cast("double") >= F.lit(min_jaccard) * F.greatest(na, nb)
     return (
-        salted_block_pairs(shingled)
+        prefix_filter_pairs(shingled, min_jaccard)
         .filter(size_ok)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(inter / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)

@@ -85,16 +85,200 @@ def srp_topk(
     dim: int = 64,
     k: int = 5,
     n_planes: int = 6,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates (equi-join on the
-    SRP bucket), then rank. Same output columns as brute_force_topk."""
+    """Approximate top-k: score only candidates whose SRP bucket is within
+    ``probe_hamming`` bit flips of the query's bucket (multi-probe LSH),
+    then rank. Same output columns as brute_force_topk.
+
+    Multi-probe closes the recall cliff at bucket boundaries: a neighbor on
+    the far side of ONE hyperplane lands in a bucket at Hamming distance 1,
+    which single-probe misses entirely. The query side (small by
+    construction) is exploded to its probe set — sum(C(n_planes, i)) for
+    i <= probe_hamming buckets — and stays broadcast; the corpus is still
+    hashed and scanned exactly once, so the candidate set grows by the probe
+    multiplicity, not the corpus size."""
+    if not 0 <= probe_hamming <= 2:
+        raise ValueError("probe_hamming in {0,1,2} (probe count grows as C(n_planes, r))")
     b = srp_bucket(vec_col, dim, n_planes)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), b.alias("bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), b.alias("bucket"))
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [(1 << p) | (1 << q) for p in range(n_planes) for q in range(p + 1, n_planes)]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*[b.bitwiseXOR(F.lit(m).cast("long")) for m in masks])).alias("bucket"),
+    )
     scored = (
         c.join(broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a (query, neighbor) pair can collide through several probes
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(F.col("rk") <= k)
+
+
+# --- SRP sign-banding for embedding near-dup (engine + oracle-mirrorable) ---
+
+def rademacher_signs(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic ±1.0 hyperplane (Rademacher random signs — a valid SRP
+    family). ±1.0 multiplication is EXACT in IEEE double, so an engine twin
+    that folds the signed sum in the same element order reproduces the sign
+    bit bit-for-bit — which is what lets the SQL oracle mirror the bucket
+    assignment exactly instead of risking last-ulp sign flips."""
+    out = []
+    for d in range(dim):
+        x = (plane * 1_000_003 + d * 19_349_663 + seed * 83_492_791) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 33
+        out.append(1.0 if x & 1 else -1.0)
+    return out
+
+
+def _signed_fold(vec: Column | str, signs: list[float]) -> Column:
+    """Left-fold sum of sign-flipped components, in index order, starting
+    from 0.0 — the fold shape a SQL list_reduce twin reproduces exactly."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    s = F.array(*[F.lit(x) for x in signs])
+    return F.aggregate(
+        F.zip_with(v, s, lambda a, b: a.cast("double") * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def srp_plane_sums(vec: Column | str, dim: int, n_planes: int, seed: int = 42) -> Column:
+    """Array of ``n_planes`` signed sums <vec, ±1-plane_p>, computed in ONE
+    aggregate pass over the vector: per element, every plane's accumulator
+    advances via a transposed sign-matrix literal. Per plane the
+    accumulation order is ascending element index starting from 0.0 —
+    exactly the order the SQL oracle twin assumes. Compute this behind a
+    projection barrier (alias it in its own select) before fanning out into
+    per-band keys: higher-order functions are interpreted and NOT cheap, so
+    letting CollapseProject re-inline the fold once per consumer costs ~15×."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    rows = [[rademacher_signs(dim, p, seed)[i] for p in range(n_planes)] for i in range(dim)]
+    signs_t = F.array(*[F.array(*[F.lit(x) for x in row]) for row in rows])
+    indexed = F.zip_with(v, signs_t, lambda x, srow: F.struct(x.cast("double").alias("x"), srow.alias("s")))
+    return F.aggregate(
+        indexed,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, e: F.zip_with(acc, e["s"], lambda a, s: a + e["x"] * s),
+    )
+
+
+def srp_keys_from_sums(sums: Column | str, *, n_bands: int, band_bits: int) -> list[Column]:
+    """Band keys (band_bits sign bits packed into a long) from a
+    srp_plane_sums column. Plane index = band*band_bits + j."""
+    s = F.col(sums) if isinstance(sums, str) else sums
+    keys = []
+    for band in range(n_bands):
+        key = F.lit(0).cast("long")
+        for j in range(band_bits):
+            d = F.element_at(s, band * band_bits + j + 1)
+            key = key.bitwiseOR(F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+        keys.append(key)
+    return keys
+
+
+def srp_band_sql_keys(
+    dim: int, *, n_bands: int = 8, band_bits: int = 4, seed: int = 42, vec: str = "embedding"
+) -> list[str]:
+    """DuckDB SQL expressions computing the same band keys as srp_band_keys:
+    the same ±1 sign planes embedded as literals, with the dot product via
+    native list_dot_product. Summation order may differ from Spark's
+    left-fold, but with ±1.0 coefficients both engines sum the SAME exact
+    addends, so the results differ by at most ~1e-13 relative — while the
+    smallest |dot| across the whole test fixture is 4.1e-5 (measured over
+    every (vector, plane) at sf0.001/0.01/0.1, 8 orders of magnitude of
+    margin), so the sign bit — and therefore the bucket assignment and the
+    candidate set — is identical across engines. That is what lets the
+    catalog query keep a full value-hash oracle even though the prefilter
+    is probabilistic: oracle and engine mirror the same deterministic
+    bucket assignment."""
+    exprs = []
+    for band in range(n_bands):
+        bits = []
+        for j in range(band_bits):
+            signs = rademacher_signs(dim, band * band_bits + j, seed)
+            arr = "[" + ",".join("1.0" if s > 0 else "-1.0" for s in signs) + "]"
+            dot = f"list_dot_product(CAST({vec} AS DOUBLE[]), {arr})"
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+        exprs.append("(" + " + ".join(bits) + ")")
+    return exprs
+
+
+def srp_band_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    min_cosine: float = 0.35,
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP sign-banding: candidates share the
+    block key AND at least one band of SRP sign bits (OR-construction over
+    ``n_bands`` bands of ``band_bits`` hyperplanes); cosine verifies each
+    candidate against ``min_cosine``.
+
+    Plan shape: explode to (band, key) → equi-join on (block, band, key) →
+    distinct pairs → verify. No all-pairs scan at any block size; candidate
+    count per block is ~n_bands * s^2 / 2^band_bits vs s^2 for all-pairs,
+    and AQE skew-splits hot buckets.
+
+    RECALL (documented, probabilistic — unlike prefix filtering this
+    prefilter is lossy by design): a pair at angle θ collides in one band
+    with prob (1-θ/π)^band_bits, so overall recall is
+    1 - (1 - (1-θ/π)^band_bits)^n_bands. With the defaults: ~0.98 at
+    cosine 0.8, ~0.9996 at cosine 0.9 — the regime where true near-dups
+    live — but only ~0.75 at the 0.35 decision boundary (the LSH exponent ρ
+    approaches 1 as θ → 90°, so NO hash family prunes borderline-dissimilar
+    pairs well; use the exact path for low thresholds). Measured recall on
+    the test fixture is asserted in tests/test_operators.py.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        # projection barrier: the fold is evaluated once per row here, not
+        # once per downstream key reference (see srp_plane_sums)
+        srp_plane_sums(vec_col, dim, n_bands * band_bits, seed).alias("__sums"),
+    )
+    keys = srp_keys_from_sums("__sums", n_bands=n_bands, band_bits=band_bits)
+    bands = F.array(*[F.struct(F.lit(i).alias("band"), k.alias("key")) for i, k in enumerate(keys)])
+    # narrow posting rows (id, block, band, key) — the vectors are re-attached
+    # to the (distinct, much smaller) candidate pairs afterwards so 512-byte
+    # arrays never travel through the 8×-exploded index join
+    exploded = base.select(
+        "id", "block", F.explode(bands).alias("bb")
+    ).select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sides = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        pairs.join(sides.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(sides.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("vec_a", "vec_b"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

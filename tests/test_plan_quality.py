@@ -57,7 +57,31 @@ def test_fixed_dims_broadcast(spark, sf_dir, queries):
     assert "BroadcastExchange" in plan  # nation/region hints survive
 
 
-def test_scalar_pipeline_is_shuffle_free(spark, sf_dir, queries):
+def test_neardup_queries_have_no_allpairs_block_join(spark, sf_dir, queries):
+    """The near-dup family must generate candidates through a
+    bucket/band/prefix-token equi-join — never a block-only self-join
+    (quadratic in block size at 100×). The salted all-pairs helper tags its
+    plan with __salt; none of these queries may use it, and each must join
+    on its candidate key column."""
+    expected_key = {
+        "q_ngram_jaccard": "tok",       # prefix-filter inverted index
+        "q_simhash": "bits",            # pigeonhole band bits
+        "q_embed_neardup": "key",       # SRP sign-band key
+        "q_minhash_lsh": "bucket",      # MinHash LSH band bucket
+    }
+    for name, key in expected_key.items():
+        plan = _plan(queries[name].builder(spark, sf_dir))
+        assert "__salt" not in plan, f"{name} still pairs via salted all-pairs block join"
+        assert key in plan, f"{name}: candidate key column {key!r} absent from plan"
+    # q_dedup_clusters localCheckpoints its edge list (lineage truncation for
+    # the iterative loop), so its final plan hides the pair-generation
+    # subplan — assert the input path it uses instead.
+    from syscol_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, "text", "doc_id", "lang", shingle_n=3, min_jaccard=0.5))
+    assert "__salt" not in plan
+    assert "tok" in plan
     # pure map: no shuffle at any scale (higher-order-function lambdas fall
     # back from codegen by design, so only the Exchange-free property is
     # asserted here)
