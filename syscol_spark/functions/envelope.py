@@ -46,12 +46,17 @@ def enrich_envelope(
     hostname: Column | str,
     port: Column | int,
     namespace: Column | str,
-    timestamp_ns: Column | None = None,
+    timestamp_ns: Column,
 ) -> Column:
     """P1 envelope enrichment (metrics_reporter.go:133-148): attach identity
-    + capture timestamp to a metrics map column. Defaults to the current
-    time in ns (reference uses time.Now().UnixNano())."""
-    ts = timestamp_ns if timestamp_ns is not None else (F.unix_micros(F.current_timestamp()) * 1000)
+    + capture timestamp to a metrics map column.
+
+    ``timestamp_ns`` is REQUIRED: the reference stamps per-scrape
+    (time.Now().UnixNano()), and the scrape source supplies that column. A
+    current_timestamp() default would be a trap — Spark evaluates it once
+    per QUERY, not per record, silently giving every row in a batch the
+    same stamp."""
+    ts = timestamp_ns
     lit = lambda v: v if isinstance(v, Column) else F.lit(v)  # noqa: E731
     return F.struct(
         lit(slave_id).cast("string").alias("SlaveID"),

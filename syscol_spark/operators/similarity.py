@@ -123,6 +123,136 @@ def srp_topk(
     return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(F.col("rk") <= k)
 
 
+# --- IVF: inverted-file ANN over a coarse k-means quantizer -----------------
+
+def matrix_dots(vec: Column | str, matrix: list[list[float]]) -> Column:
+    """Array of dot products <vec, row_j> for every row of a plan-time
+    matrix literal, in ONE aggregate pass (per element, every row's
+    accumulator advances via the transposed literal). Alias the result in
+    its own select before fanning out — higher-order folds are interpreted
+    and must not be re-inlined per consumer (see srp_plane_sums)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    n_rows = len(matrix)
+    dim = len(matrix[0])
+    signs_t = F.array(*[F.array(*[F.lit(matrix[r][i]) for r in range(n_rows)]) for i in range(dim)])
+    indexed = F.zip_with(v, signs_t, lambda x, srow: F.struct(x.cast("double").alias("x"), srow.alias("s")))
+    return F.aggregate(
+        indexed,
+        F.array_repeat(F.lit(0.0), n_rows),
+        lambda acc, e: F.zip_with(acc, e["s"], lambda a, s: a + e["x"] * s),
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means as DataFrame aggregations.
+
+    Init = the k vectors with the LOWEST ids (deterministic — no RNG, so
+    runs are reproducible across clusters; plant better seeds upstream if
+    needed). Each iteration: assign every vector to its nearest centroid
+    (one scan; all k distances via one matrix_dots fold against the
+    broadcast-as-literal centroid matrix) then recompute means with
+    posexplode + groupBy (one shuffle of k*dim partial sums per partition —
+    map-side combined, so shuffle volume is executors*k*dim, independent of
+    corpus size). The driver holds only the k*dim centroid matrix; the
+    corpus never leaves the cluster. Empty clusters keep their previous
+    centroid. Squared-L2 argmin via the identity
+    argmin |v-c|^2 = argmax (<v,c> - |c|^2/2)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    seed_rows = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in seed_rows]
+    for _ in range(max_iter):
+        assigned = _assign_nearest(corpus, vec_col, centroids)
+        sums = (
+            assigned.select("__cluster", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
+            .groupBy("__cluster", "__i")
+            .agg(F.sum(F.col("__x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["__cluster"], [0.0] * dim)[r["__i"]] = r["s"]
+            cnt[r["__cluster"]] = r["n"]
+        for c_idx, vec in acc.items():
+            new_c[c_idx] = [x / cnt[c_idx] for x in vec]
+        if new_c == centroids:
+            break
+        centroids = new_c
+    return centroids
+
+
+def _assign_nearest(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Attach __cluster = index of the nearest centroid (squared L2)."""
+    half_norms = [sum(x * x for x in c) / 2.0 for c in centroids]
+    dots = matrix_dots(vec_col, centroids)
+    base = df.withColumn("__dots", dots)  # projection barrier for the fold
+    score = F.zip_with(
+        F.col("__dots"), F.array(*[F.lit(h) for h in half_norms]), lambda d, h: d - h
+    )
+    cluster = (F.array_position(score, F.array_max(score)) - 1).cast("int")
+    return base.withColumn("__cluster", cluster).drop("__dots")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer, corpus partitioned
+    into inverted lists by nearest centroid, queries probe their ``nprobe``
+    nearest lists. Same output columns as brute_force_topk.
+
+    Scale shape: training touches the corpus max_iter times (scan + tiny
+    shuffle); serving is ONE corpus scan to assign lists, then an equi-join
+    on the list id with the (small, broadcast) exploded query probes —
+    scored candidates are ~corpus * nprobe / n_centroids per query. The
+    centroid matrix is plan-time state (k*dim floats), not a stored model.
+    Recall depends on how well the quantizer matches the data's cluster
+    structure — measured against brute force in tests."""
+    centroids = kmeans_centroids(
+        corpus, vec_col=vec_col, id_col=id_col, k=n_centroids, max_iter=max_iter
+    )
+    c = _assign_nearest(corpus, vec_col, centroids).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col("__cluster").alias("list_id")
+    )
+    half_norms = [sum(x * x for x in cc) / 2.0 for cc in centroids]
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        matrix_dots(vec_col, centroids).alias("__dots"),
+    )
+    scored_lists = F.zip_with(
+        F.col("__dots"), F.array(*[F.lit(h) for h in half_norms]), lambda d, h: d - h
+    )
+    ranked = F.transform(
+        scored_lists, lambda s, i: F.struct(s.alias("score"), i.cast("int").alias("idx"))
+    )
+    probes = F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe)
+    q = qb.select(
+        "query_id", "q_vec", F.explode(probes).alias("__p")
+    ).select("query_id", "q_vec", F.col("__p.idx").alias("list_id"))
+    scored = (
+        c.join(broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(F.col("rk") <= k)
+
+
 # --- SRP sign-banding for embedding near-dup (engine + oracle-mirrorable) ---
 
 def rademacher_signs(dim: int, plane: int, seed: int = 42) -> list[float]:

@@ -393,6 +393,21 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
 
 
+# --- IVF ANN (rows-only: iterative k-means quantizer has no SQL twin) -------
+@register(
+    "q_ann_ivf",
+    None,
+    description="approximate top-k via IVF (deterministic k-means inverted lists, nprobe=4)",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4, max_iter=3
+    )
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 # The SRP sign-band prefilter is part of the QUERY SEMANTICS, and the oracle
 # mirrors it exactly: srp_band_sql_keys embeds the same ±1 hyperplanes and the

@@ -331,3 +331,45 @@ def test_srp_topk_multiprobe_improves_recall(spark, sf_dir):
     # deterministic fixture: measured 0.06 → 0.36 (the fixture has no
     # planted high-sim neighbors, so absolute recall is regime-limited)
     assert r_multi >= 0.3
+
+
+def test_kmeans_deterministic_and_converges(spark):
+    """Lloyd's over DataFrame ops: two well-separated blobs must yield the
+    two blob means exactly (deterministic init, exact convergence)."""
+    from syscol_spark.operators.similarity import kmeans_centroids
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3), 10.0]))       # blob A around (11, 10)
+    for i in range(10, 20):
+        rows.append((i, [-10.0 - (i % 3), -10.0]))     # blob B around (-11, -10)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c = kmeans_centroids(df, k=2, max_iter=10)
+    got = sorted(tuple(round(x, 6) for x in cc) for cc in c)
+    # blob means: A x = mean of 10+(i%3) for i in 0..9 ; B symmetric
+    ax = sum(10.0 + (i % 3) for i in range(10)) / 10
+    bx = sum(-10.0 - (i % 3) for i in range(10, 20)) / 10
+    assert got == sorted([(round(bx, 6), -10.0), (round(ax, 6), 10.0)])
+    # deterministic across runs
+    assert kmeans_centroids(df, k=2, max_iter=10) == c
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from syscol_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4, max_iter=3).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    print(f"\nivf_topk recall (16 lists, nprobe=4): {recall:.2f}")
+    assert recall >= 0.5
+    # widening the probe set must not lose pairs on a deterministic fixture
+    ivf_wide = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=16, max_iter=3).collect()
+    }
+    assert ivf_wide == exact, "nprobe = n_centroids must equal brute force"
