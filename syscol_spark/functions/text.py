@@ -95,6 +95,31 @@ def rolling_fingerprint(col: Column | str) -> Column:
     )
 
 
+# --- PII scrubbing (north-star: pre-training redaction pass) ----------------
+# Regexes restricted to syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): char classes, bounded repeats, \b. No lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_REPL = "[PII]"
+
+
+def email_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("long")
+
+
+def phone_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)).cast("long")
+
+
+def redact_pii(col: Column | str, repl: str = PII_REPL) -> Column:
+    """Replace every email / phone match with ``repl``. Chained
+    regexp_replace — pure codegen'd expression, scan-rate on any corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, EMAIL_RE, repl), PHONE_RE, repl)
+
+
 def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:
     """Deterministic heuristic quality score in [0, 1]:
     rewards reasonable length, stopword presence and low punctuation noise.

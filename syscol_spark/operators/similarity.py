@@ -164,29 +164,37 @@ def kmeans_centroids(
     corpus never leaves the cluster. Empty clusters keep their previous
     centroid. Squared-L2 argmin via the identity
     argmin |v-c|^2 = argmax (<v,c> - |c|^2/2)."""
-    dim = len(corpus.select(vec_col).first()[0])
-    seed_rows = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [[float(x) for x in r[0]] for r in seed_rows]
-    for _ in range(max_iter):
-        assigned = _assign_nearest(corpus, vec_col, centroids)
-        sums = (
-            assigned.select("__cluster", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
-            .groupBy("__cluster", "__i")
-            .agg(F.sum(F.col("__x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]
-        acc: dict[int, list[float]] = {}
-        cnt: dict[int, int] = {}
-        for r in sums:
-            acc.setdefault(r["__cluster"], [0.0] * dim)[r["__i"]] = r["s"]
-            cnt[r["__cluster"]] = r["n"]
-        for c_idx, vec in acc.items():
-            new_c[c_idx] = [x / cnt[c_idx] for x in vec]
-        if new_c == centroids:
-            break
-        centroids = new_c
-    return centroids
+    # Training re-scans the corpus max_iter+2 times (dim probe, seed pick,
+    # one assignment+sum per iteration). Persist the projected (id, vec)
+    # slice for the duration so only the FIRST action pays the source read;
+    # unpersisted before returning — the serving scan reads the source.
+    train = corpus.select(id_col, vec_col).persist()
+    try:
+        dim = len(train.select(vec_col).first()[0])
+        seed_rows = train.orderBy(id_col).limit(k).select(vec_col).collect()
+        centroids = [[float(x) for x in r[0]] for r in seed_rows]
+        for _ in range(max_iter):
+            assigned = _assign_nearest(train, vec_col, centroids)
+            sums = (
+                assigned.select("__cluster", F.posexplode(F.col(vec_col)).alias("__i", "__x"))
+                .groupBy("__cluster", "__i")
+                .agg(F.sum(F.col("__x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new_c = [list(c) for c in centroids]
+            acc: dict[int, list[float]] = {}
+            cnt: dict[int, int] = {}
+            for r in sums:
+                acc.setdefault(r["__cluster"], [0.0] * dim)[r["__i"]] = r["s"]
+                cnt[r["__cluster"]] = r["n"]
+            for c_idx, vec in acc.items():
+                new_c[c_idx] = [x / cnt[c_idx] for x in vec]
+            if new_c == centroids:
+                break
+            centroids = new_c
+        return centroids
+    finally:
+        train.unpersist()
 
 
 def _assign_nearest(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:

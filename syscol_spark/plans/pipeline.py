@@ -1,0 +1,247 @@
+"""Training-data pipeline queries (north-star): deterministic sampling,
+dataset mixing, sequence packing, PII redaction, column profiling.
+
+All five sampling/packing/redaction entries are fully oracle-checked: the
+md5-bucket sampling kernel (operators/sampling.py::hash_bucket) was chosen
+specifically to have an exact DuckDB twin, so reproducible-sampling claims
+are verified value-for-value, not just by row count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from syscol_spark.functions.text import (
+    EMAIL_RE,
+    PHONE_RE,
+    bpe_token_count,
+    email_count,
+    phone_count,
+    redact_pii,
+)
+from syscol_spark.operators.profile import profile_columns
+from syscol_spark.operators.sampling import (
+    hash_bucket,
+    hash_bucket_sql,
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+    weighted_mixture,
+)
+from syscol_spark.plans.catalog import register
+from syscol_spark.sources.tables import load_table
+
+_SEED = 7
+_BUCKET_DOC = hash_bucket_sql("doc_id", _SEED)  # DuckDB twin of the Spark bucket
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- deterministic hash sampling --------------------------------------------
+@register(
+    "q_sample_hash",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    WHERE {_BUCKET_DOC} < 250000
+    GROUP BY lang
+    """,
+    description="deterministic 25% hash sample (md5 ppm bucket) — membership proven by sum of kept ids",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = hash_sample(_docs(spark, sf_dir), "doc_id", keep_ppm=250_000, seed=_SEED)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+# --- stratified sampling -----------------------------------------------------
+@register(
+    "q_stratified_sample",
+    f"""
+    SELECT lang, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY {_BUCKET_DOC}, doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 10
+    """,
+    description="deterministic stratified sample: 10 docs per language by hash order",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", n_per_stratum=10, seed=_SEED
+    ).select("lang", "doc_id", "n_chars")
+
+
+# --- weighted dataset mixture ------------------------------------------------
+# Per-source keep rates derived from the numeric source suffix (scale-robust:
+# no enumeration of source names): tier = suffix % 3 → 60% / 30% / 10%.
+_TIER_SQL = f"(CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 3)"
+_RATE_SQL = f"CASE {_TIER_SQL} WHEN 0 THEN 600000 WHEN 1 THEN 300000 ELSE 100000 END"
+
+
+def _rate_ppm() -> F.Column:
+    tier = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int") % 3
+    return (
+        F.when(tier == 0, F.lit(600_000))
+        .when(tier == 1, F.lit(300_000))
+        .otherwise(F.lit(100_000))
+    )
+
+
+@register(
+    "q_mixture_weighted",
+    f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    WHERE {_BUCKET_DOC} < {_RATE_SQL}
+    GROUP BY source
+    """,
+    description="weighted dataset mixture: per-source deterministic down-sampling to 60/30/10% tiers",
+)
+def q_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = weighted_mixture(_docs(spark, sf_dir), "doc_id", _rate_ppm(), seed=_SEED)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+# --- sequence packing --------------------------------------------------------
+_PACK_BUDGET = 512
+
+@register(
+    "q_pack_sequences",
+    r"""
+    SELECT lang, doc_id, n_tok, off AS offset,
+           CAST(off // 512 AS BIGINT) AS first_pack,
+           CAST((off + greatest(n_tok, 1) - 1) // 512 AS BIGINT) AS last_pack,
+           CAST((off + greatest(n_tok, 1) - 1) // 512 - off // 512 AS BIGINT) AS n_splits
+    FROM (
+        SELECT lang, doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM (
+            SELECT lang, doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS BIGINT) AS n_tok
+            FROM documents
+        )
+    )
+    """,
+    description="sequence packing manifest: concat-and-chunk docs into 512-token windows per language",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(
+        docs, group_col="lang", id_col="doc_id",
+        n_tokens=bpe_token_count("text"), budget=_PACK_BUDGET,
+    )
+    return packed.select(
+        "lang", "doc_id", "n_tok", "offset", "first_pack", "last_pack", "n_splits"
+    )
+
+
+# --- PII redaction -----------------------------------------------------------
+# The synthetic corpus contains no PII, so the query PLANTS deterministic
+# emails/phones derived from doc_id, then verifies detection counts and that
+# redaction leaves zero residual matches — behavior-checked end-to-end on
+# both engines.
+@register(
+    "q_pii_redact",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(planted, '"""
+    + EMAIL_RE
+    + """'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(planted, '"""
+    + PHONE_RE
+    + """'))) AS BIGINT) AS n_phones,
+           CAST(SUM(len(regexp_extract_all(redacted, '"""
+    + EMAIL_RE
+    + """'))
+              + len(regexp_extract_all(redacted, '"""
+    + PHONE_RE
+    + """'))) AS BIGINT) AS n_residual
+    FROM (
+        SELECT lang, planted,
+               regexp_replace(regexp_replace(planted, '"""
+    + EMAIL_RE
+    + """', '[PII]', 'g'), '"""
+    + PHONE_RE
+    + """', '[PII]', 'g') AS redacted
+        FROM (
+            SELECT lang,
+                   text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+            FROM documents
+        )
+    )
+    GROUP BY lang
+    """,
+    description="PII scrub: plant deterministic emails/phones, count matches, verify zero residual after redaction",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-010-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    base = _docs(spark, sf_dir).select("lang", planted.alias("planted"))
+    staged = base.withColumn("redacted", redact_pii("planted"))
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(email_count("planted")).alias("n_emails"),
+        F.sum(phone_count("planted")).alias("n_phones"),
+        F.sum(email_count("redacted") + phone_count("redacted")).alias("n_residual"),
+    )
+
+
+# --- column profiling --------------------------------------------------------
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def _profile_col_sql(c: str, text_cast: str) -> str:
+    return f"""
+    SELECT '{c}' AS column,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS {text_cast}) AS min_str,
+           CAST(MAX({c}) AS {text_cast}) AS max_str
+    FROM orders
+    """
+
+
+@register(
+    "q_profile",
+    " UNION ALL ".join(
+        [_profile_col_sql(c, "VARCHAR") for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]]
+        + [
+            """
+    SELECT 'o_totalprice' AS column,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(27,6)) AS VARCHAR) AS min_str,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(27,6)) AS VARCHAR) AS max_str
+    FROM orders
+    """
+        ]
+    ),
+    description="one-pass column profile: nulls / exact distinct / min / max per column",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_columns(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)

@@ -30,3 +30,51 @@ def test_uuid_and_now_ns(spark):
     assert all(len(r["u"]) == 36 for r in rows)
     assert all(r["t"] > 1_500_000_000 * 10**9 for r in rows)  # ns scale
     assert all(r["t"] % 1000 == 0 for r in rows)  # documented µs→ns delta
+
+
+def test_u5_offer_and_status_strings(spark):
+    """U5 pretty-printers (utils.go:42-108): golden strings computed by hand
+    from the Go format verbs on the same fixture."""
+    from syscol_spark.functions.utils import offers_string, status_string
+
+    offer = {
+        "hostname": "slave0",
+        "id": "20260813-offer-0001",
+        "resources": [
+            {"name": "cpus", "scalar": 4.0, "ranges": None},
+            {"name": "mem", "scalar": 2048.5, "ranges": None},
+            {"name": "ports", "scalar": None, "ranges": [{"begin": 31000, "end": 32000}]},
+        ],
+        "attributes": [
+            {"name": "rack", "text": "r1", "scalar": None},
+            {"name": "weight", "text": None, "scalar": 1.5},
+        ],
+    }
+    schema = (
+        "offers array<struct<hostname:string,id:string,"
+        "resources:array<struct<name:string,scalar:double,ranges:array<struct<begin:bigint,end:bigint>>>>,"
+        "attributes:array<struct<name:string,text:string,scalar:double>>>>"
+    )
+    df = spark.createDataFrame([([offer, offer],)], schema)
+    [r] = df.select(offers_string("offers").alias("s")).collect()
+    one = "\nslave0#-0001 cpus:4.00 mem:2048.50 ports:[31000..32000] rack:r1;weight:1.50"
+    assert r["s"] == one + one  # offersString concatenates in slice order
+
+    st = spark.createDataFrame(
+        [
+            ("syscol-S1-t1", "TASK_RUNNING", "20260813-S42", None, ""),
+            ("syscol-S1-t2", "TASK_FAILED", "20260813-S42", "REASON_COMMAND_EXECUTOR_FAILED", "oom"),
+        ],
+        ["task_id", "state", "slave_id", "reason", "message"],
+    )
+    got = [
+        r["s"]
+        for r in st.select(
+            status_string("task_id", "state", "slave_id", "reason", "message").alias("s")
+        ).collect()
+    ]
+    assert got[0] == "syscol-S1-t1 TASK_RUNNING slave: #3-S42"
+    assert got[1] == (
+        "syscol-S1-t2 TASK_FAILED slave: #3-S42"
+        " reason: REASON_COMMAND_EXECUTOR_FAILED message: oom"
+    )
