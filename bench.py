@@ -28,8 +28,21 @@ def main() -> None:
     _ensure_loaded()
     spark = get_session("bench")
     # warm up the JVM/codegen and file listing so the first query's number
-    # reflects the query, not session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # reflects the query, not session startup: one pass that touches the
+    # machinery every query shares (scan, hash agg over decimals, window,
+    # shuffle join) on a tiny slice.
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    small = li.limit(10_000)
+    (
+        small.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("s"))
+        .join(small.groupBy("l_returnflag").count(), "l_returnflag")
+        .select("*", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("s")).alias("r"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

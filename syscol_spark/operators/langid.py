@@ -8,9 +8,15 @@ Classic Cavnar-Trenkle shape, fully deterministic and engine-portable:
 2. classify: score each document by how many of its distinct trigrams hit
    each language profile; predicted language = argmax (ties → lang asc).
 
-Everything is built-in expressions + two shuffles (profile groupBy, score
-join). The profile side is tiny (n_langs × K rows) and broadcast — at
-100 TB the classify pass is one scan + one broadcast join.
+Scale design (100 TB):
+- profile build accepts a deterministic hash sample (``sample_ppm``) — top-K
+  frequency RANKS stabilize long before the full corpus is counted, so the
+  expensive explode+groupBy pass runs over a fraction of the data while
+  staying exactly reproducible (md5 bucket, same rows every run/engine).
+- classify explodes each doc's distinct grams once and broadcast-joins the
+  tiny profile: the gram computation happens exactly once per doc, every
+  stage after the scan is full-width, and the only per-doc shuffle is the
+  (id, lang) score groupBy.
 """
 
 from __future__ import annotations
@@ -18,6 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import broadcast
+
+from syscol_spark.operators.sampling import hash_sample
 
 
 def char_trigrams(col: str) -> F.Column:
@@ -27,8 +35,24 @@ def char_trigrams(col: str) -> F.Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i.cast("int"), 3)))
 
 
-def ngram_profiles(docs: DataFrame, text_col: str, lang_col: str, *, top_k: int = 50) -> DataFrame:
-    """(lang, gram) rows: each language's top-K trigrams by frequency."""
+def ngram_profiles(
+    docs: DataFrame,
+    text_col: str,
+    lang_col: str,
+    *,
+    top_k: int = 50,
+    id_col: str | None = None,
+    sample_ppm: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """(lang, gram) rows: each language's top-K trigrams by frequency.
+
+    With ``sample_ppm`` + ``id_col``, counts come from a deterministic hash
+    sample of the corpus — same profile every run, fraction of the cost."""
+    if sample_ppm is not None:
+        if id_col is None:
+            raise ValueError("sample_ppm requires id_col")
+        docs = hash_sample(docs, id_col, sample_ppm, seed)
     grams = docs.select(F.col(lang_col).alias("lang"), F.explode(char_trigrams(text_col)).alias("gram"))
     counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram"))
@@ -54,3 +78,13 @@ def classify_by_ngram(
         .filter(F.col("rk") == 1)
         .select("id", F.col("profile_lang").alias("predicted_lang"), "score")
     )
+
+
+# NOTE: a "fold the profile into the plan as array literals and score with
+# array_intersect" variant was tried and REMOVED: Catalyst re-inlines alias
+# subtrees (no CSE for higher-order expressions) and pushes result filters
+# below exchanges, so the per-language intersects — and the whole trigram
+# computation — were re-evaluated up to n_langs+2 times, some of it on the
+# pre-shuffle single task. The explode+broadcast-join shape computes grams
+# ONCE, parallelizes after the scan, and leaves nothing for the optimizer
+# to duplicate.

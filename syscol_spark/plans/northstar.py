@@ -186,7 +186,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> substr(text, i, 3)))) AS gram
       FROM documents
     ), counts AS (
-      SELECT lang, gram, COUNT(*) AS cnt FROM doc_grams GROUP BY 1, 2
+      -- profile built from the deterministic 25% hash sample, like the engine
+      SELECT lang, gram, COUNT(*) AS cnt FROM doc_grams
+      WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT % 1000000) < 250000
+      GROUP BY 1, 2
     ), profiles AS (
       SELECT lang AS profile_lang, gram FROM (
         SELECT lang, gram, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rk
@@ -209,7 +212,9 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.langid import classify_by_ngram, ngram_profiles
 
     d = _docs(spark, sf_dir)
-    profiles = ngram_profiles(d, "text", "lang", top_k=50)
+    profiles = ngram_profiles(
+        d, "text", "lang", top_k=50, id_col="doc_id", sample_ppm=250_000
+    )
     predicted = classify_by_ngram(d, "text", "doc_id", profiles)
     return (
         predicted.join(d.select(F.col("doc_id").alias("id"), F.col("lang").alias("true_lang")), "id")
