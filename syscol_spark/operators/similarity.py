@@ -170,9 +170,9 @@ def kmeans_centroids(
     # unpersisted before returning — the serving scan reads the source.
     train = corpus.select(id_col, vec_col).persist()
     try:
-        dim = len(train.select(vec_col).first()[0])
         seed_rows = train.orderBy(id_col).limit(k).select(vec_col).collect()
         centroids = [[float(x) for x in r[0]] for r in seed_rows]
+        dim = len(centroids[0])
         for _ in range(max_iter):
             assigned = _assign_nearest(train, vec_col, centroids)
             sums = (

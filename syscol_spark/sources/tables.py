@@ -39,12 +39,13 @@ TABLE_NAMES = [
 # the round-robin repartition moves only that file's bytes once and unlocks
 # full-width execution for compute-heavy per-row work.
 #
-# Only ``documents`` gets this treatment: its queries do per-row regex /
-# trigram / shingle / hash work where scan-stage width dominates. For the
-# relational tables the single-task scan feeds codegen'd aggregates at
-# millions of rows/sec and the extra exchange is a pure tax (measured: it
-# added ~0.3-0.5 s to ~60 cheap catalog queries while winning nothing).
-_FAN_OUT_TABLES = {"documents"}
+# Only ``documents`` and ``embeddings`` get this treatment: their queries do
+# per-row regex / trigram / shingle / hash / vector-fold work where
+# scan-stage width dominates. For the relational tables the single-task scan
+# feeds codegen'd aggregates at millions of rows/sec and the extra exchange
+# is a pure tax (measured: it added ~0.3-0.5 s to ~60 cheap catalog queries
+# while winning nothing).
+_FAN_OUT_TABLES = {"documents", "embeddings"}
 _FAN_OUT_BYTES = 128 * 1024 * 1024
 _fan_out_cache: dict[str, bool] = {}
 
