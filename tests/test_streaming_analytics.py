@@ -121,3 +121,23 @@ def test_dedup_stream_drops_replays(spark, stub_server):
     rows = _run_to_memory(out, "dedup_ev", output_mode="append")
     keys = [(r["sid"], r["event_time"]) for r in rows]
     assert len(keys) == len(set(keys))  # no duplicate (key, time) pairs emitted
+
+
+def test_hash_sample_is_stateless_streaming_filter(spark, tmp_path):
+    """hash_sample / weighted_mixture are pure codegen'd filters, so they
+    apply to a readStream unchanged — and select EXACTLY the same rows the
+    batch pipeline selects (reproducible curation across batch + stream)."""
+    from syscol_spark.operators.sampling import hash_sample
+
+    src = str(tmp_path / "in")
+    batch = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    batch.write.parquet(src)
+
+    expected = {r["doc_id"] for r in hash_sample(batch, "doc_id", 250_000).collect()}
+    stream = spark.readStream.schema("doc_id bigint").parquet(src)
+    sampled = hash_sample(stream, "doc_id", 250_000)
+    assert sampled.isStreaming
+    rows = _run_to_memory(
+        sampled, "t_stream_sample", output_mode="append", min_rows=len(expected)
+    )
+    assert {r["doc_id"] for r in rows} == expected
