@@ -605,10 +605,18 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # Two aggregates joined on the (tiny) group key, NOT one: mixing
+    # countDistinct with non-distinct aggregates makes Spark rewrite through
+    # an Expand (row multiplication) — measured 5.1s combined vs 0.5s each
+    # at sf0.1. Two clean scans + a 3-row join is ~5x faster and the scan is
+    # column-pruned to one column each.
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 4).alias("p50_approx"),
+    )
+    exact = li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    return sketches.join(exact, "l_returnflag").select(
+        "l_returnflag", "approx_parts", "exact_parts", "p50_approx"
     )
 
 
