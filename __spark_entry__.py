@@ -39,7 +39,7 @@ _NOT_YET_RECORDED = [
     "q_embed_centroid", "q_multimodal_meta",
     # added in round 2
     "q_ann_ivf", "q_sample_hash", "q_stratified_sample", "q_mixture_weighted",
-    "q_pack_sequences", "q_pii_redact", "q_profile",
+    "q_pack_sequences", "q_pii_redact", "q_profile", "q_curation_funnel",
 ]
 
 

@@ -13,12 +13,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from syscol_spark.functions.text import (
+    DEFAULT_STOPWORDS,
     EMAIL_RE,
     PHONE_RE,
     bpe_token_count,
     email_count,
     phone_count,
+    quality_score,
     redact_pii,
+    stopword_hits,
+    token_count,
 )
 from syscol_spark.operators.profile import profile_columns
 from syscol_spark.operators.sampling import (
@@ -206,6 +210,69 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(email_count("planted")).alias("n_emails"),
         F.sum(phone_count("planted")).alias("n_phones"),
         F.sum(email_count("redacted") + phone_count("redacted")).alias("n_residual"),
+    )
+
+
+# --- end-to-end curation funnel ----------------------------------------------
+# The composition a real pretraining pipeline runs: quality gate → language
+# consistency gate → exact-dedup canonical gate, with per-stage survivor
+# counts. Every stage reuses an independently-oracle-verified kernel
+# (quality_score ≡ q_text_quality, stopword guess ≡ q_lang_id, canonical ≡
+# q_dedup_exact's min-id policy), and the funnel itself is exact-checked.
+_STOPS_SQL = ", ".join(f"'{s}'" for s in DEFAULT_STOPWORDS)
+_PUNCT = r"[.,!?;:]"
+
+
+@register(
+    "q_curation_funnel",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  tok -> tok IN ({_STOPS_SQL}))) AS BIGINT) AS stop_hits,
+             CAST(length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')) AS DOUBLE)
+               / length(text) AS praw,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+      FROM documents
+    ), f AS (
+      SELECT lang,
+             ROUND(0.5 * least(n_tokens / 64.0, 1.0)
+                 + 0.4 * least(4.0 * stop_hits / greatest(n_tokens, 1), 1.0)
+                 + 0.1 * (1 - least(praw * 10, 1.0)), 6) >= 0.5 AS f_quality,
+             ((CAST(stop_hits AS DOUBLE) / n_tokens >= 0.1) = (lang = 'en')) AS f_lang_raw,
+             (doc_id = canon_id) AS f_canon_raw
+      FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN f_quality AND f_lang_raw THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+           CAST(SUM(CASE WHEN f_quality AND f_lang_raw AND f_canon_raw THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM f
+    GROUP BY lang
+    """,
+    description="curation funnel: quality gate -> language-consistency gate -> dedup-canonical gate, per-stage survivors",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    staged = docs.select(
+        "lang",
+        (quality_score("text") >= 0.5).alias("f_quality"),
+        (
+            (stopword_hits("text").cast("double") / token_count("text") >= 0.1)
+            == (F.col("lang") == "en")
+        ).alias("f_lang_raw"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("f_canon_raw"),
+    )
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("f_quality").cast("long")).alias("n_quality"),
+        F.sum((F.col("f_quality") & F.col("f_lang_raw")).cast("long")).alias("n_lang_ok"),
+        F.sum((F.col("f_quality") & F.col("f_lang_raw") & F.col("f_canon_raw")).cast("long")).alias("n_kept"),
     )
 
 

@@ -10,6 +10,25 @@ from syscol_spark.sources.lake import read_bucketed, write_bucketed, write_parti
 
 
 @pytest.fixture()
+def clean_tables(spark):
+    """Managed-table hygiene: a fresh derby metastore with a persistent
+    warehouse dir ( /tmp ) can hold stale table DIRECTORIES with no catalog
+    entry — saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop both
+    sides before and after."""
+    import shutil
+
+    def scrub():
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("t_lineitem_b", "t_orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    scrub()
+    yield
+    scrub()
+
+
+@pytest.fixture()
 def no_broadcast(spark):
     """Force shuffle-join planning so the test proves bucketing (a broadcast
     join would be exchange-free for the wrong reason)."""
@@ -19,7 +38,7 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_bucketed_join_is_exchange_and_sort_free(spark, sf_dir, no_broadcast):
+def test_bucketed_join_is_exchange_and_sort_free(spark, sf_dir, no_broadcast, clean_tables):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     write_bucketed(li, "t_lineitem_b", bucket_by=["l_orderkey"], n_buckets=8, sort_by=["l_orderkey"])
