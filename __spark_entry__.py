@@ -40,6 +40,8 @@ _NOT_YET_RECORDED = [
     # added in round 2
     "q_ann_ivf", "q_sample_hash", "q_stratified_sample", "q_mixture_weighted",
     "q_pack_sequences", "q_pii_redact", "q_profile", "q_curation_funnel",
+    "q07_volume_shipping", "q08_market_share", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_quantity",
 ]
 
 

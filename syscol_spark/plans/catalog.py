@@ -72,5 +72,6 @@ def _ensure_loaded() -> None:
     import syscol_spark.plans.extra  # noqa: F401
     import syscol_spark.plans.northstar  # noqa: F401
     import syscol_spark.plans.pipeline  # noqa: F401
+    import syscol_spark.plans.tpch2  # noqa: F401
 
     _LOADED = True
