@@ -94,3 +94,38 @@ def test_simple_scalar_pipeline_stays_in_codegen(spark, sf_dir, queries):
     plan = _plan(queries["q_string_functions"].builder(spark, sf_dir))
     assert "Exchange" not in plan
     assert "* Project" in plan or "* Filter" in plan
+
+
+def test_new_tpch_broadcast_dims_no_cartesian(spark, sf_dir, queries):
+    for name in ("q07_volume_shipping", "q08_market_share", "q17_small_quantity"):
+        plan = _plan(queries[name].builder(spark, sf_dir))
+        assert "BroadcastExchange" in plan, name  # dim hints survive planning
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_hash_sampling_is_shuffle_free_before_agg(spark, sf_dir, queries):
+    """The sampling FILTER itself must be map-side: the only exchange in
+    q_sample_hash / q_mixture_weighted is the final aggregation's."""
+    import re
+
+    for name in ("q_sample_hash", "q_mixture_weighted"):
+        plan = _plan(queries[name].builder(spark, sf_dir))
+        shuffles = [
+            ln for ln in plan.splitlines()
+            if re.match(r"^\(\d+\) Exchange", ln) and "Broadcast" not in ln
+        ]
+        assert len(shuffles) <= 1, (name, shuffles)
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir, queries):
+    """Packing = one shuffle on the shard key (the window), nothing else."""
+    import re
+
+    plan = _plan(queries["q_pack_sequences"].builder(spark, sf_dir))
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", ln) and "Broadcast" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+    assert "hashpartitioning(lang" in plan
