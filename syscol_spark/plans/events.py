@@ -360,3 +360,40 @@ def q_ev_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# --- time-weighted average ---------------------------------------------------
+# Irregular scrape intervals over-weight bursts in a plain AVG; the TWA
+# weights each sample by how long its value held (LOCF within the hour —
+# exact semantics in operators/timeseries.py). The oracle mirrors the
+# window + decimal-weight arithmetic step for step.
+@register(
+    "q_ev_twa",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us
+      FROM events
+    ), d AS (
+      SELECT user_id, bucket_us, value,
+             CAST(COALESCE(lead(ts_us) OVER (PARTITION BY user_id, bucket_us ORDER BY ts_us, event_id),
+                           bucket_us + 3600000000) - ts_us AS BIGINT) AS dur
+      FROM s
+    )
+    SELECT user_id, bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(dur) AS BIGINT) AS covered_us,
+           CAST(SUM(CAST(value AS DECIMAL(15,6)) * dur) AS DOUBLE)
+             / CAST(SUM(dur) AS DOUBLE) AS twa
+    FROM d
+    GROUP BY user_id, bucket_us
+    """,
+    description="time-weighted hourly average (LOCF-within-bucket durations, exact decimal weights)",
+)
+def q_ev_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.timeseries import time_weighted_avg
+
+    ev = _events(spark, sf_dir)
+    return time_weighted_avg(
+        ev, ["user_id"], "ts_us", "value", bucket_us=3_600_000_000, tiebreak_col="event_id"
+    )

@@ -373,3 +373,30 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
         for r in ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=16, max_iter=3).collect()
     }
     assert ivf_wide == exact, "nprobe = n_centroids must equal brute force"
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """Fixture with irregular spacing inside one hour bucket (bucket_us=100
+    for readable numbers): values hold until the next sample / bucket end."""
+    from syscol_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # key, event, ts, value  — bucket [0,100): samples at 10, 60, 90
+        ("a", 1, 10, 2.0),   # holds 50 ticks (10→60)
+        ("a", 2, 60, 4.0),   # holds 30 ticks (60→90)
+        ("a", 3, 90, 10.0),  # holds 10 ticks (90→100)
+        ("a", 4, 150, 6.0),  # next bucket [100,200): holds 50 (150→200)
+    ]
+    df = spark.createDataFrame(rows, ["k", "event_id", "ts_us", "value"])
+    out = {
+        r["bucket_us"]: r
+        for r in time_weighted_avg(
+            df, ["k"], "ts_us", "value", bucket_us=100, tiebreak_col="event_id"
+        ).collect()
+    }
+    b0 = out[0]
+    assert b0["n_samples"] == 3 and b0["covered_us"] == 90
+    assert abs(b0["twa"] - (2.0 * 50 + 4.0 * 30 + 10.0 * 10) / 90) < 1e-12
+    b1 = out[100]
+    assert b1["n_samples"] == 1 and b1["covered_us"] == 50
+    assert b1["twa"] == 6.0
