@@ -397,3 +397,44 @@ def q_ev_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(
         ev, ["user_id"], "ts_us", "value", bucket_us=3_600_000_000, tiebreak_col="event_id"
     )
+
+
+# --- counter-reset-aware rate ------------------------------------------------
+# The events fixture's value column is not a real monotonic counter, so
+# resets fire often — which exercises the reset branch heavily; semantics
+# and arithmetic are what's under test (operators/timeseries.py).
+@register(
+    "q_ev_rate",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(value AS DECIMAL(15,6)) AS v,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us
+      FROM events
+    ), d AS (
+      SELECT user_id, bucket_us, ts_us,
+             CASE WHEN lag(v) OVER w IS NULL THEN NULL
+                  WHEN v >= lag(v) OVER w THEN v - lag(v) OVER w
+                  ELSE v END AS inc
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, bucket_us ORDER BY ts_us, event_id)
+    ), g AS (
+      SELECT user_id, bucket_us,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us,
+             CAST(SUM(inc) AS DOUBLE) AS total_increase
+      FROM d GROUP BY user_id, bucket_us
+    )
+    SELECT user_id, bucket_us, n_samples, span_us, total_increase,
+           total_increase / (CAST(span_us AS DOUBLE) / 1000000.0) AS rate_per_sec
+    FROM g WHERE n_samples >= 2 AND span_us > 0
+    """,
+    description="reset-aware counter rate per hour (Prometheus rate() shape, exact decimal increases)",
+)
+def q_ev_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.timeseries import counter_rate
+
+    ev = _events(spark, sf_dir)
+    return counter_rate(
+        ev, ["user_id"], "ts_us", "value", bucket_us=3_600_000_000, tiebreak_col="event_id"
+    )

@@ -400,3 +400,24 @@ def test_time_weighted_avg_hand_computed(spark):
     b1 = out[100]
     assert b1["n_samples"] == 1 and b1["covered_us"] == 50
     assert b1["twa"] == 6.0
+
+
+def test_counter_rate_handles_resets(spark):
+    from syscol_spark.operators.timeseries import counter_rate
+
+    rows = [
+        # counter climbs 100→250→30 (reset!)→90 within one bucket of 1000µs
+        ("a", 1, 0, 100.0),
+        ("a", 2, 200, 250.0),   # +150
+        ("a", 3, 500, 30.0),    # reset → +30
+        ("a", 4, 900, 90.0),    # +60
+        # single-sample bucket → dropped (no rate defined)
+        ("b", 5, 100, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "event_id", "ts_us", "value"])
+    out = counter_rate(df, ["k"], "ts_us", "value", bucket_us=1000, tiebreak_col="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["k"], r["n_samples"], r["span_us"]) == ("a", 4, 900)
+    assert r["total_increase"] == 150.0 + 30.0 + 60.0
+    assert abs(r["rate_per_sec"] - 240.0 / (900 / 1_000_000)) < 1e-9
