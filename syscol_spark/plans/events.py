@@ -438,3 +438,32 @@ def q_ev_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counter_rate(
         ev, ["user_id"], "ts_us", "value", bucket_us=3_600_000_000, tiebreak_col="event_id"
     )
+
+
+# --- gap detection -----------------------------------------------------------
+# The analytics twin of the collector's dead-host tolerance (S3): find the
+# intervals where an entity that should report continuously went silent for
+# more than a threshold. One lead() window over (user, ts) — linear, one
+# shuffle, no self-join.
+@register(
+    "q_ev_gaps",
+    """
+    SELECT user_id, gap_start_us, gap_us
+    FROM (
+      SELECT user_id, ts_us AS gap_start_us,
+             CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS BIGINT) AS gap_us
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+    )
+    WHERE gap_us > 600000000
+    """,
+    description="reporting-gap detection: silences > 10 min per entity via one lead() window",
+)
+def q_ev_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select("user_id", "event_id", "ts_us")
+        .withColumn("gap_us", (F.lead("ts_us").over(w) - F.col("ts_us")).cast("long"))
+        .filter(F.col("gap_us") > 600_000_000)
+        .select("user_id", F.col("ts_us").alias("gap_start_us"), "gap_us")
+    )
