@@ -131,3 +131,16 @@ def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Colu
     p_ratio = punct_ratio(col)
     len_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
     return F.round(F.lit(0.5) * len_term + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0)) + F.lit(0.1) * (1 - F.least(p_ratio * 10, F.lit(1.0))), 6)
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Gopher-style repetition filter: fraction of n-gram OCCURRENCES that
+    are duplicates of an earlier occurrence within the document
+    (1 - distinct/total). High values mark boilerplate/spam. Pure
+    expressions; floor-scaled to 6dp for engine-portable comparison."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    all_grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    total = F.size(all_grams)
+    distinct = F.size(F.array_distinct(all_grams))
+    return F.floor(F.lit(1_000_000.0) * (total - distinct) / total).cast("long") / F.lit(1_000_000.0)
