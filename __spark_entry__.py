@@ -41,7 +41,7 @@ _NOT_YET_RECORDED = [
     "q_ann_ivf", "q_sample_hash", "q_stratified_sample", "q_mixture_weighted",
     "q_pack_sequences", "q_pii_redact", "q_profile", "q_curation_funnel",
     "q07_volume_shipping", "q08_market_share", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity", "q_ev_twa", "q_ev_rate", "q_ev_gaps", "q_doc_repetition",
+    "q15_top_supplier", "q17_small_quantity", "q_ev_twa", "q_ev_rate", "q_ev_gaps", "q_doc_repetition", "q_knn_graph",
 ]
 
 

@@ -420,3 +420,45 @@ def srp_band_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus: each vector's top-k
+    neighbors among SRP band-collision candidates — the building block of
+    SemDeDup-style semantic dedup and graph-based ANN index construction.
+
+    Differs from the query-serving paths (brute_force_topk / srp_topk /
+    ivf_topk take a small query set) in that every corpus vector is a query:
+    candidates come from the same sign-band equi-join as srp_band_pairs (no
+    block restriction), each undirected candidate pair is scored once, then
+    mirrored into both directions and ranked per source. Candidate count is
+    ~n_bands * n^2 / 2^band_bits per band bucket instead of n^2 — and the
+    same deterministic ±1 planes keep the whole thing oracle-mirrorable.
+    Output: (src, nbr, cosine, rk<=k)."""
+    tagged = corpus.withColumn("__blk", F.lit(1))
+    pairs = srp_band_pairs(
+        tagged,
+        vec_col=vec_col,
+        id_col=id_col,
+        block_col="__blk",
+        min_cosine=-1.0,
+        dim=dim,
+        n_bands=n_bands,
+        band_bits=band_bits,
+        seed=seed,
+    )
+    sym = pairs.selectExpr("id_a AS src", "id_b AS nbr", "cosine").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS nbr", "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("nbr"))
+    return sym.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(F.col("rk") <= k)

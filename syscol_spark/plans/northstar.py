@@ -557,3 +557,38 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).cast("long").alias("n_repetitive"),
         F.sum((F.col("rep") * 1_000_000).cast("long")).alias("rep_micro_sum"),
     )
+
+
+# --- approximate k-NN graph --------------------------------------------------
+# Every corpus vector gets its top-3 neighbors among SRP band-collision
+# candidates (no label restriction): the SemDeDup / graph-ANN construction
+# primitive. The oracle mirrors the same deterministic sign-band candidate
+# set, both pair directions, and the (cosine desc, nbr) ranking.
+@register(
+    "q_knn_graph",
+    f"""
+    WITH keys AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SRP_KEYS_SELECT}
+      FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      FROM keys a JOIN keys b
+        ON a.vec_id < b.vec_id AND ({_SRP_ANY_BAND})
+    ), sym AS (
+      SELECT src, nbr, cosine FROM cand
+      UNION ALL
+      SELECT nbr AS src, src AS nbr, cosine FROM cand
+    )
+    SELECT src, nbr, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
+      FROM sym
+    ) WHERE rk <= 3
+    """,
+    description="approximate k-NN graph: per-vector top-3 via SRP band candidates (SemDeDup primitive)",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import knn_graph
+
+    return knn_graph(_emb(spark, sf_dir), k=3, dim=64, n_bands=8, band_bits=4)
