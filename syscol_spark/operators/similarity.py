@@ -382,32 +382,9 @@ def srp_band_pairs(
     pairs well; use the exact path for low thresholds). Measured recall on
     the test fixture is asserted in tests/test_operators.py.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("block"),
-        # projection barrier: the fold is evaluated once per row here, not
-        # once per downstream key reference (see srp_plane_sums)
-        srp_plane_sums(vec_col, dim, n_bands * band_bits, seed).alias("__sums"),
-    )
-    keys = srp_keys_from_sums("__sums", n_bands=n_bands, band_bits=band_bits)
-    bands = F.array(*[F.struct(F.lit(i).alias("band"), k.alias("key")) for i, k in enumerate(keys)])
-    # narrow posting rows (id, block, band, key) — the vectors are re-attached
-    # to the (distinct, much smaller) candidate pairs afterwards so 512-byte
-    # arrays never travel through the 8×-exploded index join
-    exploded = base.select(
-        "id", "block", F.explode(bands).alias("bb")
-    ).select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _srp_candidate_pairs(
+        df, vec_col=vec_col, id_col=id_col, block_col=block_col,
+        dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed,
     )
     sides = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return (
@@ -420,6 +397,76 @@ def srp_band_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def _srp_candidate_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    dim: int,
+    n_bands: int,
+    band_bits: int,
+    seed: int,
+) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) sharing the block key and
+    at least one SRP sign band. Narrow posting rows (id, block, band, key)
+    go through the index join — the vectors are re-attached to the (much
+    smaller) candidate set by callers, so 512-byte arrays never travel
+    through the n_bands-exploded join."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        # projection barrier: the fold is evaluated once per row here, not
+        # once per downstream key reference (see srp_plane_sums)
+        srp_plane_sums(vec_col, dim, n_bands * band_bits, seed).alias("__sums"),
+    )
+    keys = srp_keys_from_sums("__sums", n_bands=n_bands, band_bits=band_bits)
+    bands = F.array(*[F.struct(F.lit(i).alias("band"), k.alias("key")) for i, k in enumerate(keys)])
+    exploded = base.select(
+        "id", "block", F.explode(bands).alias("bb")
+    ).select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _score_pairs_arrow(pairs_with_vecs: DataFrame) -> DataFrame:
+    """Batch-score candidate pairs with numpy (Arrow transfer): one einsum
+    per batch instead of one interpreted fold per pair — the mandated
+    vectorized-UDF shape for bulk per-pair vector math (~10-50× the
+    expression path on 10^6 pairs). Rounded to 6dp like the expression
+    scorer; numpy's pairwise summation differs from the left-fold only in
+    the last ulp, which the rounding absorbs (same argument as the DuckDB
+    list_* kernels, already hash-verified)."""
+    import pandas as pd  # noqa: F401 — signature requirement
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["vec_a"].to_numpy()).astype("float64")
+            vb = np.stack(pdf["vec_b"].to_numpy()).astype("float64")
+            dots = np.einsum("ij,ij->i", va, vb)
+            na = np.sqrt(np.einsum("ij,ij->i", va, va))
+            nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+            out = pdf[["id_a", "id_b"]].copy()
+            out["cosine"] = np.round(dots / (na * nb), 6)
+            yield out
+
+    return pairs_with_vecs.mapInPandas(score, "id_a long, id_b long, cosine double")
 
 
 def knn_graph(
@@ -444,19 +491,21 @@ def knn_graph(
     mirrored into both directions and ranked per source. Candidate count is
     ~n_bands * n^2 / 2^band_bits per band bucket instead of n^2 — and the
     same deterministic ±1 planes keep the whole thing oracle-mirrorable.
-    Output: (src, nbr, cosine, rk<=k)."""
+    Output: (src, nbr, cosine, rk<=k).
+
+    Scoring is the Arrow/numpy batch path, not the column-expression fold:
+    the graph build scores EVERY candidate pair (~10^6 at n=2000 already),
+    and one einsum per Arrow batch is 10-50× the interpreted fold."""
     tagged = corpus.withColumn("__blk", F.lit(1))
-    pairs = srp_band_pairs(
-        tagged,
-        vec_col=vec_col,
-        id_col=id_col,
-        block_col="__blk",
-        min_cosine=-1.0,
-        dim=dim,
-        n_bands=n_bands,
-        band_bits=band_bits,
-        seed=seed,
+    cand = _srp_candidate_pairs(
+        tagged, vec_col=vec_col, id_col=id_col, block_col="__blk",
+        dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed,
     )
+    sides = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    with_vecs = cand.join(
+        sides.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a"
+    ).join(sides.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+    pairs = _score_pairs_arrow(with_vecs)
     sym = pairs.selectExpr("id_a AS src", "id_b AS nbr", "cosine").unionByName(
         pairs.selectExpr("id_b AS src", "id_a AS nbr", "cosine")
     )
