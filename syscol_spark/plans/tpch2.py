@@ -203,6 +203,140 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q9: product-type profit by nation/year ----------------------------------
+# Adaptation: no partsupp, so unit cost is p_retailprice (ps_supplycost's
+# stand-in): profit = extendedprice*(1-disc) - retailprice*quantity. The shape
+# under test — 5-way join fanning lineitem out to part/supplier/orders/nation
+# with a LIKE filter on part, then (nation, year) profit agg — is Q9's.
+@register(
+    "q09_product_profit",
+    """
+    SELECT nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN (SELECT n_nationkey, n_name AS nation FROM nation) ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY nation, year(o_orderdate)
+    """,
+    description="TPC-H Q9 (adapted): profit per supplier-nation per year; retailprice stands in for supplycost",
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = broadcast(
+        _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+# --- Q12: late-shipment priority counts ---------------------------------------
+# Adaptation: no l_shipmode/commitdate/receiptdate. "Late" becomes
+# l_shipdate > o_orderdate + 90 days, and l_returnflag plays the shipmode
+# grouping role. The shape under test — join + two conditional counts split by
+# an IN-list predicate on the joined side — is Q12's.
+@register(
+    "q12_late_lines",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    description="TPC-H Q12 (adapted): high/low-priority line counts among late shipments, by returnflag",
+)
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --- Q22: dormant high-balance customers --------------------------------------
+# Adaptation: no c_phone, so the country-code substring becomes c_nationkey
+# directly (IN over 7 keys); and because every synthetic customer has orders,
+# "never ordered" becomes "no orders since 2000-01-01" (non-empty at every
+# SF). The shape under test — scalar-subquery average gating a NOT EXISTS
+# anti-join, then per-code count/sum — is Q22's.
+_Q22_KEYS = "(1, 3, 5, 7, 9, 11, 13)"
+
+
+@register(
+    "q22_dormant_customers",
+    f"""
+    WITH sel AS (
+      SELECT c_custkey, c_nationkey AS cntrycode, c_acctbal
+      FROM customer WHERE c_nationkey IN {_Q22_KEYS}
+    ),
+    avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+      FROM sel WHERE c_acctbal > 0
+    )
+    SELECT cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM sel, avg_bal
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+    description="TPC-H Q22 (adapted): never-ordered customers above the positive-balance average, by nation key",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    # scalar subquery as a broadcast 1-row cross join: no collect, no driver
+    # round-trip, and the filtered-customer scan is shared via the same source
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("avg_bal"))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
 # --- Q17: small-quantity-order revenue ---------------------------------------
 # Adaptation: p_container doesn't exist; the brand+type filter plays its role.
 @register(

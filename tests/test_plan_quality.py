@@ -97,11 +97,24 @@ def test_simple_scalar_pipeline_stays_in_codegen(spark, sf_dir, queries):
 
 
 def test_new_tpch_broadcast_dims_no_cartesian(spark, sf_dir, queries):
-    for name in ("q07_volume_shipping", "q08_market_share", "q17_small_quantity"):
+    for name in (
+        "q07_volume_shipping",
+        "q08_market_share",
+        "q17_small_quantity",
+        "q09_product_profit",
+        "q12_late_lines",
+        "q22_dormant_customers",
+    ):
         plan = _plan(queries[name].builder(spark, sf_dir))
         assert "BroadcastExchange" in plan, name  # dim hints survive planning
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        # q22's scalar-average gate is a broadcast 1-row cross join — the ONE
+        # place a BroadcastNestedLoopJoin is the plan you want; ban it elsewhere
+        import re
+
+        bnlj_ops = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+        allowed_bnlj = 1 if name == "q22_dormant_customers" else 0
+        assert len(bnlj_ops) <= allowed_bnlj, name
 
 
 def test_hash_sampling_is_shuffle_free_before_agg(spark, sf_dir, queries):
