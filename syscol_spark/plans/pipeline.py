@@ -312,3 +312,52 @@ def _profile_col_sql(c: str, text_cast: str) -> str:
 )
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+# --- benchmark decontamination -----------------------------------------------
+# Split the documents table deterministically: 2% (by md5 ppm bucket, its own
+# seed) stands in for the held-out benchmark, the rest is the training corpus.
+# A real deployment swaps the bench side for the actual eval-set files; the
+# operator shape (broadcast n-gram set, map-side join) is identical.
+_BENCH_SEED = 13
+_BENCH_PPM = 20_000
+_BUCKET_BENCH = hash_bucket_sql("doc_id", _BENCH_SEED)
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_BUCKET_BENCH} AS b,
+             list_distinct(CASE WHEN array_length(toks) >= 3
+               THEN list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS shset
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), bench AS (
+      SELECT DISTINCT unnest(shset) AS ngram FROM sh WHERE b < {_BENCH_PPM}
+    ), ex AS (
+      SELECT doc_id, len(shset) AS n_shingles, unnest(shset) AS ngram
+      FROM sh WHERE b >= {_BENCH_PPM}
+    ), agg AS (
+      SELECT doc_id, CAST(any_value(n_shingles) AS BIGINT) AS n_shingles,
+             CAST(count(bench.ngram) AS BIGINT) AS n_hits
+      FROM ex LEFT JOIN bench USING (ngram) GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS contamination
+    FROM agg WHERE n_hits > 0
+    """,
+    description="benchmark n-gram-overlap decontamination report (broadcast bench set, map-side join)",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.decontaminate import benchmark_ngrams, contamination_report
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "__b", hash_bucket("doc_id", seed=_BENCH_SEED)
+    )
+    bench = docs.filter(F.col("__b") < _BENCH_PPM)
+    corpus = docs.filter(F.col("__b") >= _BENCH_PPM)
+    return contamination_report(
+        corpus, benchmark_ngrams(bench, "text", n=3), "text", "doc_id", n=3
+    )

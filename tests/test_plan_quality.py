@@ -142,3 +142,17 @@ def test_pack_sequences_single_shuffle(spark, sf_dir, queries):
     ]
     assert len(shuffles) == 1, shuffles
     assert "hashpartitioning(lang" in plan
+
+
+def test_decontaminate_broadcasts_bench_set(spark, sf_dir, queries):
+    """The corpus never shuffles to meet the benchmark n-gram set: the bench
+    side aggregates (its own small exchange) and broadcasts; the only other
+    exchange is the per-document hit aggregation."""
+    import re
+
+    plan = _plan(queries["q_decontaminate"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin LeftOuter" in plan
+    shuffles = [
+        ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Exchange", ln)
+    ]
+    assert len(shuffles) == 2, shuffles
