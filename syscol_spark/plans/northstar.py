@@ -592,3 +592,27 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.similarity import knn_graph
 
     return knn_graph(_emb(spark, sf_dir), k=3, dim=64, n_bands=8, band_bits=4)
+
+
+# --- edit-distance fuzzy self-join (Ed-Join prefix filtering) ----------------
+# The oracle is deliberately the BRUTE-FORCE definition (all pairs +
+# levenshtein): a hash-match proves the q-gram prefix filter missed nothing.
+@register(
+    "q_fuzzy_edit",
+    """
+    WITH s AS (SELECT doc_id, substr(trim(text), 1, 128) AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 4
+    WHERE levenshtein(a.s, b.s) <= 4
+    """,
+    description="Levenshtein<=k self-join via frequency-ordered q-gram prefix filtering (Ed-Join)",
+)
+def q_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.fuzzy import edit_distance_pairs
+
+    heads = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, 128).alias("head")
+    )
+    return edit_distance_pairs(heads, "head", "doc_id", max_dist=4, q=6)

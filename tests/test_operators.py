@@ -421,3 +421,45 @@ def test_counter_rate_handles_resets(spark):
     assert (r["k"], r["n_samples"], r["span_us"]) == ("a", 4, 900)
     assert r["total_increase"] == 150.0 + 30.0 + 60.0
     assert abs(r["rate_per_sec"] - 240.0 / (900 / 1_000_000)) < 1e-9
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_sentinel_covers_tiny_gram_sets(spark):
+    """Repetitive strings can be within ed<=k while sharing ZERO q-grams
+    (the overlap bound is vacuous when both gram sets are <= k*q). The
+    sentinel bucket must catch those; real grams must still catch
+    small-vs-large pairs. Verified against a Python brute force."""
+    from syscol_spark.operators.fuzzy import edit_distance_pairs
+
+    strings = [
+        (1, "aaaa"),          # grams {aaa}: sentinel territory
+        (2, "aabaa"),         # ed=1 to #1, shares no 3-gram with it
+        (3, "aaaaaaaaaaaa"),  # 12*a — gram set {aaa}, but long
+        (4, "aaaaaaaaaaab"),  # ed=1 to #3, shares 'aaa'
+        (5, "completely different text here"),
+        (6, "completely different text hers"),  # ed=1 to #5
+        (7, "zq"),            # shorter than q: the whole string is the gram
+        (8, "zx"),            # ed=1 to #7, shares nothing
+    ]
+    df = spark.createDataFrame(strings, ["id", "s"])
+    got = {
+        (r["id_a"], r["id_b"]): r["ed"]
+        for r in edit_distance_pairs(df, "s", "id", max_dist=2, q=3).collect()
+    }
+    want = {
+        (a_id, b_id): _py_levenshtein(a, b)
+        for i, (a_id, a) in enumerate(strings)
+        for b_id, b in (strings[j] for j in range(i + 1, len(strings)))
+        if _py_levenshtein(a, b) <= 2
+    }
+    assert got == want
+    assert (1, 2) in want and (3, 4) in want and (7, 8) in want  # the traps

@@ -156,3 +156,12 @@ def test_decontaminate_broadcasts_bench_set(spark, sf_dir, queries):
         ln for ln in plan.splitlines() if re.match(r"^\(\d+\) Exchange", ln)
     ]
     assert len(shuffles) == 2, shuffles
+
+
+def test_fuzzy_edit_candidates_from_gram_join(spark, sf_dir, queries):
+    """Ed-Join: candidates must come from the q-gram prefix equi-join — no
+    cartesian/BNLJ anywhere, and the join key column is the gram."""
+    plan = _plan(queries["q_fuzzy_edit"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "gram" in plan
