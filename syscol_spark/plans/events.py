@@ -467,3 +467,47 @@ def q_ev_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_us") > 600_000_000)
         .select("user_id", F.col("ts_us").alias("gap_start_us"), "gap_us")
     )
+
+
+# --- rolling z-score anomaly detection ---------------------------------------
+# Engine-stable by construction: mean and variance derive from DECIMAL(27,6)
+# sums over the frame (value is 2dp, value² is 4dp — both exact), so both
+# engines evaluate the identical double expression tree; no stddev_samp
+# (whose accumulation algorithm differs across engines) anywhere.
+@register(
+    "q_ev_anomaly",
+    """
+    WITH stats AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+             CAST(COUNT(value) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(27,6)) * CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sq
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts_us, value,
+           ROUND((value - s / n) / sqrt((sq - s * s / n) / (n - 1)), 6) AS zscore
+    FROM stats
+    WHERE n >= 8 AND (sq - s * s / n) / (n - 1) > 0
+      AND abs((value - s / n) / sqrt((sq - s * s / n) / (n - 1))) > 3
+    """,
+    description="rolling z-score anomaly detection (trailing 20-row frame, self-excluded)",
+)
+def q_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n = F.count("value").over(w).cast("long")
+    s = F.sum(dec6("value")).over(w).cast("double")
+    sq = F.sum(dec6("value") * dec6("value")).over(w).cast("double")
+    stats = ev.select("event_id", "user_id", "ts_us", "value", n.alias("n"), s.alias("s"), sq.alias("sq"))
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") >= 8) & (var > 0) & (F.abs(z) > 3))
+        .select("event_id", "user_id", "ts_us", "value", F.round(z, 6).alias("zscore"))
+    )

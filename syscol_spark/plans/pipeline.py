@@ -361,3 +361,54 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(
         corpus, benchmark_ngrams(bench, "text", n=3), "text", "doc_id", n=3
     )
+
+
+# --- dataset domain-mix profile ----------------------------------------------
+# The mixture-planning view: per language, how many sources contribute, how
+# concentrated they are (token-share entropy, dominant share). Token shares
+# come from exact integer sums, so both engines divide identical longs.
+@register(
+    "q_domain_mix",
+    """
+    WITH per AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(array_length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS toks
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT lang, CAST(SUM(toks) AS BIGINT) AS tot_toks,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per GROUP BY lang
+    )
+    SELECT per.lang, any_value(n_sources) AS n_sources, any_value(tot_toks) AS total_tokens,
+           ROUND(-SUM((CAST(toks AS DOUBLE) / tot_toks) * ln(CAST(toks AS DOUBLE) / tot_toks)), 6)
+             AS source_entropy,
+           ROUND(MAX(CAST(toks AS DOUBLE) / tot_toks), 6) AS top_share
+    FROM per JOIN tot ON per.lang = tot.lang
+    GROUP BY per.lang
+    """,
+    description="corpus mixture profile: per-language source counts, token-share entropy, dominant share",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("toks"),
+        )
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("toks").alias("tot_toks"), F.count(F.lit(1)).alias("n_sources")
+    )
+    share = F.col("toks").cast("double") / F.col("tot_toks")
+    return (
+        per.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_sources").alias("n_sources"),
+            F.first("tot_toks").alias("total_tokens"),
+            F.round(-F.sum(share * F.log(share)), 6).alias("source_entropy"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+    )
