@@ -362,3 +362,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
                     F.lit(0.0), lambda a, b: a + b).alias("feature_sq_norm"),
     )
+
+
+# --- full outer join ---------------------------------------------------------
+# Monthly order activity vs monthly shipping activity: the ship calendar runs
+# past the last order month, so the right-only branch is exercised (and the
+# coalesce on both sides is the shape under test).
+@register(
+    "q_full_outer",
+    """
+    WITH o AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+             CAST(COUNT(*) AS BIGINT) AS n_ship_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.ym, l.ym) AS ym,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_ship_lines, 0) AS n_ship_lines
+    FROM o FULL OUTER JOIN l ON o.ym = l.ym
+    """,
+    description="full outer join of monthly order vs shipment calendars (zero-filled both sides)",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ym = lambda c: (F.year(c) * 100 + F.month(c)).alias("ym")  # noqa: E731
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(ym(F.col("o_orderdate")))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(ym(F.col("l_shipdate")))
+        .agg(F.count(F.lit(1)).alias("n_ship_lines"))
+    )
+    return (
+        o.join(l, "ym", "full_outer")
+        .select(
+            "ym",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ship_lines", F.lit(0)).alias("n_ship_lines"),
+        )
+    )

@@ -616,3 +616,55 @@ def q_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring(F.trim(F.col("text")), 1, 128).alias("head")
     )
     return edit_distance_pairs(heads, "head", "doc_id", max_dist=4, q=6)
+
+
+# --- int8 scalar quantization of embeddings ----------------------------------
+# The vector-compression step an ANN index at 100 TB needs (a float32 corpus
+# is 4× the int8 one). Codes are exact integers via floor(x·255/range + .5)
+# — NOT round(), whose half-way semantics differ across engines — so the
+# report is value-checked end to end; the only doubles emitted are maxima of
+# identically-computed expressions (order-independent).
+@register(
+    "q_embed_quantize",
+    """
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), dims AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos
+    ), coded AS (
+      SELECT label, ex.pos, x, mn, mx,
+             CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT) AS code
+      FROM ex JOIN dims ON ex.pos = dims.pos
+      WHERE mx > mn
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           CAST(SUM(code) AS BIGINT) AS sum_codes,
+           CAST(SUM(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+           MAX(abs(mn + code * (mx - mn) / 255.0 - x)) AS max_abs_err
+    FROM coded GROUP BY label
+    """,
+    description="int8 scalar quantization: per-label code sums, saturation, max reconstruction error",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _emb(spark, sf_dir).select(
+        "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("xf").cast("double").alias("x"))
+    dims = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    coded = (
+        ex.join(F.broadcast(dims), "pos")
+        .filter(F.col("mx") > F.col("mn"))
+        .withColumn(
+            "code",
+            F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0 + 0.5).cast("long"),
+        )
+    )
+    recon_err = F.abs(F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / 255.0 - F.col("x"))
+    return coded.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum("code").alias("sum_codes"),
+        F.sum(F.when(F.col("code").isin(0, 255), 1).otherwise(0)).alias("n_saturated"),
+        F.max(recon_err).alias("max_abs_err"),
+    )

@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -193,5 +194,73 @@ def stateful_host_counters(stream: DataFrame, *, alpha: float = 0.3) -> DataFram
         outputStructType=_COUNTER_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_ZSCORE_STATE = StructType([StructField("vals", ArrayType(DoubleType()))])
+_ZSCORE_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+
+def streaming_zscore_anomalies(
+    stream: DataFrame,
+    *,
+    window: int = 20,
+    min_n: int = 8,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of q_ev_anomaly (plans/events.py): per-user rolling
+    z-score over the trailing ``window`` values, self-excluded, sample
+    variance, flag |z| > threshold once ``min_n`` priors exist.
+
+    State is BOUNDED: one array of at most ``window`` doubles per user —
+    independent of stream length, the invariant every stateful operator
+    here maintains. Input must carry (user_id, event_id, ts_us, value);
+    rows are processed in (ts_us, event_id) order within each micro-batch,
+    so on an in-order stream the flagged set matches the batch twin exactly.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (vals,) = state.get if state.exists else ([],)
+        buf = list(vals)
+        out: dict[str, list] = {"user_id": [], "event_id": [], "ts_us": [], "value": [], "zscore": []}
+        for pdf in pdfs:
+            for row in pdf.sort_values(["ts_us", "event_id"]).itertuples():
+                v = float(row.value)
+                n = len(buf)
+                if n >= min_n:
+                    s = sum(buf)
+                    sq = sum(x * x for x in buf)
+                    var = (sq - s * s / n) / (n - 1)
+                    if var > 0:
+                        z = (v - s / n) / var**0.5
+                        if abs(z) > threshold:
+                            out["user_id"].append(user_id)
+                            out["event_id"].append(row.event_id)
+                            out["ts_us"].append(row.ts_us)
+                            out["value"].append(v)
+                            out["zscore"].append(z)
+                buf.append(v)
+                if len(buf) > window:
+                    buf = buf[-window:]
+        state.update((buf,))
+        yield pd.DataFrame(out)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ZSCORE_OUT,
+        stateStructType=_ZSCORE_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -141,3 +141,57 @@ def test_hash_sample_is_stateless_streaming_filter(spark, tmp_path):
         sampled, "t_stream_sample", output_mode="append", min_rows=len(expected)
     )
     assert {r["doc_id"] for r in rows} == expected
+
+
+def test_streaming_zscore_matches_batch_twin(spark, tmp_path):
+    """The stateful z-score operator must flag EXACTLY the rows the batch
+    q_ev_anomaly window expression flags, across micro-batch boundaries
+    (files arrive one per trigger, in time order)."""
+    import math
+
+    from syscol_spark.streaming.analytics import streaming_zscore_anomalies
+
+    # two quiet users with one violent spike each, plus noise users
+    rows = []
+    eid = 0
+    for uid in range(4):
+        for i in range(40):
+            v = 10.0 + (i % 3) * 0.5 + (100.0 if (uid < 2 and i == 30) else 0.0)
+            rows.append((eid, uid, 1_700_000_000_000_000 + i * 60_000_000 + uid, v))
+            eid += 1
+
+    # python reference implementing the exact batch-twin semantics
+    expected = {}
+    by_uid: dict[int, list] = {}
+    for e, u, t, v in sorted(rows, key=lambda r: (r[2], r[0])):
+        buf = by_uid.setdefault(u, [])
+        n = len(buf)
+        if n >= 8:
+            s, sq = sum(buf), sum(x * x for x in buf)
+            var = (sq - s * s / n) / (n - 1)
+            if var > 0:
+                z = (v - s / n) / math.sqrt(var)
+                if abs(z) > 3.0:
+                    expected[e] = z
+        buf.append(v)
+        if len(buf) > 20:
+            del buf[0]
+    assert expected, "fixture must contain anomalies"
+
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
+    # three files in time order -> three micro-batches crossing state
+    for k, (lo, hi) in enumerate([(0, 15), (15, 28), (28, 40)]):
+        df.filter(
+            ((F.col("event_id") % 40) >= lo) & ((F.col("event_id") % 40) < hi)
+        ).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    stream = spark.readStream.schema("event_id long, user_id long, ts_us long, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/f*")
+    out = streaming_zscore_anomalies(stream)
+    got_rows = _run_to_memory(out, "t_zscore", output_mode="append", min_rows=len(expected))
+    got = {r["event_id"]: r["zscore"] for r in got_rows}
+    assert set(got) == set(expected)
+    for e, z in expected.items():
+        assert abs(got[e] - z) < 1e-9
