@@ -44,7 +44,8 @@ _NOT_YET_RECORDED = [
     "q15_top_supplier", "q17_small_quantity", "q_ev_twa", "q_ev_rate", "q_ev_gaps", "q_doc_repetition", "q_knn_graph",
     "q09_product_profit", "q12_late_lines", "q22_dormant_customers",
     "q_decontaminate", "q_fuzzy_edit", "q_ev_anomaly", "q_domain_mix",
-    "q_full_outer", "q_embed_quantize",
+    "q_full_outer", "q_embed_quantize", "q_tfidf", "q_ev_funnel",
+    "q_ev_retention",
 ]
 
 

@@ -511,3 +511,101 @@ def q_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter((F.col("n") >= 8) & (var > 0) & (F.abs(z) > 3))
         .select("event_id", "user_id", "ts_us", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+# --- ordered event funnel ----------------------------------------------------
+# view → click → purchase, each step strictly after the previous one's first
+# occurrence per user; single-row output with exact counts and rates derived
+# from identical longs on both engines.
+@register(
+    "q_ev_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c) * 1.0 / (SELECT COUNT(*) FROM v) AS view_to_click,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM p) * 1.0 / (SELECT COUNT(*) FROM c) AS click_to_purchase
+    """,
+    description="ordered conversion funnel view→click→purchase (strictly increasing event times)",
+)
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click") * F.lit(1.0) / F.col("n_view")).alias("view_to_click"),
+            (F.col("n_purchase") * F.lit(1.0) / F.col("n_click")).alias("click_to_purchase"),
+        )
+    )
+
+
+# --- weekly cohort retention -------------------------------------------------
+@register(
+    "q_ev_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS w
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(w) AS cohort_w FROM act GROUP BY user_id
+    )
+    SELECT cohort_w, act.w - cohort_w AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cohort JOIN act USING (user_id)
+    GROUP BY cohort_w, act.w - cohort_w
+    """,
+    description="weekly cohort retention matrix (first-activity cohort × week offset)",
+)
+def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        "user_id", F.expr("ts_us div 604800000000").alias("w")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    return (
+        cohort.join(act, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

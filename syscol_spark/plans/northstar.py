@@ -668,3 +668,60 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("code").isin(0, 255), 1).otherwise(0)).alias("n_saturated"),
         F.max(recon_err).alias("max_abs_err"),
     )
+
+
+# --- TF-IDF top terms per document -------------------------------------------
+# tf = in-doc multiplicity, idf = ln(N/df) with N derived ON-PLAN (1-row
+# aggregate broadcast-cross-joined — no driver collect); top-5 per doc with
+# (score, token) deterministic tie-break.
+@register(
+    "q_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+    ), scored AS (
+      SELECT doc_id, token, tf,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    description="TF-IDF: top-5 characteristic terms per document (ln(N/df) weighting)",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "token", "tf", "tfidf")
+    )
