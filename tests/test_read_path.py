@@ -59,3 +59,39 @@ def test_corrupt_avro_frame_yields_null_not_failure(spark):
 
 def test_read_path_confluent_avro(spark):
     _round_trip(spark, "avro")
+
+
+def test_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed JSONL lines must land in the quarantine frame — never fail
+    the read, never silently disappear."""
+    from syscol_spark.sources.text_corpus import read_jsonl, split_corrupt
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s2"}\n'
+        '{"doc_id": 3, "text": "truncated...\n'
+    )
+    clean, bad = split_corrupt(read_jsonl(spark, str(p)))
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == "hello world" and rows[2]["lang"] == "fr"
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "not json" in bad_lines[0]
+
+
+def test_csv_corpus_quarantines_bad_rows(spark, tmp_path):
+    from syscol_spark.sources.text_corpus import read_csv, split_corrupt
+
+    p = tmp_path / "shard.csv"
+    p.write_text(
+        "doc_id,text,lang,source\n"
+        "1,hello,en,s1\n"
+        "not_a_number,broken,xx,s2\n"
+        "2,salut,fr,s3\n"
+    )
+    clean, bad = split_corrupt(read_csv(spark, str(p)))
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert bad.count() == 1
