@@ -62,6 +62,21 @@ def main() -> None:
         n_docs = k * base.count()
         print(f"scale {k:>2}x  docs={n_docs:>6}  lsh_candidates={n_cand:>8}  wall={dt:6.2f}s")
 
+    # Ed-Join probe: the copy-suffix inflation is adversarial here — copies
+    # share every mid-word q-gram, and only the frequency-ordered prefix
+    # (those shared grams become common, so they leave the prefixes) keeps
+    # candidate growth linear.
+    from syscol_spark.operators.fuzzy import edit_distance_pairs
+
+    for k in (1, 4, 16):
+        heads = inflate(base, k).select(
+            "doc_id", F.substring(F.trim(F.col("text")), 1, 128).alias("head")
+        )
+        t0 = time.time()
+        n_pairs = edit_distance_pairs(heads, "head", "doc_id", max_dist=4, q=6).count()
+        dt = time.time() - t0
+        print(f"edjoin {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
+
 
 if __name__ == "__main__":
     main()
