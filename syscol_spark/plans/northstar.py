@@ -725,3 +725,74 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "token", "tf", "tfidf")
     )
+
+
+# --- BM25 keyword search -----------------------------------------------------
+# Okapi BM25 (k1=1.2, b=0.75, Lucene idf) for a fixed query over the corpus;
+# N and avgdl are 1-row aggregates broadcast on-plan. Ranking compares the
+# ROUNDED score (6dp) with a doc_id tie-break so both engines rank
+# identically even at float ulp differences.
+_BM25_TERMS = ("join", "filter", "batch")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "q_bm25",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN {str(_BM25_TERMS)} GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), scored AS (
+      SELECT doc_id,
+             SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({_BM25_K1} + 1.0)
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))) AS s
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
+      GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(s, 6) AS bm25
+    FROM scored ORDER BY ROUND(s, 6) DESC, doc_id LIMIT 15
+    """,
+    description="Okapi BM25 ranking for a fixed keyword query (top-15 docs)",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .join(broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )

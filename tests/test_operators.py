@@ -463,3 +463,42 @@ def test_edit_distance_pairs_sentinel_covers_tiny_gram_sets(spark):
     }
     assert got == want
     assert (1, 2) in want and (3, 4) in want and (7, 8) in want  # the traps
+
+
+def test_edit_distance_pairs_randomized_vs_brute_force(spark):
+    """Seeded random corpora over a small alphabet (worst case for q-gram
+    blocking: huge gram collision rates, many short/repetitive strings) —
+    the operator must reproduce the brute-force pair set exactly."""
+    import random
+
+    from syscol_spark.operators.fuzzy import edit_distance_pairs
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        strings = []
+        for i in range(60):
+            base = "".join(rng.choice("abc ") for _ in range(rng.randint(1, 24)))
+            strings.append((i, base))
+            # planted near-dup: mutate 0-3 positions of a previous string
+            if i % 3 == 0 and strings:
+                donor = rng.choice(strings)[1]
+                chars = list(donor)
+                for _ in range(rng.randint(0, 3)):
+                    if chars:
+                        chars[rng.randrange(len(chars))] = rng.choice("abc ")
+                strings.append((1000 + i, "".join(chars)))
+        df = spark.createDataFrame(strings, ["id", "s"])
+        got = {
+            (r["id_a"], r["id_b"]): r["ed"]
+            for r in edit_distance_pairs(df, "s", "id", max_dist=3, q=3).collect()
+        }
+        want = {}
+        for i in range(len(strings)):
+            for j in range(i + 1, len(strings)):
+                (ia, sa), (ib, sb) = strings[i], strings[j]
+                d = _py_levenshtein(sa, sb)
+                if d <= 3:
+                    lo, hi = min(ia, ib), max(ia, ib)
+                    want[(lo, hi)] = d
+        assert got == want, f"seed {seed}: {len(got)} vs {len(want)} pairs"
+        assert want, f"seed {seed}: fixture produced no pairs"
