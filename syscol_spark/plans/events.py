@@ -609,3 +609,48 @@ def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- CDC latest-wins compaction ----------------------------------------------
+# Treat the event stream as a change log keyed (user_id, event_type): one
+# output row per key with the LATEST value plus the history envelope
+# (version count, first/last change time) — the merge/upsert compaction a
+# lake table needs before serving. One shuffle: both window directions and
+# the count share a single (key, ts) sort.
+@register(
+    "q_cdc_compact",
+    """
+    SELECT user_id, event_type, n_versions, first_us, last_us, last_value
+    FROM (
+      SELECT user_id, event_type,
+             CAST(COUNT(*) OVER k AS BIGINT) AS n_versions,
+             MIN(ts_us) OVER k AS first_us,
+             MAX(ts_us) OVER k AS last_us,
+             LAST_VALUE(value) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts_us DESC, event_id DESC) AS rk
+      FROM (SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us FROM events)
+      WINDOW k AS (PARTITION BY user_id, event_type)
+    ) WHERE rk = 1
+    """,
+    description="CDC latest-wins compaction: one row per key with latest value + history envelope",
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    key = Window.partitionBy("user_id", "event_type")
+    ordered = key.orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.count(F.lit(1)).over(key).cast("long").alias("n_versions"),
+            F.min("ts_us").over(key).alias("first_us"),
+            F.max("ts_us").over(key).alias("last_us"),
+            F.first("value").over(ordered).alias("last_value"),
+            F.row_number().over(ordered).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
