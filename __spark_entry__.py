@@ -45,7 +45,8 @@ _NOT_YET_RECORDED = [
     "q09_product_profit", "q12_late_lines", "q22_dormant_customers",
     "q_decontaminate", "q_fuzzy_edit", "q_ev_anomaly", "q_domain_mix",
     "q_full_outer", "q_embed_quantize", "q_tfidf", "q_ev_funnel",
-    "q_ev_retention", "q_bm25", "q_cdc_compact",
+    "q_ev_retention", "q_bm25", "q_cdc_compact", "q_weighted_sample",
+    "q_ev_transitions",
 ]
 
 

@@ -654,3 +654,40 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+# --- session path analysis: event-type transition bigrams --------------------
+# Markov-ish view of user behavior: count (previous event_type → event_type)
+# transitions within each user's time-ordered stream, plus the share of all
+# transitions leaving the source state (exact longs → identical doubles).
+@register(
+    "q_ev_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p_transition
+    FROM pairs
+    """,
+    description="behavioral transition matrix: event-type bigram counts + row-normalized probabilities",
+)
+def q_ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    share = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type", "event_type", "n", F.round(share, 6).alias("p_transition")
+    )

@@ -412,3 +412,33 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(share), 6).alias("top_share"),
         )
     )
+
+
+# --- weighted sampling (A-ES exponential jumps, deterministic) ---------------
+# Efraimidis-Spirakis reservoir sampling as a deterministic dataflow: each
+# row draws u from its own md5 bucket (engine-portable), and the sample is
+# the global top-k by ln(u)/w — longer documents (w = n_chars) win
+# proportionally more often. The ORDER key is rounded to 6dp with a doc_id
+# tie-break so both engines cut the same top-k even at float ulps.
+@register(
+    "q_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ROUND(ln(({hash_bucket_sql("doc_id", 23)} + 0.5) / 1000000.0) / n_chars, 6) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
+    """,
+    description="deterministic weighted sampling (Efraimidis-Spirakis top-k by ln(u)/weight)",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    u = (hash_bucket("doc_id", seed=23) + F.lit(0.5)) / F.lit(1_000_000.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+    )
