@@ -133,14 +133,21 @@ def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Colu
     return F.round(F.lit(0.5) * len_term + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0)) + F.lit(0.1) * (1 - F.least(p_ratio * 10, F.lit(1.0))), 6)
 
 
-def repetition_ratio(col: Column | str, n: int = 3) -> Column:
-    """Gopher-style repetition filter: fraction of n-gram OCCURRENCES that
-    are duplicates of an earlier occurrence within the document
-    (1 - distinct/total). High values mark boilerplate/spam. Pure
-    expressions; floor-scaled to 6dp for engine-portable comparison."""
+def repetition_micro(col: Column | str, n: int = 3) -> Column:
+    """Gopher-style repetition measure in exact MICRO units (long):
+    floor(1e6 · duplicate-n-gram-occurrence fraction). Integer end-to-end —
+    dividing back to a double and re-scaling later is the trap: k/1e6 is not
+    representable, so Spark's truncating double→long cast and DuckDB's
+    rounding one disagree by 1 on the k−ε values (observed at sf0.1)."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     all_grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     total = F.size(all_grams)
     distinct = F.size(F.array_distinct(all_grams))
-    return F.floor(F.lit(1_000_000.0) * (total - distinct) / total).cast("long") / F.lit(1_000_000.0)
+    return F.floor(F.lit(1_000_000.0) * (total - distinct) / total).cast("long")
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """repetition_micro / 1e6 as a double — display form; aggregate the
+    MICRO integers, never this."""
+    return repetition_micro(col, n) / F.lit(1_000_000.0)

@@ -530,12 +530,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
-           CAST(SUM(CAST(rep * 1000000 AS BIGINT)) AS BIGINT) AS rep_micro_sum
+           CAST(SUM(CASE WHEN rep_micro > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           CAST(SUM(rep_micro) AS BIGINT) AS rep_micro_sum
     FROM (
       SELECT lang,
              CAST(floor(1000000.0 * (len(grams) - len(list_distinct(grams))) / len(grams)) AS BIGINT)
-               / 1000000.0 AS rep
+               AS rep_micro
       FROM (
         SELECT lang,
                list_transform(range(0, greatest(array_length(string_split_regex(trim(text), '\s+')) - 3, 0) + 1),
@@ -548,14 +548,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Gopher-style repetition filter: duplicate trigram-occurrence fraction per doc, flagged per language",
 )
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from syscol_spark.functions.text import repetition_ratio
+    from syscol_spark.functions.text import repetition_micro
 
     d = _docs(spark, sf_dir)
-    rep = d.select("lang", repetition_ratio("text").alias("rep"))
+    rep = d.select("lang", repetition_micro("text").alias("rep_micro"))
     return rep.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(F.col("rep") > 0.2, 1).otherwise(0)).cast("long").alias("n_repetitive"),
-        F.sum((F.col("rep") * 1_000_000).cast("long")).alias("rep_micro_sum"),
+        F.sum(F.when(F.col("rep_micro") > 200_000, 1).otherwise(0)).cast("long").alias("n_repetitive"),
+        F.sum("rep_micro").alias("rep_micro_sum"),
     )
 
 
