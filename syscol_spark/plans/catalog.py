@@ -16,6 +16,10 @@ Parity rules (learned from probing Spark 4.1.2 vs DuckDB 1.0.0):
 - Float aggregates: sums of doubles are order-dependent at the last ulp;
   round to a fixed scale on both sides with the same expression.
 - Top-k: deterministic tie-breaks (include a unique key in ORDER BY).
+- Quantized measures: keep them as INTEGERS end-to-end. floor(1e6·x)/1e6
+  then re-scaling later re-casts an unrepresentable k/1e6 double: Spark's
+  double→long cast truncates, DuckDB's rounds — off by 1 on k−ε values
+  (bit us at sf0.1 in q_doc_repetition).
 """
 
 from __future__ import annotations
