@@ -407,3 +407,39 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_ship_lines", F.lit(0)).alias("n_ship_lines"),
         )
     )
+
+
+# --- year-over-year growth ---------------------------------------------------
+# Monthly revenue series with a 12-row lag comparison. The series is ~80
+# rows (one per month), so the single-partition window is the right plan;
+# revenue is DECIMAL-exact, the growth ratio divides identical doubles.
+@register(
+    "q_yoy_growth",
+    """
+    WITH m AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, rev,
+           LAG(rev, 12) OVER (ORDER BY ym) AS rev_prior,
+           ROUND((rev - LAG(rev, 12) OVER (ORDER BY ym))
+                 / LAG(rev, 12) OVER (ORDER BY ym), 6) AS yoy
+    FROM m
+    """,
+    description="year-over-year monthly revenue growth (12-offset lag window)",
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy().orderBy("ym")
+    prior = F.lag("rev", 12).over(w)
+    return m.select(
+        "ym",
+        "rev",
+        prior.alias("rev_prior"),
+        F.round((F.col("rev") - prior) / prior, 6).alias("yoy"),
+    )
