@@ -46,7 +46,7 @@ _NOT_YET_RECORDED = [
     "q_decontaminate", "q_fuzzy_edit", "q_ev_anomaly", "q_domain_mix",
     "q_full_outer", "q_embed_quantize", "q_tfidf", "q_ev_funnel",
     "q_ev_retention", "q_bm25", "q_cdc_compact", "q_weighted_sample",
-    "q_ev_transitions", "q_yoy_growth",
+    "q_ev_transitions", "q_yoy_growth", "q_skyline", "q_ev_mad",
 ]
 
 

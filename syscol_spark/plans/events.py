@@ -691,3 +691,47 @@ def q_ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "prev_type", "event_type", "n", F.round(share, 6).alias("p_transition")
     )
+
+
+# --- robust outliers: median absolute deviation ------------------------------
+# Robust twin of q_ev_anomaly: per-user median and MAD (exact interpolated
+# percentiles — Spark percentile ≡ DuckDB quantile_cont on identical value
+# sets), flag |x - med| > 5·MAD. Medians of 2dp values interpolate to exact
+# quarters, so both engines produce identical doubles with no rounding.
+@register(
+    "q_ev_mad",
+    """
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ), mad AS (
+      SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+             any_value(m.med) AS med
+      FROM events e JOIN med m ON e.user_id = m.user_id
+      GROUP BY e.user_id
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value,
+           m.med, m.mad
+    FROM events e JOIN mad m ON e.user_id = m.user_id
+    WHERE m.mad > 0 AND abs(e.value - m.med) > 5 * m.mad
+    """,
+    description="robust outlier detection: per-entity median + MAD, flag |x-med| > 5*MAD",
+)
+def q_ev_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        ev.join(mad, "user_id")
+        .filter((F.col("mad") > 0) & (F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad")))
+        .select("event_id", "user_id", "ts_us", "value", "med", "mad")
+    )

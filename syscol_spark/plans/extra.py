@@ -443,3 +443,40 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior.alias("rev_prior"),
         F.round((F.col("rev") - prior) / prior, 6).alias("yoy"),
     )
+
+
+# --- skyline / Pareto frontier -----------------------------------------------
+# Parts not strictly dominated on (cheaper price, larger size) — the
+# quality-vs-cost frontier shape a curation pipeline uses to pick corpora.
+# The ORACLE is the brute-force NOT EXISTS definition; the Spark plan is the
+# O(n log n) sweep: collapse to per-price max size (one agg — cardinality
+# drops to distinct prices), running max over strictly-cheaper prices (rows
+# frame on the collapsed series), then one equi-join back. No self-join.
+@register(
+    "q_skyline",
+    """
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    description="Pareto frontier on (price asc, size desc) via running-max sweep (brute-force oracle)",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    pts = per_price.withColumn("m1", F.max("mx").over(w)).filter(
+        F.col("m1").isNull() | (F.col("mx") > F.col("m1"))
+    )
+    return (
+        part.join(pts, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("mx"))
+            & (F.col("m1").isNull() | (F.col("p_size") > F.col("m1")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
