@@ -165,3 +165,36 @@ def test_fuzzy_edit_candidates_from_gram_join(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "gram" in plan
+
+
+def test_ranking_queries_broadcast_tiny_aggregates(spark, sf_dir, queries):
+    """tfidf/bm25: the 1-row corpus aggregates and per-term df tables ride
+    broadcasts; the token stream never shuffles to meet them twice."""
+    for name in ("q_tfidf", "q_bm25"):
+        plan = _plan(queries[name].builder(spark, sf_dir))
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_cdc_compact_single_shuffle(spark, sf_dir, queries):
+    """Both window directions + count share ONE (key, ts) exchange."""
+    import re
+
+    plan = _plan(queries["q_cdc_compact"].builder(spark, sf_dir))
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", ln) and "Broadcast" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+
+
+def test_skyline_has_no_self_join(spark, sf_dir, queries):
+    """The sweep plan joins part to the tiny frontier-point set once — the
+    NOT EXISTS brute force (self-join) must never appear."""
+    import re
+
+    plan = _plan(queries["q_skyline"].builder(spark, sf_dir))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 2, scans  # part + per-price points, not 3+
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -195,3 +195,58 @@ def test_streaming_zscore_matches_batch_twin(spark, tmp_path):
     assert set(got) == set(expected)
     for e, z in expected.items():
         assert abs(got[e] - z) < 1e-9
+
+
+def test_streaming_zscore_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill the query after the first file, restart from the checkpoint with
+    a second file present: the rolling buffers must restore, so anomalies in
+    file 2 that depend on file-1 history are still flagged (and nothing is
+    re-emitted or lost)."""
+    import time as _t
+
+    from syscol_spark.streaming.analytics import streaming_zscore_anomalies
+
+    rows = []
+    for i in range(40):
+        v = 10.0 + (i % 3) * 0.5 + (100.0 if i == 30 else 0.0)
+        rows.append((i, 1, 1_700_000_000_000_000 + i * 60_000_000, v))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long, value double")
+    src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ckpt")
+    # file 1: the quiet history; file 2: contains the spike at i=30
+    df.filter("event_id < 25").coalesce(1).write.parquet(f"{src}/f0")
+
+    schema = "event_id long, user_id long, ts_us long, value double"
+    sink: list = []
+
+    def start():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(f"{src}/f*")
+        return (
+            streaming_zscore_anomalies(stream)
+            .writeStream.foreachBatch(lambda b, _id: sink.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = start()
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline and not q.recentProgress:
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+
+    df.filter("event_id >= 25").coalesce(1).write.parquet(f"{src}/f1")
+    q = start()
+    try:
+        deadline = _t.time() + 40
+        while _t.time() < deadline and not sink:
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    flagged = {r["event_id"] for r in sink}
+    # the spike at 30 needs >= 8 prior values — all of them carried in
+    # restored state from the pre-restart batch
+    assert 30 in flagged
+    assert len(flagged) == 1
