@@ -47,6 +47,7 @@ _NOT_YET_RECORDED = [
     "q_full_outer", "q_embed_quantize", "q_tfidf", "q_ev_funnel",
     "q_ev_retention", "q_bm25", "q_cdc_compact", "q_weighted_sample",
     "q_ev_transitions", "q_yoy_growth", "q_skyline", "q_ev_mad",
+    "q_pagerank",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Iterative graph analytics over edge lists (PageRank).
+
+Complements the connected-components operator (operators/dedup.py::
+dedup_clusters) with the other canonical iterative-dataflow shape: a
+damped fixed-point over incoming-edge contributions. In a curation
+pipeline this ranks the k-NN graph (operators/similarity.py::knn_graph):
+high-rank nodes sit in dense semantic neighborhoods — SemDeDup-style
+prune candidates; low-rank nodes are outliers worth auditing.
+
+Scale shape (mirrors dedup_clusters):
+- per-iteration work is one equi-join (edges ⋈ ranks on src) plus one
+  groupBy(dst) — both shuffle on node ids, never materialize anything
+  denser than the edge list;
+- out-degrees are computed ONCE outside the loop;
+- each iteration ``localCheckpoint``s its result, truncating the lineage
+  so plan depth stays O(1) per iteration instead of O(iterations);
+- the node count (the only driver-side constant) comes from one count(),
+  the same one-collect-for-constants rule the k-means trainer follows.
+
+Ranks are scaled by N (start at 1.0, sum to N) so emitted values sit
+near 1 where a 6dp round is far coarser than the float-sum ulp noise —
+the engine-parity discipline from plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """N-scaled PageRank after a fixed number of damped iterations.
+
+    Output: (node, pr) with pr rounded to 6dp; sum(pr) ≈ N.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    weighted = e.join(deg, "src").localCheckpoint()  # (src, dst, deg) fixed
+
+    pr = nodes.withColumn("pr", F.lit(1.0))
+    for it in range(iterations):
+        contrib = (
+            weighted.join(pr, weighted.src == pr.node)
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+        # truncate lineage every OTHER iteration: each localCheckpoint is an
+        # eager job (~0.3-0.5 s scheduling latency at local scale), and a
+        # 2-iteration plan is still shallow — halves the job count
+        if it % 2 == 1 or it == iterations - 1:
+            pr = pr.localCheckpoint()
+    return pr.select("node", F.round("pr", 6).alias("pr"))

@@ -796,3 +796,75 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
     )
+
+
+# --- PageRank over the k-NN graph --------------------------------------------
+# The second canonical iterative-dataflow shape (dedup_clusters is the
+# first): damped fixed-point over incoming-edge contributions, ranking
+# semantic-neighborhood density. Spark runs a driver loop with
+# localCheckpoint lineage truncation; the oracle UNROLLS the same 5
+# iterations as chained CTEs (aggregation is illegal inside a recursive
+# CTE). Constants are embedded via repr() so both engines fold the exact
+# same doubles; ranks are N-scaled so the 6dp round dwarfs float-sum ulps.
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    omd = repr(1.0 - _PR_DAMP)
+    stages = []
+    for i in range(_PR_ITERS):
+        stages.append(f"""
+    , pr{i + 1} AS (
+      SELECT nodes.node, {omd} + {_PR_DAMP!r} * COALESCE(s.s, 0.0) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT e.dst, SUM(p.pr / d.deg) AS s
+        FROM edges e JOIN deg d ON e.src = d.src JOIN pr{i} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.dst = nodes.node
+    )""")
+    return f"""
+    WITH keys AS MATERIALIZED (
+      SELECT vec_id, embedding, {_SRP_KEYS_SELECT}
+      FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      FROM keys a JOIN keys b
+        ON a.vec_id < b.vec_id AND ({_SRP_ANY_BAND})
+    ), sym AS (
+      SELECT src, nbr, cosine FROM cand
+      UNION ALL
+      SELECT nbr AS src, src AS nbr, cosine FROM cand
+    ), edges AS (
+      SELECT src, nbr AS dst FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rk
+        FROM sym
+      ) WHERE rk <= 3
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), pr0 AS (
+      SELECT node, 1.0 AS pr FROM nodes
+    ){"".join(stages)}
+    SELECT node, ROUND(pr, 6) AS pr FROM pr{_PR_ITERS}
+    """
+
+
+@register(
+    "q_pagerank",
+    _pagerank_oracle(),
+    description="PageRank over the approximate k-NN graph (5 damped iterations, unrolled-CTE oracle)",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.graph import pagerank
+    from syscol_spark.operators.similarity import knn_graph
+
+    edges = knn_graph(_emb(spark, sf_dir), k=3, dim=64, n_bands=8, band_bits=4).select(
+        "src", F.col("nbr").alias("dst")
+    )
+    return pagerank(edges, damping=_PR_DAMP, iterations=_PR_ITERS)
