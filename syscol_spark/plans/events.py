@@ -735,3 +735,42 @@ def q_ev_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mad") > 0) & (F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad")))
         .select("event_id", "user_id", "ts_us", "value", "med", "mad")
     )
+
+
+# --- exponentially weighted moving average -----------------------------------
+# Recursive EWMA s_k = a*x_k + (1-a)*s_{k-1} with a = 0.5 over each user's
+# last 16 samples. With a power-of-two alpha every multiply is EXACT in IEEE
+# doubles, and both engines fold the ordered window list left-to-right
+# (Spark ``aggregate``, DuckDB ``list_reduce``), so the result is
+# bit-identical across engines with NO rounding step — the strongest parity
+# form a float recurrence can have. One shuffle on user_id; the frame is 16
+# rows, so state per row is O(1) at any scale.
+@register(
+    "q_ev_ewma",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS v
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, ts_us,
+             list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+      FROM e
+    )
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN len(l) = 1 THEN l[1]
+                ELSE list_reduce(l, (acc, x) -> acc * 0.5 + x * 0.5) END AS ewma
+    FROM w
+    """,
+    description="recursive EWMA (alpha=0.5) over 16-sample frames, bit-exact fold",
+)
+def q_ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-15, 0)
+    lst = F.collect_list(F.col("value").cast("double")).over(w)
+    ewma = F.aggregate(
+        F.slice(lst, 2, 16),
+        F.element_at(lst, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return ev.select("event_id", "user_id", "ts_us", ewma.alias("ewma"))

@@ -480,3 +480,126 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# --- explicit GROUPING SETS --------------------------------------------------
+# The general form behind q_rollup/q_cube: a caller-chosen lattice of
+# grouping combinations in ONE pass (Spark Expand + single shuffle — no
+# UNION ALL of four scans). grouping_id() disambiguates "ALL" from a real
+# NULL group the same way in both engines (same bitmask order).
+@register(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+    description="explicit GROUPING SETS lattice with grouping_id disambiguation",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+# --- co-purchase graph triangles ---------------------------------------------
+# Graph analytics over a self-derived edge list: parts that co-occur in >= 2
+# orders form an edge; count each node's triangle memberships. The pair
+# generation is a per-order self-join on the DEDUPED (order, part) projection
+# (orders are small groups, so the quadratic step is bounded by max basket
+# size, not corpus size), and the triangle join is two shuffle equi-joins on
+# edge endpoints — the standard distributed triangle-enumeration shape where
+# pa < pb ordering prevents double counting.
+@register(
+    "q_copurchase_triangles",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pb
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    nodes AS (
+      SELECT x AS part FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT part AS l_partkey, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY 1
+    ORDER BY n_triangles DESC, l_partkey
+    LIMIT 10
+    """,
+    description="triangle counting on the co-purchase graph (edge weight >= 2)",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("x"), F.col("e1.pb").alias("y"), F.col("e2.pb").alias("z")
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("part"))
+        .unionAll(tri.select("y"))
+        .unionAll(tri.select("z"))
+    )
+    return (
+        nodes.groupBy(F.col("part").alias("l_partkey"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "l_partkey")
+        .limit(10)
+    )

@@ -868,3 +868,179 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", F.col("nbr").alias("dst")
     )
     return pagerank(edges, damping=_PR_DAMP, iterations=_PR_ITERS)
+
+
+# --- char-bigram language-model scoring (perplexity proxy) -------------------
+# Train a character-bigram LM on the corpus itself (one grouped count), then
+# score every document by its average log-probability under add-one
+# smoothing: P(b) = (c(b)+1)/(C+V). This is the classic cheap
+# perplexity-style quality signal (KenLM-shaped, one order lower). The model
+# is a global aggregate joined back broadcast-style; the bigram explode is a
+# pure map, so the whole plan is two scans + one shuffle on the bigram key —
+# scan-rate at any corpus size. Score rounded to 6dp (sum-of-logs is the one
+# order-dependent step).
+@register(
+    "q_lm_perplexity",
+    """
+    WITH big AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+      FROM documents, unnest(range(1, CAST(len(text) AS BIGINT))) AS t(i)
+    ), cnt AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY bg
+    ), model AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab FROM cnt
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(ln((c + 1.0) / (total + vocab))) / COUNT(*), 6) AS avg_logp
+    FROM big b JOIN cnt USING (bg) CROSS JOIN model
+    GROUP BY b.doc_id
+    """,
+    description="char-bigram LM quality score (add-one smoothing, avg log-prob per doc)",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    big = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+    ).select("doc_id", F.expr("substr(text, i, 2)").alias("bg"))
+    cnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    model = cnt.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        big.join(cnt, "bg")
+        .join(broadcast(model))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+# --- corpus-driven boilerplate removal ---------------------------------------
+# Tokens present in more than half of all documents are "boilerplate"
+# (nav/footer analog in the synthetic corpus); report each document's size
+# before/after dropping them. The boilerplate set is a document-frequency
+# aggregate (tiny — bounded by vocabulary) joined back as a broadcast; kept
+# ratio stays in integer micro units end-to-end (catalog parity rule).
+@register(
+    "q_boilerplate",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), dfreq AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE token <> '' GROUP BY token
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    flagged AS (
+      SELECT t.doc_id, t.token, (df * 2 > n_docs) AS boiler
+      FROM tok t JOIN dfreq USING (token) CROSS JOIN n
+      WHERE t.token <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                              AS n_tokens,
+           CAST(SUM(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) * 1000000
+             // CAST(COUNT(*) AS BIGINT)                          AS kept_micro
+    FROM flagged GROUP BY doc_id
+    """,
+    description="corpus-driven boilerplate token removal (df > 50% docs), kept-size report",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = F.sum(F.when(F.col("df") * 2 > F.col("n_docs"), 0).otherwise(1)).cast("long")
+    return (
+        tok.join(dfreq, "token")
+        .join(broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            kept.alias("n_kept"),
+            F.expr(
+                "CAST(SUM(CASE WHEN df * 2 > n_docs THEN 0 ELSE 1 END) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("kept_micro"),
+        )
+    )
+
+
+# --- vocabulary growth (Heaps' law curve) ------------------------------------
+# How fast does the vocabulary grow as the corpus is ingested in doc_id
+# order? Each token contributes at its FIRST document (a min-aggregate),
+# then a running sum over the doc sequence yields the curve; sampled every
+# 10th document. Two shuffles (token min, doc grid) regardless of corpus
+# size; the curve itself is one row per sampled doc.
+@register(
+    "q_vocab_growth",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok WHERE token <> '' GROUP BY doc_id
+    ), firsts AS (
+      SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM (SELECT token, MIN(doc_id) AS first_doc FROM tok WHERE token <> '' GROUP BY token)
+      GROUP BY first_doc
+    ), curve AS (
+      SELECT p.doc_id,
+             ROW_NUMBER() OVER (ORDER BY p.doc_id)                         AS doc_rank,
+             SUM(p.n_tokens) OVER (ORDER BY p.doc_id)                      AS cum_tokens,
+             SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY p.doc_id)            AS cum_vocab
+      FROM per_doc p LEFT JOIN firsts f ON f.first_doc = p.doc_id
+    )
+    SELECT doc_id, CAST(doc_rank AS BIGINT) AS doc_rank,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab
+    FROM curve WHERE doc_rank % 10 = 0
+    """,
+    description="Heaps'-law vocabulary-growth curve over doc_id ingest order",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    firsts = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(firsts, per_doc.doc_id == firsts.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("doc_rank"),
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+        )
+    )
+    return curve.filter(F.col("doc_rank") % 10 == 0)

@@ -198,3 +198,45 @@ def test_skyline_has_no_self_join(spark, sf_dir, queries):
     assert len(scans) == 2, scans  # part + per-price points, not 3+
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_is_single_expand_pass(spark, sf_dir, queries):
+    """The 4-set lattice runs as ONE Expand + one aggregation — not a
+    UNION ALL of four scans."""
+    import re
+
+    plan = _plan(queries["q_grouping_sets"].builder(spark, sf_dir))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, scans
+    assert "Expand" in plan
+
+
+def test_ewma_is_single_window_pass(spark, sf_dir, queries):
+    """Recursive EWMA = one shuffle on user_id + one Window; the fold is a
+    codegen'd higher-order function, never a Python UDF."""
+    import re
+
+    plan = _plan(queries["q_ev_ewma"].builder(spark, sf_dir))
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", ln) and "Broadcast" not in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangles_all_joins_are_equi(spark, sf_dir, queries):
+    """Triangle enumeration must be hash equi-joins on edge endpoints — a
+    cartesian/BNLJ here would be quadratic in the edge count."""
+    plan = _plan(queries["q_copurchase_triangles"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_model_aggregate_is_broadcast(spark, sf_dir, queries):
+    """The (total, vocab) one-row model joins every bigram row via broadcast,
+    not a shuffled join."""
+    plan = _plan(queries["q_lm_perplexity"].builder(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan

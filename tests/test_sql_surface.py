@@ -50,3 +50,34 @@ def test_explode_envelope_long_view(spark):
     assert r["ts_ns"] == 1704067798778549829
     # µs truncation contract
     assert r["ts"].microsecond == (1704067798778549829 // 1000) % 1_000_000
+
+
+def test_ewma_matches_python_recurrence(spark, sf_dir):
+    """q_ev_ewma vs an independent driver-side fold: s_k = 0.5*s + 0.5*x over
+    each user's last-16 frame (both IEEE doubles, so equality is exact)."""
+    from syscol_spark.plans.catalog import query_catalog
+    from syscol_spark.sources.tables import load_table
+
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in query_catalog()["q_ev_ewma"](spark, sf_dir).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts_us", F.col("value").cast("double"))
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts_us"], r["event_id"]),
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for rows in by_user.values():
+        for i, r in enumerate(rows):
+            frame = [x["value"] for x in rows[max(0, i - 15) : i + 1]]
+            s = frame[0]
+            for x in frame[1:]:
+                s = s * 0.5 + x * 0.5
+            assert got[r["event_id"]] == s, (r["event_id"], got[r["event_id"]], s)
+            checked += 1
+    assert checked == len(got) > 0
