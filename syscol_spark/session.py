@@ -6,10 +6,11 @@ Design notes (100 TB scale):
   same plans run on a 1000-executor cluster.
 - UTC session timezone: all event-time semantics are wall-clock-free; parquet
   naive timestamps mean the same instant on every executor.
-- ``nanosAsLong``: the reference stamps envelopes with Unix *nanoseconds*
-  (/root/reference/syscol/metrics_reporter.go:139); parquet written with ns
-  precision is read as raw int64 so no fidelity is lost, and µs TimestampType
-  columns are derived explicitly where event-time operators need them.
+- ns timestamps: the reference stamps envelopes with Unix *nanoseconds*
+  (/root/reference/syscol/metrics_reporter.go:139). Spark ≤3.x reads
+  TIMESTAMP(NANOS) parquet as raw int64 via ``nanosAsLong``; Spark 4.1+
+  yields timestamp_ntz (µs-truncated). sources/tables.py adapts on the
+  scanned dtype and derives canonical ts_ns/ts_us/ts_utc columns.
 - Arrow enabled: every pandas UDF / mapInPandas crossing is Arrow-batched.
 """
 
@@ -29,8 +30,11 @@ def default_parallelism() -> int:
 # SparkSession (e.g. the verification driver's) — getOrCreate() ignores
 # builder configs when a session already exists.
 ENGINE_SQL_CONF = {
-    # events.ts is Unix-ns; without this, parquet scan fails with
-    # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)
+    # Spark ≤3.x: read TIMESTAMP(NANOS) parquet as raw int64 ns (without it
+    # the scan fails with PARQUET_TYPE_ILLEGAL). Spark 4.1+ removed the conf
+    # (silently ignored; scan yields timestamp_ntz) — the events loader
+    # (sources/tables.py) branches on the scanned dtype, so setting it here
+    # stays harmless on 4.1 and load-bearing on 3.x.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # all temporal semantics are UTC (string→timestamp casts, date_trunc)
     "spark.sql.session.timeZone": "UTC",
