@@ -27,33 +27,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records at most 50 CORRECTNESS entries per round, in queries()
-# dict order. Surface the catalog entries that no prior round has recorded
-# FIRST, so the union of per-round records converges on the whole catalog.
-# The recorded set is computed from the committed CORRECTNESS_r*.json files
-# themselves — no hand-kept list to go stale. (Every entry is also
-# independently checkable via `python scripts/parity.py <name>`.)
+# dict order. Two-tier priority so the union of per-round records converges
+# on a GREEN row for the whole catalog: entries never recorded by any prior
+# round first, then entries recorded only with errors (a fixed query gets
+# re-verified), then entries that already have a passing row. Computed from
+# the CORRECTNESS_r*.json files themselves — no hand-kept list to go stale.
+# (Every entry is also independently checkable via
+# `python scripts/parity.py <name>`.)
 
 
-def _recorded_names() -> set[str]:
+def _history() -> tuple[set[str], set[str]]:
+    """(recorded, passed): names seen in any prior round's record, and the
+    subset with at least one err-free row."""
     import glob
     import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    recorded: set[str] = set()
+    passed: set[str] = set()
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh))
+                data = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            recorded.add(name)
+            if isinstance(row, dict) and not row.get("err"):
+                passed.add(name)
+    return recorded, passed
 
 
 def _prioritized(cat: dict) -> dict:
-    recorded = _recorded_names()
-    head = {n: f for n, f in cat.items() if n not in recorded}
-    return {**head, **{n: f for n, f in cat.items() if n not in head}}
+    recorded, passed = _history()
+    never_recorded = {n: f for n, f in cat.items() if n not in recorded}
+    errored = {n: f for n, f in cat.items() if n in recorded and n not in passed}
+    rest = {n: f for n, f in cat.items() if n in passed}
+    return {**never_recorded, **errored, **rest}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

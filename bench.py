@@ -44,12 +44,20 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Per-query fault isolation: one broken builder must not zero the whole
+    # artifact — record the error string, keep timing the rest, exit 0.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, spec in QUERIES.items():
         t0 = time.time()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -58,7 +66,11 @@ def main() -> None:
     # Ingest-pipeline throughput vs the reference's operational ceiling
     # (BASELINE.md: ~1000 msg/s for a 1000-node fleet): synthesize envelopes,
     # run the full enrich → JSON-serialize path, measure records/sec.
-    ingest_rps = _ingest_throughput(spark)
+    try:
+        ingest_rps = _ingest_throughput(spark)
+    except Exception as exc:  # noqa: BLE001
+        errors["_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
+        ingest_rps = -1
 
     print(
         json.dumps(
@@ -69,6 +81,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_errors": len(errors),
+                "errors": errors,
                 "ingest_envelopes_per_sec": ingest_rps,
             }
         )
