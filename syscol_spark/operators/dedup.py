@@ -129,22 +129,38 @@ def prefix_filter_pairs(shingled: DataFrame, min_jaccard: float) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, content_col: str, id_col: str, *, n_hashes: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    kernel: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>) — per-seed min over shingle hashes.
 
-    Cost shape: each shingle is string-hashed ONCE (xxhash64 → 31-bit), then
-    the n_hashes family is derived arithmetically per seed
+    Cost shape: each shingle is string-hashed ONCE (→ 31-bit), then the
+    n_hashes family is derived arithmetically per seed
     (h_i = (a_i·h + b_i) mod p, p = 2^31-1 — universal hashing; all
     intermediates < 2^62 so ANSI long arithmetic can't overflow). A pure
     map with no shuffle — signatures stay cheap even when the LSH self-join
     evaluates the subplan on both sides.
+
+    ``kernel``: "xxhash64" (default, fastest JVM path) or "portable"
+    (md5-60bit, functions.text.token_int) — identical math is expressible in
+    any ANSI engine, which is what lets the catalog query carry an exact
+    DuckDB value-hash oracle for this probabilistic operator.
     """
     df = ensure_parallelism(df)
     pv = 2147483647  # 2^31 - 1
     p = F.lit(pv).cast("long")
     sh = word_shingles(content_col, shingle_n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), p))
+    if kernel == "portable":
+        from syscol_spark.functions.text import token_int
+
+        base = F.transform(sh, token_int)
+    else:
+        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), p))
     # (a_i, b_i) constants packed as an array<struct> so ONE aggregate pass
     # updates all n_hashes minima per shingle (expression-level CSE does not
     # span higher-order functions — n separate transforms would re-hash
@@ -165,7 +181,7 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, *, n_bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame, *, n_bands: int = 4, rows_per_band: int = 4, portable_buckets: bool = False
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket,
     with the MinHash-estimated Jaccard similarity.
@@ -173,14 +189,23 @@ def minhash_lsh_candidates(
     Plan shape: explode to (band, bucket_hash) → shuffle join on the bucket →
     distinct pairs. Bucket join is an equi-join, so AQE can split skewed
     buckets; no pairwise scan of the corpus ever happens.
+
+    ``portable_buckets``: bucket = the band's signature values joined as a
+    string instead of their murmur3 hash — collision-free AND reproducible in
+    ANSI SQL, so an oracle can mirror the exact candidate set. The default
+    hashed bucket is the at-scale shape (fixed-width long keys).
     """
     sig = signatures
+
+    def bucket(b: int):
+        comps = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if portable_buckets:
+            return F.concat_ws(",", *[c.cast("string") for c in comps])
+        return F.hash(*comps)
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
             for b in range(n_bands)
         ]
     )
@@ -199,22 +224,34 @@ def minhash_lsh_candidates(
     return pairs.select("id_a", "id_b", F.round(matches / n_hashes, 6).alias("est_jaccard"))
 
 
-def simhash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document, built from token xxhash64 values with
+def simhash(
+    df: DataFrame, content_col: str, id_col: str, *, n_bits: int = 64, kernel: str = "xxhash64"
+) -> DataFrame:
+    """n_bits-wide SimHash per document, built from token hashes with
     bitwise column expressions (no Python): for each bit position, sum +1/-1
     across token hashes; sign of the sum sets the output bit.
+
+    ``kernel``: "xxhash64" (default; with n_bits=64 the classic shape) or
+    "portable" (md5-60bit — pair with n_bits=60), whose bit pattern any
+    ANSI engine reproduces, enabling an exact value-hash oracle.
     """
     from syscol_spark.functions.text import tokens
 
-    # explode → hash once → 64 conditional sums in ONE aggregation pass
-    # (the array-expression formulation re-hashed every token 64×).
+    if kernel == "portable" and n_bits > 60:
+        raise ValueError("portable kernel yields 60 hash bits; use n_bits <= 60")
+    # explode → hash once → n_bits conditional sums in ONE aggregation pass
+    # (the array-expression formulation re-hashed every token n_bits×).
     df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(content_col))).alias("tok")
     )
-    hashed = exploded.select("id", F.xxhash64("tok").alias("h"))
+    if kernel == "portable":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    hashed = exploded.select("id", h.alias("h"))
     # bit-63 mask as a signed-long literal is MIN_LONG (two's complement)
-    masks = [(1 << bit) - (1 << 64 if bit == 63 else 0) for bit in range(64)]
+    masks = [(1 << bit) - (1 << 64 if bit == 63 else 0) for bit in range(n_bits)]
     sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
@@ -240,6 +277,7 @@ def simhash_band_pairs(
     *,
     fp_col: str = "simhash",
     max_hamming: int = 3,
+    n_bits: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs (id_a, id_b, hamming <= max_hamming) WITHOUT an
     all-pairs scan, via pigeonhole banding (the scheme of Manku et al.,
@@ -258,7 +296,7 @@ def simhash_band_pairs(
     Input: (id, block, <fp_col>).
     """
     k1 = max_hamming + 1
-    base, rem = divmod(64, k1)
+    base, rem = divmod(n_bits, k1)
     widths = [base + 1] * rem + [base] * (k1 - rem)
     offsets = [sum(widths[:i]) for i in range(k1)]
     fp = F.col(fp_col)

@@ -1,9 +1,12 @@
 """North-star LLM-data-pipeline operator coverage: text analysis, dedup
 family, embedding similarity search, multimodal column plumbing.
 
-Oracle-checked where ANSI-SQL-expressible; MinHash/SimHash/SRP-LSH entries are
-rows-only (the driver records the weaker check) because their hash kernels
-(xxhash64) have no DuckDB equivalent.
+Every entry carries a DuckDB value-hash oracle except q_approx_distinct
+(HLL sketches aren't portable across engines — the one intentional rows-only
+exception). The "probabilistic" operators (MinHash / SimHash / SRP / IVF) are
+oracle-checked by running deterministic, engine-portable kernels (md5-60bit
+token hashing, plan-time hyperplane literals, unrolled k-means CTEs) so the
+DuckDB twin reproduces the exact candidate sets.
 """
 
 from __future__ import annotations
@@ -288,34 +291,110 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-# --- MinHash + LSH (rows-only: xxhash64 kernel has no DuckDB equivalent) ----
+# --- MinHash + LSH ----------------------------------------------------------
+# Oracle technique: the engine runs the PORTABLE hash kernel (md5-60bit mod
+# 2^31-1, functions.text.token_int — the kernel q_doc_fingerprint already
+# hash-verified cross-engine) and collision-free string band buckets, so the
+# DuckDB twin reproduces the exact signatures, the exact candidate set, and
+# the exact estimates. Same approach as the SRP oracle below: deterministic
+# seeds make a "probabilistic" operator fully checkable.
+_MH_P = 2147483647
+_MH_N, _MH_BANDS, _MH_ROWS = 16, 4, 4
+_MH_SIG_COLS = ",\n         ".join(
+    f"MIN(({2 * i + 1} * h + {i * 40_503 + 1}) % {_MH_P}) AS s{i}" for i in range(_MH_N)
+)
+_MH_BAND_EQ = " OR ".join(
+    "("
+    + " AND ".join(f"a.s{b * _MH_ROWS + r} = b.s{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+    + ")"
+    for b in range(_MH_BANDS)
+)
+_MH_MATCHES = " + ".join(f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_MH_N))
+
+
 @register(
     "q_minhash_lsh",
-    None,
-    description="MinHash signatures + banded LSH candidate pairs (rows-only check)",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN array_length(toks) >= 3
+               THEN list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS shset
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_P} AS h
+      FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
+    ), sig AS (
+      SELECT doc_id,
+         {_MH_SIG_COLS}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(({_MH_MATCHES}) / {_MH_N}.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_MH_BAND_EQ})
+    """,
+    description="MinHash signatures + banded LSH candidate pairs (portable-kernel exact oracle)",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(_docs(spark, sf_dir), "text", "doc_id", n_hashes=16, shingle_n=3)
-    return minhash_lsh_candidates(sigs, n_bands=4, rows_per_band=4)
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), "text", "doc_id", n_hashes=_MH_N, shingle_n=3, kernel="portable"
+    )
+    return minhash_lsh_candidates(
+        sigs, n_bands=_MH_BANDS, rows_per_band=_MH_ROWS, portable_buckets=True
+    )
 
 
-# --- SimHash (rows-only) -----------------------------------------------------
+# --- SimHash -----------------------------------------------------------------
+# Portable 60-bit kernel (md5-60bit) + pigeonhole banding: 4 bands x 15 bits,
+# provably complete at Hamming <= 3. Every step (token hash, bit sums, band
+# keys, Hamming verify) is mirrored bit-for-bit in the DuckDB twin.
+_SH_BITS, _SH_HAM = 60, 3
+_SH_BIT_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}" for i in range(_SH_BITS)
+)
+_SH_FP = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SH_BITS))
+_SH_W = _SH_BITS // (_SH_HAM + 1)
+_SH_BAND_EQ = " OR ".join(
+    f"((a.fp >> {band * _SH_W}) & {(1 << _SH_W) - 1}) = ((b.fp >> {band * _SH_W}) & {(1 << _SH_W) - 1})"
+    for band in range(_SH_HAM + 1)
+)
+
+
 @register(
     "q_simhash",
-    None,
-    description="SimHash near-dup pairs, Hamming<=3 via pigeonhole band join (rows-only check)",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, lang,
+                   unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+            FROM documents)
+    ), bits AS (
+      SELECT doc_id, lang,
+         {_SH_BIT_SUMS}
+      FROM hashed GROUP BY doc_id, lang
+    ), fp AS (
+      SELECT doc_id, lang, {_SH_FP} AS fp FROM bits
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id AND ({_SH_BAND_EQ}))
+    WHERE hamming <= {_SH_HAM}
+    """,
+    description="SimHash near-dup pairs, Hamming<=3 via pigeonhole band join (portable-kernel exact oracle)",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.dedup import simhash_band_pairs
 
     d = _docs(spark, sf_dir)
-    sh = simhash(d, "text", "doc_id")
+    sh = simhash(d, "text", "doc_id", n_bits=_SH_BITS, kernel="portable")
     blocked = sh.join(d.select(F.col("doc_id").alias("id"), F.col("lang").alias("block")), "id")
-    # 4 bands of 16 bits: provably complete at Hamming <= 3 (Manku-style
+    # 4 bands of 15 bits: provably complete at Hamming <= 3 (Manku-style
     # banding) — candidates come from a band equi-join, never an all-pairs
-    # block scan (the previous Hamming<=12 all-pairs formulation was
-    # quadratic in block size; 16-bit bands keep the keys discriminative).
-    return simhash_band_pairs(blocked, max_hamming=3)
+    # block scan; 15-bit bands keep the keys discriminative.
+    return simhash_band_pairs(blocked, max_hamming=_SH_HAM, n_bits=_SH_BITS)
 
 
 # --- document fingerprint ----------------------------------------------------
@@ -387,22 +466,141 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-# --- SRP-LSH approximate top-k (rows-only) ----------------------------------
+# --- SRP-LSH approximate top-k ----------------------------------------------
+# Oracle technique: srp_bucket's hyperplanes are deterministic plan-time
+# literals and its dot product is a left-fold in element order starting from
+# 0.0. DuckDB's list_reduce folds left with the first element as the
+# accumulator — and 0.0 + x == x in IEEE — so embedding the SAME plane
+# literals (repr round-trips every double exactly) reproduces the dot
+# products BIT-FOR-BIT, hence the sign bits, the buckets, and the candidate
+# set (multi-probe Hamming<=1 == bit_count(xor) <= 1). No margin argument
+# needed: the folds are identical arithmetic.
+def _srp_bucket_sql(dim: int, n_planes: int, vec: str = "embedding", seed: int = 42) -> str:
+    from syscol_spark.operators.similarity import _srp_plane
+
+    bits = []
+    for p in range(n_planes):
+        plane = "[" + ",".join(repr(x) for x in _srp_plane(dim, p, seed)) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({plane})[i]), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
 @register(
     "q_ann_srp",
-    None,
-    description="approximate top-k via sign-random-projection LSH buckets (rows-only)",
+    f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding, {_srp_bucket_sql(64, 6)} AS bucket
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS BIGINT) AS rk
+      FROM b q JOIN b c
+        ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+       AND bit_count(xor(q.bucket, c.bucket)) <= 1)
+    WHERE rk <= 5
+    """,
+    description="approximate top-k via sign-random-projection LSH buckets, multi-probe Hamming<=1 (exact mirrored oracle)",
 )
 def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return srp_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
 
 
-# --- IVF ANN (rows-only: iterative k-means quantizer has no SQL twin) -------
+# --- IVF ANN -----------------------------------------------------------------
+# Oracle technique (same family as the unrolled-CTE PageRank oracle): the
+# quantizer is deterministic Lloyd's k-means — seeds are the k lowest-id
+# vectors, each iteration is assignment (argmax of <v,c> - |c|^2/2, ties to
+# the lowest cluster index) + per-cluster means with empty clusters keeping
+# their previous centroid — so the whole training loop unrolls into a chain
+# of SQL CTEs. Scores differ across engines only in summation-order ulps;
+# argmax flips would need two distinct centroids within ~1e-13 of the same
+# score, which the 6-dp rounding of the final cosine makes unobservable
+# anyway (validated by the driver hash at sf0.001/0.01).
+def _ivf_oracle_sql(
+    *, k: int, nprobe: int, iters: int, dim: int, q_max: int, topk: int
+) -> str:
+    ctes = [
+        f"dims AS (SELECT unnest(range(1, {dim + 1})) AS i)",
+        (
+            "seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, embedding "
+            f"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"
+        ),
+        "c0 AS (SELECT cluster, i, CAST(embedding[i] AS DOUBLE) AS val FROM seeds, dims)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(
+            f"score{t} AS (SELECT e.vec_id, c.cluster, "
+            "SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.val) - SUM(c.val * c.val) / 2 AS score "
+            f"FROM embeddings e, {prev} c GROUP BY e.vec_id, c.cluster)"
+        )
+        ctes.append(
+            f"assign{t} AS (SELECT vec_id, cluster FROM ("
+            "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+            f"PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM score{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT p.cluster, p.i, COALESCE(m.val, p.val) AS val "
+            f"FROM {prev} p LEFT JOIN ("
+            "SELECT a.cluster, d.i, AVG(CAST(e.embedding[d.i] AS DOUBLE)) AS val "
+            f"FROM assign{t} a JOIN embeddings e USING (vec_id), dims d "
+            "GROUP BY a.cluster, d.i) m ON p.cluster = m.cluster AND p.i = m.i)"
+        )
+    final = f"c{iters}"
+    ctes.append(
+        "servescore AS (SELECT e.vec_id, c.cluster, "
+        "SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.val) - SUM(c.val * c.val) / 2 AS score "
+        f"FROM embeddings e, {final} c GROUP BY e.vec_id, c.cluster)"
+    )
+    ctes.append(
+        "serve AS (SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM servescore) WHERE rn = 1)"
+    )
+    # probe ranking mirrors slice(reverse(array_sort(...)), 1, nprobe):
+    # descending score, score-ties broken by the HIGHER cluster index
+    ctes.append(
+        f"probes AS (SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY score DESC, cluster DESC) AS rn "
+        f"FROM servescore WHERE vec_id < {q_max}) WHERE rn <= {nprobe})"
+    )
+    cos = (
+        "ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), "
+        "CAST(ce.embedding AS DOUBLE[])), 6)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT p.vec_id AS query_id, s.vec_id AS neighbor_id, {cos} AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id ORDER BY {cos} DESC, s.vec_id) AS BIGINT) AS rk
+      FROM probes p
+      JOIN serve s ON s.cluster = p.cluster AND s.vec_id <> p.vec_id
+      JOIN embeddings qe ON qe.vec_id = p.vec_id
+      JOIN embeddings ce ON ce.vec_id = s.vec_id)
+    WHERE rk <= {topk}
+    """
+    )
+
+
 @register(
     "q_ann_ivf",
-    None,
-    description="approximate top-k via IVF (deterministic k-means inverted lists, nprobe=4)",
+    _ivf_oracle_sql(k=16, nprobe=4, iters=3, dim=64, q_max=10, topk=5),
+    description="approximate top-k via IVF (deterministic k-means inverted lists, nprobe=4; unrolled-CTE oracle)",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.similarity import ivf_topk
