@@ -362,22 +362,20 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", *, 
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the convergence flag THROUGH the checkpoint: the old
+        # formulation re-joined new labels against old labels in a second
+        # job per round; the flag is free to compute in the same pass
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -40,7 +40,10 @@ def pagerank(
 
     Output: (node, pr) with pr rounded to 6dp; sum(pr) ≈ N.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Materialize the edge list ONCE: its producing subplan (e.g. the whole
+    # knn_graph build) would otherwise be re-executed by every consumer
+    # below — nodes once, and TWICE inside weighted (e ⋈ e.groupBy).
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct().localCheckpoint()
@@ -62,9 +65,9 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("pr"),
         )
-        # truncate lineage every OTHER iteration: each localCheckpoint is an
+        # truncate lineage every THIRD iteration: each localCheckpoint is an
         # eager job (~0.3-0.5 s scheduling latency at local scale), and a
-        # 2-iteration plan is still shallow — halves the job count
-        if it % 2 == 1 or it == iterations - 1:
+        # 3-iteration plan is still shallow — cuts the job count by a third
+        if it % 3 == 2 or it == iterations - 1:
             pr = pr.localCheckpoint()
     return pr.select("node", F.round("pr", 6).alias("pr"))

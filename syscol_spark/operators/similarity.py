@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
@@ -127,20 +129,25 @@ def srp_topk(
 
 def matrix_dots(vec: Column | str, matrix: list[list[float]]) -> Column:
     """Array of dot products <vec, row_j> for every row of a plan-time
-    matrix literal, in ONE aggregate pass (per element, every row's
-    accumulator advances via the transposed literal). Alias the result in
-    its own select before fanning out — higher-order folds are interpreted
-    and must not be re-inlined per consumer (see srp_plane_sums)."""
-    v = F.col(vec) if isinstance(vec, str) else vec
-    n_rows = len(matrix)
-    dim = len(matrix[0])
-    signs_t = F.array(*[F.array(*[F.lit(matrix[r][i]) for r in range(n_rows)]) for i in range(dim)])
-    indexed = F.zip_with(v, signs_t, lambda x, srow: F.struct(x.cast("double").alias("x"), srow.alias("s")))
-    return F.aggregate(
-        indexed,
-        F.array_repeat(F.lit(0.0), n_rows),
-        lambda acc, e: F.zip_with(acc, e["s"], lambda a, s: a + e["x"] * s),
-    )
+    matrix literal, via one Arrow-batched BLAS matmul
+    (batch x dim) @ (dim x n_rows) — same rationale as srp_plane_sums:
+    the interpreted higher-order fold this replaced cost O(dim*n_rows)
+    lambda-ops per ROW (64*16 ≈ 1k for the IVF quantizer), the matmul is
+    effectively free per batch. Summation order differs from a fold, but
+    the SQL oracle twin sums in ITS own (group-by) order too — both
+    engines' scores agree to ~1e-13 relative, far beyond any argmax
+    margin observed in the fixtures (see srp_plane_sums for the same
+    argument with measured margins)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m_t = np.array(matrix, dtype="float64").T  # (dim, n_rows)
+
+    @pandas_udf("array<double>")
+    def _dots(v: pd.Series) -> pd.Series:
+        b = np.stack(v.to_numpy()).astype("float64")
+        return pd.Series(list(b @ m_t))
+
+    return _dots(F.col(vec) if isinstance(vec, str) else vec)
 
 
 def kmeans_centroids(
@@ -150,25 +157,39 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     k: int = 16,
     max_iter: int = 5,
+    train_stride: int = 1,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means as DataFrame aggregations.
 
     Init = the k vectors with the LOWEST ids (deterministic — no RNG, so
     runs are reproducible across clusters; plant better seeds upstream if
     needed). Each iteration: assign every vector to its nearest centroid
-    (one scan; all k distances via one matrix_dots fold against the
+    (one scan; all k distances via one matrix_dots matmul against the
     broadcast-as-literal centroid matrix) then recompute means with
     posexplode + groupBy (one shuffle of k*dim partial sums per partition —
     map-side combined, so shuffle volume is executors*k*dim, independent of
     corpus size). The driver holds only the k*dim centroid matrix; the
     corpus never leaves the cluster. Empty clusters keep their previous
     centroid. Squared-L2 argmin via the identity
-    argmin |v-c|^2 = argmax (<v,c> - |c|^2/2)."""
-    # Training re-scans the corpus max_iter+2 times (dim probe, seed pick,
-    # one assignment+sum per iteration). Persist the projected (id, vec)
-    # slice for the duration so only the FIRST action pays the source read;
-    # unpersisted before returning — the serving scan reads the source.
-    train = corpus.select(id_col, vec_col).persist()
+    argmin |v-c|^2 = argmax (<v,c> - |c|^2/2).
+
+    ``train_stride > 1`` trains the quantizer on the deterministic sample
+    ``id % train_stride == 0`` instead of the full corpus — THE scale
+    knob: a coarse quantizer needs ~1000 points per centroid, not 100 TB;
+    pick stride ≈ corpus_rows / (1000 * k) so iterations scan a bounded
+    sample while serving still assigns every vector exactly once. A
+    stride sample (ids are dense) is uniform, deterministic, and exactly
+    mirrorable in a SQL oracle twin (WHERE id % stride = 0) — unlike
+    df.sample, whose RNG is engine-private."""
+    # Training re-scans the (sampled) corpus max_iter+2 times (dim probe,
+    # seed pick, one assignment+sum per iteration). Persist the projected
+    # (id, vec) slice for the duration so only the FIRST action pays the
+    # source read; unpersisted before returning — the serving scan reads
+    # the source.
+    train = corpus.select(id_col, vec_col)
+    if train_stride > 1:
+        train = train.filter(F.col(id_col) % train_stride == 0)
+    train = train.persist()
     try:
         seed_rows = train.orderBy(id_col).limit(k).select(vec_col).collect()
         centroids = [[float(x) for x in r[0]] for r in seed_rows]
@@ -219,6 +240,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     max_iter: int = 5,
+    train_stride: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means quantizer, corpus partitioned
     into inverted lists by nearest centroid, queries probe their ``nprobe``
@@ -232,7 +254,8 @@ def ivf_topk(
     Recall depends on how well the quantizer matches the data's cluster
     structure — measured against brute force in tests."""
     centroids = kmeans_centroids(
-        corpus, vec_col=vec_col, id_col=id_col, k=n_centroids, max_iter=max_iter
+        corpus, vec_col=vec_col, id_col=id_col, k=n_centroids, max_iter=max_iter,
+        train_stride=train_stride,
     )
     c = _assign_nearest(corpus, vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), F.col("__cluster").alias("list_id")
@@ -290,23 +313,28 @@ def _signed_fold(vec: Column | str, signs: list[float]) -> Column:
 
 
 def srp_plane_sums(vec: Column | str, dim: int, n_planes: int, seed: int = 42) -> Column:
-    """Array of ``n_planes`` signed sums <vec, ±1-plane_p>, computed in ONE
-    aggregate pass over the vector: per element, every plane's accumulator
-    advances via a transposed sign-matrix literal. Per plane the
-    accumulation order is ascending element index starting from 0.0 —
-    exactly the order the SQL oracle twin assumes. Compute this behind a
-    projection barrier (alias it in its own select) before fanning out into
-    per-band keys: higher-order functions are interpreted and NOT cheap, so
-    letting CollapseProject re-inline the fold once per consumer costs ~15×."""
-    v = F.col(vec) if isinstance(vec, str) else vec
-    rows = [[rademacher_signs(dim, p, seed)[i] for p in range(n_planes)] for i in range(dim)]
-    signs_t = F.array(*[F.array(*[F.lit(x) for x in row]) for row in rows])
-    indexed = F.zip_with(v, signs_t, lambda x, srow: F.struct(x.cast("double").alias("x"), srow.alias("s")))
-    return F.aggregate(
-        indexed,
-        F.array_repeat(F.lit(0.0), n_planes),
-        lambda acc, e: F.zip_with(acc, e["s"], lambda a, s: a + e["x"] * s),
-    )
+    """Array of ``n_planes`` signed sums <vec, ±1-plane_p>, via one
+    Arrow-batched numpy matmul: (batch x dim) @ (dim x n_planes).
+
+    NOT a column-expression fold on purpose: interpreted higher-order
+    functions evaluate ~1.4M lambda-ops/s (measured — 2.85 s for 2000
+    rows x 64 dims x 32 planes), while the BLAS matmul is effectively free
+    at any batch size. Summation order differs from a left fold, but with
+    ±1.0 coefficients every addend is EXACT; order only shifts the result
+    by ~1e-13 relative, against a measured minimum |sum| of 4.1e-5 across
+    the whole fixture (see srp_band_sql_keys) — so the downstream sign
+    bits are unaffected and the SQL oracle twin (list_dot_product, its own
+    order) still mirrors bucket assignment exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    signs = np.array([rademacher_signs(dim, p, seed) for p in range(n_planes)], dtype="float64")
+
+    @pandas_udf("array<double>")
+    def _sums(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        return pd.Series(list(m @ signs.T))
+
+    return _sums(F.col(vec) if isinstance(vec, str) else vec)
 
 
 def srp_keys_from_sums(sums: Column | str, *, n_bands: int, band_bits: int) -> list[Column]:
@@ -387,16 +415,15 @@ def srp_band_pairs(
         dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed,
     )
     sides = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    return (
+    with_vecs = (
         pairs.join(sides.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
         .join(sides.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity("vec_a", "vec_b"), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= min_cosine)
     )
+    # Arrow batch scoring, then threshold: keeping the cosine as a column
+    # EXPRESSION gets it duplicated into the join condition and re-evaluated
+    # per reference (the interpreted fold was ~4x the query's wall time);
+    # the einsum path scores each candidate pair exactly once.
+    return _score_pairs_arrow(with_vecs).filter(F.col("cosine") >= min_cosine)
 
 
 def _srp_candidate_pairs(
@@ -415,17 +442,28 @@ def _srp_candidate_pairs(
     go through the index join — the vectors are re-attached to the (much
     smaller) candidate set by callers, so 512-byte arrays never travel
     through the n_bands-exploded join."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("block"),
-        # projection barrier: the fold is evaluated once per row here, not
-        # once per downstream key reference (see srp_plane_sums)
-        srp_plane_sums(vec_col, dim, n_bands * band_bits, seed).alias("__sums"),
-    )
-    keys = srp_keys_from_sums("__sums", n_bands=n_bands, band_bits=band_bits)
-    bands = F.array(*[F.struct(F.lit(i).alias("band"), k.alias("key")) for i, k in enumerate(keys)])
-    exploded = base.select(
-        "id", "block", F.explode(bands).alias("bb")
+    # Bind the (expensive, interpreted) plane-sum fold ONCE via a lambda
+    # variable: transform over a 1-element array makes every key reference a
+    # lambda-bound value instead of a copy of the fold. A plain aliased
+    # select is NOT a barrier — CollapseProject re-inlines the alias into
+    # each of the n_bands key expressions, re-evaluating the whole fold per
+    # key (measured 8x plan blowup, ~4x wall time on q_embed_neardup).
+    def keys_of(s: Column) -> Column:
+        out = []
+        for band in range(n_bands):
+            key = F.lit(0).cast("long")
+            for j in range(band_bits):
+                d = F.element_at(s, band * band_bits + j + 1)
+                key = key.bitwiseOR(
+                    F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+                )
+            out.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+        return F.array(*out)
+
+    sums = srp_plane_sums(vec_col, dim, n_bands * band_bits, seed)
+    bands = F.element_at(F.transform(F.array(sums), keys_of), 1)
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.explode(bands).alias("bb")
     ).select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
     a, b = exploded.alias("a"), exploded.alias("b")
     return (

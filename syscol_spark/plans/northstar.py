@@ -340,8 +340,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         _docs(spark, sf_dir), "text", "doc_id", n_hashes=_MH_N, shingle_n=3, kernel="portable"
     )
+    # materialize the signatures: the LSH band self-join would otherwise
+    # re-run the (shingle + md5) signature scan on BOTH sides — at lake
+    # scale this is the "write signatures to a table first" step
     return minhash_lsh_candidates(
-        sigs, n_bands=_MH_BANDS, rows_per_band=_MH_ROWS, portable_buckets=True
+        sigs.localCheckpoint(), n_bands=_MH_BANDS, rows_per_band=_MH_ROWS, portable_buckets=True
     )
 
 
@@ -390,7 +393,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     sh = simhash(d, "text", "doc_id", n_bits=_SH_BITS, kernel="portable")
-    blocked = sh.join(d.select(F.col("doc_id").alias("id"), F.col("lang").alias("block")), "id")
+    # materialize fingerprints once — the band self-join evaluates its input
+    # twice, and the fingerprint pass (token explode + md5 + 60 bit-sums) is
+    # the expensive part (one narrow row per doc checkpoints for free)
+    blocked = sh.join(
+        d.select(F.col("doc_id").alias("id"), F.col("lang").alias("block")), "id"
+    ).localCheckpoint()
     # 4 bands of 15 bits: provably complete at Hamming <= 3 (Manku-style
     # banding) — candidates come from a band equi-join, never an all-pairs
     # block scan; 15-bit bands keep the keys discriminative.
@@ -528,13 +536,21 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # score, which the 6-dp rounding of the final cosine makes unobservable
 # anyway (validated by the driver hash at sf0.001/0.01).
 def _ivf_oracle_sql(
-    *, k: int, nprobe: int, iters: int, dim: int, q_max: int, topk: int
+    *, k: int, nprobe: int, iters: int, dim: int, q_max: int, topk: int,
+    train_stride: int = 1,
 ) -> str:
+    # training CTEs scan the SAME deterministic stride sample as the engine
+    # (kmeans_centroids train_stride); serving scans the full table
+    train = (
+        f"(SELECT * FROM embeddings WHERE vec_id % {train_stride} = 0)"
+        if train_stride > 1
+        else "embeddings"
+    )
     ctes = [
         f"dims AS (SELECT unnest(range(1, {dim + 1})) AS i)",
         (
             "seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, embedding "
-            f"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"
+            f"FROM (SELECT * FROM {train} ORDER BY vec_id LIMIT {k}))"
         ),
         "c0 AS (SELECT cluster, i, CAST(embedding[i] AS DOUBLE) AS val FROM seeds, dims)",
     ]
@@ -543,7 +559,7 @@ def _ivf_oracle_sql(
         ctes.append(
             f"score{t} AS (SELECT e.vec_id, c.cluster, "
             "SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.val) - SUM(c.val * c.val) / 2 AS score "
-            f"FROM embeddings e, {prev} c GROUP BY e.vec_id, c.cluster)"
+            f"FROM {train} e, {prev} c GROUP BY e.vec_id, c.cluster)"
         )
         ctes.append(
             f"assign{t} AS (SELECT vec_id, cluster FROM ("
@@ -554,7 +570,7 @@ def _ivf_oracle_sql(
             f"c{t} AS (SELECT p.cluster, p.i, COALESCE(m.val, p.val) AS val "
             f"FROM {prev} p LEFT JOIN ("
             "SELECT a.cluster, d.i, AVG(CAST(e.embedding[d.i] AS DOUBLE)) AS val "
-            f"FROM assign{t} a JOIN embeddings e USING (vec_id), dims d "
+            f"FROM assign{t} a JOIN {train} e USING (vec_id), dims d "
             "GROUP BY a.cluster, d.i) m ON p.cluster = m.cluster AND p.i = m.i)"
         )
     final = f"c{iters}"
@@ -599,15 +615,16 @@ def _ivf_oracle_sql(
 
 @register(
     "q_ann_ivf",
-    _ivf_oracle_sql(k=16, nprobe=4, iters=3, dim=64, q_max=10, topk=5),
-    description="approximate top-k via IVF (deterministic k-means inverted lists, nprobe=4; unrolled-CTE oracle)",
+    _ivf_oracle_sql(k=16, nprobe=4, iters=3, dim=64, q_max=10, topk=5, train_stride=4),
+    description="approximate top-k via IVF (k-means on a deterministic 1/4 stride sample, nprobe=4; unrolled-CTE oracle)",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4, max_iter=3
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4, max_iter=3,
+        train_stride=4,
     )
 
 
