@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import struct
-from functools import lru_cache
+from typing import NamedTuple
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -330,39 +330,102 @@ def to_confluent_avro_generic(record: Column, schema: dict, schema_id: int) -> C
 
 # --- schema registry client (§2.9) ------------------------------------------
 
+class SchemaMetadata(NamedTuple):
+    """(id, version, schema) triple returned by the latest-version endpoint —
+    mirrors the reference's SchemaMetadata (schema_registry.go:48-52)."""
+
+    id: int
+    version: int
+    schema: str
+
+
 class ConfluentRegistryClient:
-    """Minimal Confluent schema-registry REST client with the same caching
-    contract as the reference (go-kafka-avro/schema_registry.go:30-113:
-    register / get-by-id / get-latest, id+schema caches). Used at PLAN time
-    only — never inside a task."""
+    """Confluent schema-registry REST client with the same caching contract
+    as the reference (go-kafka-avro/schema_registry.go:100-113,230):
+    three cache levels —
+
+    * ``schema cache``  subject → canonical-schema → id   (register)
+    * ``id cache``      id → schema string                (get_by_id; also
+      warmed by register, so a round-trip through one's own registration
+      never re-fetches)
+    * ``version cache`` subject → canonical-schema → version (get_version)
+
+    ``get_latest`` is deliberately UNcached — "latest" is a moving target
+    (the reference's GetLatestSchemaMetadata also always fetches,
+    schema_registry.go:182-204). Used at PLAN time only — never inside a
+    task; executors see resolved ``{id: schema}`` maps."""
 
     def __init__(self, base_url: str):
         self.base_url = base_url.rstrip("/")
-        self._id_by_subject: dict[str, int] = {}
+        self._id_by_subject_schema: dict[str, dict[str, int]] = {}
         self._schema_by_id: dict[int, str] = {}
+        self._version_by_subject_schema: dict[str, dict[str, int]] = {}
 
-    def register(self, subject: str, schema: dict) -> int:
-        if subject in self._id_by_subject:
-            return self._id_by_subject[subject]
+    @staticmethod
+    def _canon(schema: dict | str) -> str:
+        """Canonical cache key for a schema (dict order must not miss)."""
+        if isinstance(schema, str):
+            schema = json.loads(schema)
+        return json.dumps(schema, sort_keys=True, separators=(",", ":"))
+
+    def _request(self, path: str, payload: dict | None = None) -> dict:
         import urllib.request
 
         req = urllib.request.Request(
-            f"{self.base_url}/subjects/{subject}/versions",
-            data=json.dumps({"schema": json.dumps(schema)}).encode(),
+            f"{self.base_url}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
             headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
-            method="POST",
+            method="POST" if payload is not None else "GET",
         )
         with urllib.request.urlopen(req) as resp:  # noqa: S310
-            schema_id = json.loads(resp.read())["id"]
-        self._id_by_subject[subject] = schema_id
+            return json.loads(resp.read())
+
+    def register(self, subject: str, schema: dict) -> int:
+        key = self._canon(schema)
+        cached = self._id_by_subject_schema.setdefault(subject, {})
+        if key in cached:
+            return cached[key]
+        schema_id = self._request(
+            f"/subjects/{subject}/versions", {"schema": json.dumps(schema)}
+        )["id"]
+        cached[key] = schema_id
+        # warm the id cache too (reference does, schema_registry.go:143-144)
+        self._schema_by_id[schema_id] = json.dumps(schema)
         return schema_id
 
-    @lru_cache(maxsize=256)  # noqa: B019
     def get_by_id(self, schema_id: int) -> str:
-        import urllib.request
+        if schema_id in self._schema_by_id:
+            return self._schema_by_id[schema_id]
+        schema = self._request(f"/schemas/ids/{schema_id}")["schema"]
+        self._schema_by_id[schema_id] = schema
+        return schema
 
-        with urllib.request.urlopen(f"{self.base_url}/schemas/ids/{schema_id}") as resp:  # noqa: S310
-            return json.loads(resp.read())["schema"]
+    def get_latest(self, subject: str) -> SchemaMetadata:
+        """Latest version's (id, version, schema) for a subject. Never
+        cached: a consumer of an evolving topic polls this to pick up new
+        versions (reference GetLatestSchemaMetadata)."""
+        d = self._request(f"/subjects/{subject}/versions/latest")
+        return SchemaMetadata(int(d["id"]), int(d["version"]), d["schema"])
+
+    def get_by_version(self, subject: str, version: int) -> SchemaMetadata:
+        """A specific version's (id, version, schema) for a subject
+        (reference GET_SPECIFIC_SUBJECT_VERSION route)."""
+        d = self._request(f"/subjects/{subject}/versions/{version}")
+        return SchemaMetadata(int(d["id"]), int(d["version"]), d["schema"])
+
+    def get_version(self, subject: str, schema: dict) -> int:
+        """Version under which ``schema`` is registered for ``subject``,
+        via the check-is-registered POST (reference GetVersion,
+        schema_registry.go:206-240) — cached per (subject, schema)."""
+        key = self._canon(schema)
+        cached = self._version_by_subject_schema.setdefault(subject, {})
+        if key in cached:
+            return cached[key]
+        version = int(
+            self._request(f"/subjects/{subject}", {"schema": json.dumps(schema)})["version"]
+        )
+        cached[key] = version
+        return version
 
 
 def register_envelope_schema(registry_url: str, record_name: str = "SlaveMetrics") -> int:
