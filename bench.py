@@ -43,6 +43,23 @@ def main() -> None:
         .select("*", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("s")).alias("r"))
         .write.format("noop").mode("overwrite").save()
     )
+    # also warm the documents scan + Arrow/pandas-UDF lane (the Python worker
+    # pool, Arrow serde, and string-explode codegen), which the text/embedding
+    # query families hit first — measured ~7 s of first-touch latency landing
+    # on whichever of them the catalog order puts first
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _plen(s: pd.Series) -> pd.Series:
+        return s.str.len()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2_000)
+    (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("t"), _plen("text").alias("n"))
+        .groupBy("t").agg(F.sum("n").alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     # Per-query fault isolation: one broken builder must not zero the whole
     # artifact — record the error string, keep timing the rest, exit 0.

@@ -181,14 +181,25 @@ def kmeans_centroids(
     stride sample (ids are dense) is uniform, deterministic, and exactly
     mirrorable in a SQL oracle twin (WHERE id % stride = 0) — unlike
     df.sample, whose RNG is engine-private."""
-    # Training re-scans the (sampled) corpus max_iter+2 times (dim probe,
-    # seed pick, one assignment+sum per iteration). Persist the projected
-    # (id, vec) slice for the duration so only the FIRST action pays the
-    # source read; unpersisted before returning — the serving scan reads
-    # the source.
     train = corpus.select(id_col, vec_col)
     if train_stride > 1:
         train = train.filter(F.col(id_col) % train_stride == 0)
+    # Driver-local fast path: a coarse quantizer's training set is small BY
+    # DESIGN (that's what the stride sample is for — ~1000 points/centroid),
+    # so when it fits the bound, pull it once and run Lloyd's in numpy:
+    # zero Spark jobs per iteration instead of a collect-roundtrip each.
+    # limit(N+1) scans until N+1 rows exist, so the probe is cheap on an
+    # oversized corpus; the rows are USED only when we got all of them
+    # (len <= N), so which-rows nondeterminism of limit can't leak in.
+    probe = train.limit(_LOCAL_TRAIN_LIMIT + 1).collect()
+    if len(probe) <= _LOCAL_TRAIN_LIMIT:
+        return _kmeans_local(probe, k, max_iter)
+    del probe
+    # Distributed path: training re-scans the (sampled) corpus max_iter+2
+    # times (dim probe, seed pick, one assignment+sum per iteration).
+    # Persist the projected (id, vec) slice for the duration so only the
+    # FIRST action pays the source read; unpersisted before returning —
+    # the serving scan reads the source.
     train = train.persist()
     try:
         seed_rows = train.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -216,6 +227,33 @@ def kmeans_centroids(
         return centroids
     finally:
         train.unpersist()
+
+
+_LOCAL_TRAIN_LIMIT = 200_000  # ≈100 MB of float64 at dim=64 — driver-safe
+
+
+def _kmeans_local(rows: list, k: int, max_iter: int) -> list[list[float]]:
+    """Lloyd's on a collected (id, vec) sample — numerically the same
+    procedure as the distributed path (seeds = k lowest ids, squared-L2
+    argmin via argmax(<v,c> - |c|^2/2) with ties to the LOWEST cluster
+    (np.argmax returns the first max), means per cluster, empty clusters
+    keep their centroid, stop on exact fixpoint), so the unrolled-CTE SQL
+    oracle mirrors it identically (summation-order ulps aside, as ever)."""
+    rows = sorted(rows, key=lambda r: r[0])
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype="float64")
+    c = x[:k].copy()
+    for _ in range(max_iter):
+        scores = x @ c.T - 0.5 * (c * c).sum(axis=1)
+        assign = scores.argmax(axis=1)
+        new_c = c.copy()
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                new_c[j] = members.mean(axis=0)
+        if np.array_equal(new_c, c):
+            break
+        c = new_c
+    return [[float(v) for v in row] for row in c]
 
 
 def _assign_nearest(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
