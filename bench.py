@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # noqa: F401 - module-level so pandas_udf hints resolve
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from syscol_spark.plans.catalog import QUERIES, _ensure_loaded  # noqa: E402
@@ -34,32 +36,36 @@ def main() -> None:
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    small = li.limit(10_000)
-    (
-        small.groupBy("l_returnflag")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("s"))
-        .join(small.groupBy("l_returnflag").count(), "l_returnflag")
-        .select("*", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("s")).alias("r"))
-        .write.format("noop").mode("overwrite").save()
-    )
-    # also warm the documents scan + Arrow/pandas-UDF lane (the Python worker
-    # pool, Arrow serde, and string-explode codegen), which the text/embedding
-    # query families hit first — measured ~7 s of first-touch latency landing
-    # on whichever of them the catalog order puts first
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import pandas_udf
+    # warmups are best-effort: a broken warmup must never zero the artifact
+    # (the r3 lesson — one unguarded step cost the whole round's numbers)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        small = li.limit(10_000)
+        (
+            small.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("s"))
+            .join(small.groupBy("l_returnflag").count(), "l_returnflag")
+            .select("*", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("s")).alias("r"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        # also warm the documents scan + Arrow/pandas-UDF lane (the Python
+        # worker pool, Arrow serde, and string-explode codegen), which the
+        # text/embedding query families hit first — measured ~7 s of
+        # first-touch latency landing on whichever of them ran first
+        from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _plen(s: pd.Series) -> pd.Series:
-        return s.str.len()
+        @pandas_udf("long")
+        def _plen(s: pd.Series) -> pd.Series:
+            return s.str.len()
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2_000)
-    (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("t"), _plen("text").alias("n"))
-        .groupBy("t").agg(F.sum("n").alias("s"))
-        .write.format("noop").mode("overwrite").save()
-    )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2_000)
+        (
+            docs.select(F.explode(F.split("text", r"\s+")).alias("t"), _plen("text").alias("n"))
+            .groupBy("t").agg(F.sum("n").alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception as exc:  # noqa: BLE001 - harness boundary
+        print(f"# warmup: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
 
     # Per-query fault isolation: one broken builder must not zero the whole
     # artifact — record the error string, keep timing the rest, exit 0.
