@@ -131,7 +131,7 @@ def _release_cached(spark) -> None:
         pass
 
 
-def _ingest_throughput(spark, n_records: int = 200_000, n_metrics: int = 100) -> int:
+def _ingest_throughput(spark, n_records: int = 1_000_000, n_metrics: int = 100) -> int:
     """Records/sec through the reference-parity ingest path (P1 enrich +
     P2 JSON serialization) on synthetic envelopes with ~100 metrics each —
     the reference's record shape (BASELINE.md: 100-300 doubles)."""

@@ -406,13 +406,17 @@ def ngram_jaccard_pairs(
     (sort_array): prefix filtering needs a global token order, and sorted
     input also lets array_intersect-style set ops behave predictably.
     """
+    # materialize the shingled frame ONCE: prefix_filter_pairs references it
+    # four times (posting self-join = the subplan twice, plus two side
+    # re-attachments), and the tokenize+hash+sort pass is the expensive part
+    # — at lake scale this is the "write shingle sets to a table first" step
     shingled = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         F.sort_array(
             F.array_distinct(F.transform(word_shingles(content_col, shingle_n), lambda s: F.xxhash64(s)))
         ).alias("sh"),
-    )
+    ).localCheckpoint()
     na, nb = F.size(F.col("sh_a")), F.size(F.col("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (na + nb).cast("double") - inter
