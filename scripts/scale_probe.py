@@ -77,6 +77,53 @@ def main() -> None:
         dt = time.time() - t0
         print(f"edjoin {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
 
+    # Embedding near-dup probe: inflate the embeddings corpus by flipping
+    # each copy's coordinates with a copy-specific ±1 Rademacher diagonal —
+    # an orthogonal transform, so intra-copy cosine structure is EXACTLY
+    # preserved. Cross-copy cosines are sign-scrambled sums; on these
+    # label-clustered synthetics a real fraction still lands above the low
+    # 0.35 threshold, so the OUTPUT grows superlinearly by construction of
+    # the fixture — which makes the probe conservative: the measured wall
+    # growth bounds (index cost + true-output cost) together. All-pairs
+    # candidate generation would grow K^2 regardless of output size.
+    from syscol_spark.operators.similarity import rademacher_signs, srp_band_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.count()  # warm
+    dim = 64
+    for k in (1, 4, 16):
+        nbig = 1_000_000_000
+        signs_by_copy = F.array(*[
+            F.array(*[F.lit(s) for s in (
+                [1.0] * dim if c == 0 else rademacher_signs(dim, c, seed=777)
+            )])
+            for c in range(k)
+        ])
+        flipped = F.zip_with(
+            F.col("embedding"),
+            F.element_at(signs_by_copy, F.col("__copy") + 1),
+            lambda x, s: x.cast("double") * s,
+        )
+        corpus = (
+            emb.select(
+                F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__copy"),
+                "vec_id", "embedding", "label",
+            )
+            .select(
+                (F.col("vec_id") + F.col("__copy").cast("long") * F.lit(nbig).cast("long")).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+            .repartition(32)
+        )
+        t0 = time.time()
+        n_pairs = srp_band_pairs(
+            corpus, vec_col="embedding", id_col="vec_id", block_col="label",
+            min_cosine=0.35, dim=dim, n_bands=8, band_bits=4,
+        ).count()
+        dt = time.time() - t0
+        print(f"embed  {k:>2}x  vecs={k * emb.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
+
 
 if __name__ == "__main__":
     main()
