@@ -271,6 +271,11 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)",
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note: EXACT percentile aggregates a per-group value-count map on
+    # the reducer — fine for bounded value domains (prices), unbounded memory
+    # for continuous high-cardinality data. At lake scale swap in
+    # F.approx_percentile (t-digest, bounded state, mergeable) — kept exact
+    # here because exactness IS this query's contract with the oracle.
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
