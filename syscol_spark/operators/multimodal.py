@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -68,15 +69,31 @@ _FRAMES_SCHEMA = StructType(
 
 def _stub_feature(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic fake embedding: sha256-expanded bytes → [-1,1) floats.
-    Stable across runs/machines, so tests and dedup pipelines are exact."""
-    out: list[float] = []
-    seed = blob or b"\x00"
-    counter = 0
-    while len(out) < dim:
-        h = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
-        out.extend(int.from_bytes(h[i : i + 4], "big") / 2**31 - 1.0 for i in range(0, 32, 4))
-        counter += 1
-    return out[:dim]
+    Stable across runs/machines, so tests and dedup pipelines are exact.
+    Definition: digest k is sha256(blob || k.to_bytes(4,'big')); each digest
+    yields 8 big-endian uint32s mapped to uint32/2^31 - 1.0. The batch path
+    below (_stub_features_batch) MUST stay bit-identical to this."""
+    return _stub_features_batch([blob], dim)[0]
+
+
+def _stub_features_batch(blobs: list[bytes], dim: int = FEATURE_DIM) -> list[list[float]]:
+    """Vectorized stub: hash each blob ONCE, derive the counter-suffixed
+    digests from the saved hash state (hashlib.copy() + 4-byte update), then
+    decode every digest in the batch with a single numpy frombuffer pass.
+    Bit-identical to the per-row definition: sha256(seed||ctr) == copy-of-
+    sha256(seed) updated with ctr, and uint32/2^31-1.0 is the same IEEE
+    double op whether done per-int or as a numpy array."""
+    n_digests = (dim + 7) // 8  # 8 uint32s per 32-byte digest
+    counters = [c.to_bytes(4, "big") for c in range(n_digests)]
+    parts: list[bytes] = []
+    for blob in blobs:
+        base = hashlib.sha256(blob or b"\x00")
+        for cb in counters:
+            h = base.copy()
+            h.update(cb)
+            parts.append(h.digest())
+    arr = np.frombuffer(b"".join(parts), dtype=">u4").astype(np.float64) / 2**31 - 1.0
+    return arr.reshape(len(blobs), n_digests * 8)[:, :dim].tolist()
 
 
 def documents_as_assets(docs: DataFrame) -> DataFrame:
@@ -105,13 +122,13 @@ def extract_features(assets: DataFrame, *, decoder: str = "stub", dim: int = FEA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = pdf["blob"]
+            raw = [bytes(b) if b is not None else b"" for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": blobs.map(lambda b: len(b) if b is not None else 0),
-                    "feature": blobs.map(lambda b: _stub_feature(bytes(b), dim)),
+                    "n_bytes": [len(b) for b in raw],
+                    "feature": _stub_features_batch(raw, dim),
                 }
             )
 
