@@ -1,9 +1,9 @@
 """North-star LLM-data-pipeline operator coverage: text analysis, dedup
 family, embedding similarity search, multimodal column plumbing.
 
-Every entry carries a DuckDB value-hash oracle except q_approx_distinct
-(HLL sketches aren't portable across engines — the one intentional rows-only
-exception). The "probabilistic" operators (MinHash / SimHash / SRP / IVF) are
+Every entry carries a DuckDB value-hash oracle — including q_approx_distinct,
+whose sketch values aren't portable but whose accuracy contract is emitted as
+oracle-checked booleans. The "probabilistic" operators (MinHash / SimHash / SRP / IVF) are
 oracle-checked by running deterministic, engine-portable kernels (md5-60bit
 token hashing, plan-time hyperplane literals, unrolled k-means CTEs) so the
 DuckDB twin reproduces the exact candidate sets.
