@@ -181,6 +181,273 @@ class FlatAvroCodec:
         return out
 
 
+_PRIMITIVES = ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+
+
+class AvroCodec:
+    """Full Avro 1.x binary codec: the complete type universe of the
+    reference's vendored decoder (go-avro/schema.go:11-26) — primitives,
+    records (nested + recursive via named references), enums, arrays, maps,
+    fixed, and general unions.
+
+    Implemented directly from the Avro binary spec:
+
+    * enum     → zigzag-varint symbol index
+    * fixed    → raw bytes, length from the schema
+    * array    → blocks: varint count + items, 0-count terminator (negative
+                 counts per spec: |count| items preceded by a block byte
+                 size, accepted on decode, never produced on encode)
+    * map      → same block structure with string keys
+    * union    → varint branch index + branch value; on encode the branch is
+                 the FIRST schema matching the Python value's type (None →
+                 null, bool → boolean, int → int/long, float → float/double,
+                 str → string/enum, bytes → bytes/fixed, list → array,
+                 dict → record before map — document ambiguous unions
+                 accordingly)
+    * record   → fields in schema order
+
+    Python value mapping: record/map → dict, array → list, enum → symbol
+    string, fixed → bytes. ``FlatAvroCodec`` remains the fast path for flat
+    records (the reference's only production schema is flat); ``codec_for``
+    picks automatically.
+    """
+
+    def __init__(self, schema: dict | str | list):
+        self._named: dict[str, list] = {}
+        self._root = self._parse(schema)
+
+    # --- schema parsing ------------------------------------------------------
+
+    def _parse(self, s: object) -> list:
+        if isinstance(s, str):
+            if s in _PRIMITIVES:
+                return ["prim", s]
+            return ["ref", s]  # named-type reference (resolved at run time)
+        if isinstance(s, list):
+            return ["union", [self._parse(b) for b in s]]
+        if not isinstance(s, dict):
+            raise ValueError(f"bad schema node: {s!r}")
+        t = s["type"]
+        if t in _PRIMITIVES:
+            return ["prim", t]
+        if t == "fixed":
+            node = ["fixed", s["name"], int(s["size"])]
+            self._named[s["name"]] = node
+            return node
+        if t == "enum":
+            node = ["enum", s["name"], list(s["symbols"])]
+            self._named[s["name"]] = node
+            return node
+        if t == "array":
+            return ["array", self._parse(s["items"])]
+        if t == "map":
+            return ["map", self._parse(s["values"])]
+        if t == "record":
+            fields: list[tuple[str, list]] = []
+            node = ["record", s["name"], fields]
+            # register BEFORE parsing fields so self-references resolve
+            self._named[s["name"]] = node
+            for f in s["fields"]:
+                fields.append((f["name"], self._parse(f["type"])))
+            return node
+        raise ValueError(f"unsupported avro type {t!r}")
+
+    def _deref(self, node: list) -> list:
+        while node[0] == "ref":
+            node = self._named[node[1]]
+        return node
+
+    # --- encode --------------------------------------------------------------
+
+    def _matches(self, node: list, v: object) -> bool:
+        node = self._deref(node)
+        kind = node[0]
+        if kind == "prim":
+            t = node[1]
+            if t == "null":
+                return v is None
+            if t == "boolean":
+                return isinstance(v, bool)
+            if t in ("int", "long"):
+                return isinstance(v, int) and not isinstance(v, bool)
+            if t in ("float", "double"):
+                return isinstance(v, float) or (isinstance(v, int) and not isinstance(v, bool))
+            if t == "bytes":
+                return isinstance(v, (bytes, bytearray))
+            if t == "string":
+                return isinstance(v, str)
+        if kind == "fixed":
+            return isinstance(v, (bytes, bytearray)) and len(v) == node[2]
+        if kind == "enum":
+            return isinstance(v, str) and v in node[2]
+        if kind == "array":
+            return isinstance(v, list)
+        if kind in ("record", "map"):
+            return isinstance(v, dict)
+        return False
+
+    def _enc(self, node: list, v: object, out: list[bytes]) -> None:
+        node = self._deref(node)
+        kind = node[0]
+        if kind == "prim":
+            out.append(FlatAvroCodec._enc_value(node[1], v))
+        elif kind == "fixed":
+            raw = bytes(v)
+            if len(raw) != node[2]:
+                raise ValueError(f"fixed {node[1]}: got {len(raw)} bytes, want {node[2]}")
+            out.append(raw)
+        elif kind == "enum":
+            out.append(zigzag_encode(node[2].index(v)))
+        elif kind == "array":
+            if v:
+                out.append(zigzag_encode(len(v)))
+                for item in v:
+                    self._enc(node[1], item, out)
+            out.append(b"\x00")
+        elif kind == "map":
+            if v:
+                out.append(zigzag_encode(len(v)))
+                for key, val in v.items():
+                    out.append(_enc_str(key))
+                    self._enc(node[1], val, out)
+            out.append(b"\x00")
+        elif kind == "union":
+            for i, branch in enumerate(node[1]):
+                if self._matches(branch, v):
+                    out.append(zigzag_encode(i))
+                    self._enc(branch, v, out)
+                    return
+            raise ValueError(f"no union branch matches {type(v).__name__} value")
+        elif kind == "record":
+            for fname, fnode in node[2]:
+                self._enc(fnode, v[fname] if fname in v else None, out)
+        else:  # pragma: no cover
+            raise ValueError(f"bad node {kind!r}")
+
+    def encode(self, record: object) -> bytes:
+        out: list[bytes] = []
+        self._enc(self._root, record, out)
+        return b"".join(out)
+
+    # --- decode --------------------------------------------------------------
+
+    def _dec(self, node: list, buf: bytes, pos: int) -> tuple[object, int]:
+        node = self._deref(node)
+        kind = node[0]
+        if kind == "prim":
+            return FlatAvroCodec._dec_value(node[1], buf, pos)
+        if kind == "fixed":
+            size = node[2]
+            return bytes(buf[pos : pos + size]), pos + size
+        if kind == "enum":
+            idx, pos = zigzag_decode(buf, pos)
+            return node[2][idx], pos
+        if kind == "array":
+            items: list = []
+            while True:
+                n, pos = zigzag_decode(buf, pos)
+                if n == 0:
+                    return items, pos
+                if n < 0:
+                    n = -n
+                    _, pos = zigzag_decode(buf, pos)
+                for _ in range(n):
+                    item, pos = self._dec(node[1], buf, pos)
+                    items.append(item)
+        if kind == "map":
+            d: dict = {}
+            while True:
+                n, pos = zigzag_decode(buf, pos)
+                if n == 0:
+                    return d, pos
+                if n < 0:
+                    n = -n
+                    _, pos = zigzag_decode(buf, pos)
+                for _ in range(n):
+                    key, pos = FlatAvroCodec._dec_value("string", buf, pos)
+                    d[key], pos = self._dec(node[1], buf, pos)
+        if kind == "union":
+            branch, pos = zigzag_decode(buf, pos)
+            return self._dec(node[1][branch], buf, pos)
+        if kind == "record":
+            rec: dict = {}
+            for fname, fnode in node[2]:
+                rec[fname], pos = self._dec(fnode, buf, pos)
+            return rec, pos
+        raise ValueError(f"bad node {kind!r}")  # pragma: no cover
+
+    def decode(self, body: bytes) -> object:
+        v, pos = self._dec(self._root, body, 0)
+        return v
+
+    # --- JSON interop --------------------------------------------------------
+
+    def coerce_jsonable(self, v: object, node: list | None = None) -> object:
+        """Inverse of _bytes_to_jsonable, schema-guided: JSON strings at
+        bytes/fixed schema positions become latin-1 bytes, recursively. At a
+        union with BOTH a string and a bytes/fixed branch, strings stay
+        strings (the string branch wins on encode anyway)."""
+        node = self._deref(node if node is not None else self._root)
+        kind = node[0]
+        if kind == "prim":
+            return v.encode("latin-1") if node[1] == "bytes" and isinstance(v, str) else v
+        if kind == "fixed":
+            return v.encode("latin-1") if isinstance(v, str) else v
+        if kind == "array":
+            return [self.coerce_jsonable(x, node[1]) for x in v] if isinstance(v, list) else v
+        if kind == "map":
+            if isinstance(v, dict):
+                return {k: self.coerce_jsonable(x, node[1]) for k, x in v.items()}
+            return v
+        if kind == "record":
+            if isinstance(v, dict):
+                fields = dict(node[2])
+                return {
+                    k: (self.coerce_jsonable(x, fields[k]) if k in fields else x)
+                    for k, x in v.items()
+                }
+            return v
+        if kind == "union":
+            branches = [self._deref(b) for b in node[1]]
+            if isinstance(v, str) and not any(
+                b[0] == "prim" and b[1] == "string" for b in branches
+            ) and not any(b[0] == "enum" for b in branches):
+                target = next(
+                    (b for b in branches if b[0] == "fixed" or (b[0] == "prim" and b[1] == "bytes")),
+                    None,
+                )
+                if target is not None:
+                    return self.coerce_jsonable(v, target)
+            for b in branches:
+                if self._matches(b, v):
+                    return self.coerce_jsonable(v, b)
+            return v
+        return v
+
+
+def _is_flat(schema: dict) -> bool:
+    """True when FlatAvroCodec's fast path covers the schema."""
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        return False
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, list):
+            if len(t) != 2 or "null" not in t or not all(
+                isinstance(b, str) and b in _PRIMITIVES for b in t
+            ):
+                return False
+        elif not (isinstance(t, str) and t in _PRIMITIVES):
+            return False
+    return True
+
+
+def codec_for(schema: dict) -> FlatAvroCodec | AvroCodec:
+    """Flat record → FlatAvroCodec (fast path); anything else → AvroCodec.
+    Both produce identical bytes for flat records (the flat path is a strict
+    subset of the spec), so the choice is invisible on the wire."""
+    return FlatAvroCodec(schema) if _is_flat(schema) else AvroCodec(schema)
+
+
 _ENVELOPE_CODEC = FlatAvroCodec(SLAVE_METRICS_AVSC)
 
 
@@ -279,10 +546,12 @@ def from_confluent_avro_generic(value: Column, schemas_by_id: dict[int, dict]) -
     tolerance as from_json on malformed input).
 
     ``bytes`` fields are emitted as latin-1-mapped strings in the JSON (a
-    lossless byte↔codepoint mapping) since JSON has no binary type; parse
-    with from_json downstream using a matching schema.
+    lossless byte↔codepoint mapping) since JSON has no binary type — at any
+    nesting depth; parse with from_json downstream using a matching schema.
+    Schemas beyond the flat fast path (nested records, arrays, maps, enums,
+    fixed, general unions) dispatch to the full AvroCodec via codec_for.
     """
-    codecs = {sid: FlatAvroCodec(s) for sid, s in schemas_by_id.items()}
+    codecs = {sid: codec_for(s) for sid, s in schemas_by_id.items()}
 
     @F.pandas_udf(StringType())
     def _decode(vs: pd.Series) -> pd.Series:
@@ -294,9 +563,7 @@ def from_confluent_avro_generic(value: Column, schemas_by_id: dict[int, dict]) -
                 codec = codecs.get(sid)
                 if codec is None:
                     return None
-                d = codec.decode(body)
-                d = {k: (v2.decode("latin-1") if isinstance(v2, bytes) else v2) for k, v2 in d.items()}
-                return json.dumps(d)
+                return json.dumps(_bytes_to_jsonable(codec.decode(body)))
             except Exception:  # noqa: BLE001 — corrupt frame → null row
                 return None
 
@@ -305,27 +572,53 @@ def from_confluent_avro_generic(value: Column, schemas_by_id: dict[int, dict]) -
     return _decode(value)
 
 
+def _bytes_to_jsonable(v: object) -> object:
+    """Recursively map bytes → latin-1 strings so nested decoded values
+    (records/arrays/maps at any depth) survive json.dumps losslessly."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("latin-1")
+    if isinstance(v, dict):
+        return {k: _bytes_to_jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_bytes_to_jsonable(x) for x in v]
+    return v
+
+
 def to_confluent_avro_generic(record: Column, schema: dict, schema_id: int) -> Column:
-    """Generic write path: a struct column whose field names match the flat
-    Avro ``schema`` → Confluent-framed binary. The struct is serialized
-    JVM-side (to_json); only byte framing crosses to Python, Arrow-batched."""
-    codec = FlatAvroCodec(schema)
+    """Generic write path: a struct column whose field names match the Avro
+    ``schema`` → Confluent-framed binary. The struct is serialized JVM-side
+    (to_json); only byte framing crosses to Python, Arrow-batched. Flat
+    records take the FlatAvroCodec fast path; nested schemas dispatch to the
+    full AvroCodec, with JSON strings coerced back to bytes (latin-1) at
+    bytes/fixed schema positions at any depth."""
+    codec = codec_for(schema)
+    if isinstance(codec, FlatAvroCodec):
+
+        @F.pandas_udf(BinaryType())
+        def _encode(js: pd.Series) -> pd.Series:
+            def one(j: str) -> bytes:
+                d = json.loads(j)
+                rec = {}
+                for name, t in codec.fields:
+                    v = d.get(name)
+                    if t == "bytes" and isinstance(v, str):
+                        v = v.encode("latin-1")
+                    rec[name] = v
+                return frame_confluent(codec.encode(rec), schema_id)
+
+            return js.map(one)
+
+        return _encode(F.to_json(record))
 
     @F.pandas_udf(BinaryType())
-    def _encode(js: pd.Series) -> pd.Series:
+    def _encode_full(js: pd.Series) -> pd.Series:
         def one(j: str) -> bytes:
-            d = json.loads(j)
-            rec = {}
-            for name, t in codec.fields:
-                v = d.get(name)
-                if t == "bytes" and isinstance(v, str):
-                    v = v.encode("latin-1")
-                rec[name] = v
+            rec = codec.coerce_jsonable(json.loads(j))
             return frame_confluent(codec.encode(rec), schema_id)
 
         return js.map(one)
 
-    return _encode(F.to_json(record))
+    return _encode_full(F.to_json(record))
 
 
 # --- schema registry client (§2.9) ------------------------------------------
@@ -394,6 +687,12 @@ class ConfluentRegistryClient:
         return schema_id
 
     def get_by_id(self, schema_id: int) -> str:
+        """Schema string for an id. NOTE: when the id was registered by THIS
+        client, the cached string is the local json.dumps serialization that
+        was sent to the registry — semantically identical JSON but not
+        necessarily byte-identical to the registry's canonical form
+        (whitespace/escaping may differ). Consumers must json-parse rather
+        than string-compare schemas (the codec layer always parses)."""
         if schema_id in self._schema_by_id:
             return self._schema_by_id[schema_id]
         schema = self._request(f"/schemas/ids/{schema_id}")["schema"]
