@@ -231,13 +231,12 @@ def kmeans_centroids(
     # DESIGN (that's what the stride sample is for — ~1000 points/centroid),
     # so when it fits the bound, pull it once and run Lloyd's in numpy:
     # zero Spark jobs per iteration instead of a collect-roundtrip each.
-    # limit(N+1) scans until N+1 rows exist, so the probe is cheap on an
-    # oversized corpus; the rows are USED only when we got all of them
-    # (len <= N), so which-rows nondeterminism of limit can't leak in.
-    probe = train.limit(_LOCAL_TRAIN_LIMIT + 1).collect()
-    if len(probe) <= _LOCAL_TRAIN_LIMIT:
-        return _kmeans_local(probe, k, max_iter)
-    del probe
+    # The size probe is limit(N+1).count() — a COUNT, not a collect: at lake
+    # scale the decision costs a bounded scan and transfers 8 bytes, and the
+    # (id, vec) rows cross to the driver only when they all fit the bound
+    # (so which-rows nondeterminism of limit can't leak in either).
+    if train.limit(_LOCAL_TRAIN_LIMIT + 1).count() <= _LOCAL_TRAIN_LIMIT:
+        return _kmeans_local(train.collect(), k, max_iter)
     # Distributed path: training re-scans the (sampled) corpus max_iter+2
     # times (dim probe, seed pick, one assignment+sum per iteration).
     # Persist the projected (id, vec) slice for the duration so only the
@@ -564,11 +563,22 @@ def _score_pairs_arrow(pairs_with_vecs: DataFrame) -> DataFrame:
     """Batch-score candidate pairs with numpy (Arrow transfer): one einsum
     per batch instead of one interpreted fold per pair — the mandated
     vectorized-UDF shape for bulk per-pair vector math (~10-50× the
-    expression path on 10^6 pairs). Rounded to 6dp like the expression
-    scorer; numpy's pairwise summation differs from the left-fold only in
-    the last ulp, which the rounding absorbs (same argument as the DuckDB
-    list_* kernels, already hash-verified)."""
+    expression path on 10^6 pairs). The UDF emits the RAW cosine and the
+    6dp rounding is applied with F.round on the output column, so every
+    scorer in the module (and the DuckDB ROUND oracles) shares ONE decimal
+    rounding definition — np.round's scale-then-ties-to-even could disagree
+    with F.round in the 6th decimal for cosines near a .5e-6 boundary.
+    numpy's pairwise summation differs from the left-fold only in the last
+    ulp, which the shared rounding absorbs (same argument as the DuckDB
+    list_* kernels, already hash-verified). Output id columns keep the
+    input's id dtypes (string doc ids work, not just longs)."""
     import pandas as pd  # noqa: F401 — signature requirement
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_schema = pairs_with_vecs.schema
+    out_schema = StructType(
+        [in_schema["id_a"], in_schema["id_b"], StructField("cosine", DoubleType())]
+    )
 
     def score(batches):
         import numpy as np
@@ -582,10 +592,11 @@ def _score_pairs_arrow(pairs_with_vecs: DataFrame) -> DataFrame:
             na = np.sqrt(np.einsum("ij,ij->i", va, va))
             nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
             out = pdf[["id_a", "id_b"]].copy()
-            out["cosine"] = np.round(dots / (na * nb), 6)
+            out["cosine"] = dots / (na * nb)
             yield out
 
-    return pairs_with_vecs.mapInPandas(score, "id_a long, id_b long, cosine double")
+    scored = pairs_with_vecs.mapInPandas(score, out_schema)
+    return scored.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def knn_graph(

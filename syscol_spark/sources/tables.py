@@ -51,20 +51,52 @@ _FAN_OUT_BYTES = 128 * 1024 * 1024
 _fan_out_cache: dict[str, bool] = {}
 
 
-def _needs_fan_out(path: str) -> bool:
+def _local_stats(path: str) -> tuple[int, int] | None:
+    """(total bytes, parquet file count) via os.path — schemeless paths."""
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+            n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        else:
+            size, n_files = os.path.getsize(path), 1
+    except OSError:
+        return None
+    return size, n_files
+
+
+def _hadoop_stats(spark: SparkSession, path: str) -> tuple[int, int] | None:
+    """(total bytes, parquet file count) via the Hadoop FileSystem API, so
+    the heuristic also sees object-store paths (s3a://, gs://, file://…) —
+    os.path would silently report nothing there and disable the shim."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        status = fs.getFileStatus(jpath)
+        if not status.isDirectory():
+            return int(status.getLen()), 1
+        size = n_files = 0
+        for s in fs.listStatus(jpath):
+            name = s.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            size += int(s.getLen())
+            if name.endswith(".parquet"):
+                n_files += 1
+        return size, n_files
+    except Exception:  # noqa: BLE001 — missing path / unreachable store
+        return None
+
+
+def _needs_fan_out(spark: SparkSession, path: str) -> bool:
     if path not in _fan_out_cache:
-        try:
-            if os.path.isdir(path):
-                size = sum(
-                    os.path.getsize(os.path.join(path, f))
-                    for f in os.listdir(path)
-                    if not f.startswith(("_", "."))
-                )
-                n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
-            else:
-                size, n_files = os.path.getsize(path), 1
-        except OSError:
+        stats = _local_stats(path) if "://" not in path else _hadoop_stats(spark, path)
+        if stats is None:
             return False
+        size, n_files = stats
         # lower bound: broadcast-sized dims gain nothing from 32 near-empty
         # partitions; they are consumed whole (broadcast) anyway
         _fan_out_cache[path] = 256 * 1024 <= size < _FAN_OUT_BYTES and n_files <= 4
@@ -77,7 +109,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_conf(spark)  # session may be externally created
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if name in _FAN_OUT_TABLES and _needs_fan_out(path):
+    if name in _FAN_OUT_TABLES and _needs_fan_out(spark, path):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     if name == "events":
         # The parquet column is TIMESTAMP(NANOS). How Spark scans it depends

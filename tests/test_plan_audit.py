@@ -13,8 +13,13 @@ PLAN is one that survives a 1000-executor / 100 TB scale-up:
   queries (PushedFilters + pruned ReadSchema), so Catalyst pushdown is
   actually happening through our loader shims.
 
-Plans are BUILT, not executed — the audit covers the whole catalog in
-seconds and fails on the offending query by name.
+Plans are only BUILT here (no noop-sink execution of the query itself), but
+some builders run eager Spark work at plan-construction time — q_ann_ivf's
+bounded k-means training collect and the localCheckpoint() calls in
+q_minhash_lsh / q_simhash / pagerank / ngram_jaccard_pairs — so the
+module-scoped fixture does execute jobs for those queries (the reason
+SF_DIR points at the smallest fixture). The audit still fails on the
+offending query by name.
 """
 
 from __future__ import annotations
