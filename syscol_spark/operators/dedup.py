@@ -152,6 +152,17 @@ def minhash_signatures(
     DuckDB value-hash oracle for this probabilistic operator.
     """
     df = ensure_parallelism(df)
+    sig = minhash_signature_col(content_col, n_hashes=n_hashes, shingle_n=shingle_n, kernel=kernel)
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_signature_col(
+    content_col: str, *, n_hashes: int = 16, shingle_n: int = 3, kernel: str = "xxhash64"
+) -> Column:
+    """The MinHash signature as a bare Column — the shared kernel behind the
+    batch operator (minhash_signatures) and the streaming ingest-time dedup
+    twin (streaming/analytics.streaming_minhash_dedup), so both compute
+    identical signatures by construction."""
     pv = 2147483647  # 2^31 - 1
     p = F.lit(pv).cast("long")
     sh = word_shingles(content_col, shingle_n)
@@ -172,12 +183,11 @@ def minhash_signatures(
         ]
     )
     init = F.array_repeat(F.lit(pv).cast("long"), n_hashes)
-    sig = F.aggregate(
+    return F.aggregate(
         base,
         init,
         lambda acc, h: F.zip_with(acc, ab, lambda accv, s: F.least(accv, F.pmod(s["a"] * h + s["b"], p))),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(

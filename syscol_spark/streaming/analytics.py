@@ -264,3 +264,130 @@ def streaming_zscore_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_MINHASH_PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("est_jaccard", DoubleType()),
+    ]
+)
+_MINHASH_BUCKET_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("sigs", ArrayType(ArrayType(LongType()))),
+        StructField("ts_ms", ArrayType(LongType())),
+    ]
+)
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    kernel: str = "xxhash64",
+    watermark: str = "10 minutes",
+    bucket_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Ingest-time MinHash-LSH near-dedup: the streaming twin of the batch
+    minhash_lsh_candidates operator (operators/dedup.py). Each arriving doc
+    is signed with the SAME signature kernel (minhash_signature_col — shared
+    by construction), exploded to its LSH band buckets, and checked against
+    the bucket's current members via applyInPandasWithState; candidate pairs
+    (id_a < id_b, MinHash-estimated Jaccard) stream out as they are
+    discovered, across micro-batch boundaries.
+
+    State is BOUNDED two ways, which is what makes this safe at ingest
+    scale: (1) members whose event time has fallen behind the current
+    watermark are pruned on every bucket visit — the dedup horizon is the
+    watermark delay, matching Spark's own late-data contract; (2) a bucket
+    untouched for ``bucket_ttl_ms`` of event time is evicted wholesale via
+    EventTimeTimeout. So per-bucket state is O(docs within the watermark
+    window that share the bucket), independent of stream length.
+
+    Against the batch operator at the same params, the emitted pair set is
+    identical for docs within one watermark horizon, except that a pair
+    colliding in several bands may be emitted once per band (the batch op
+    dropDuplicates globally; a streaming global dedup would need a second
+    unbounded stateful stage — consumers dedup on (id_a, id_b) downstream,
+    e.g. with dropDuplicatesWithinWatermark).
+
+    Input must carry (id_col long, content_col string, event_time
+    timestamp). est_jaccard is rounded via F.round like the batch op, so
+    the values hash-match the batch twin's.
+    """
+    from syscol_spark.operators.dedup import minhash_signature_col
+
+    sig = minhash_signature_col(content_col, n_hashes=n_hashes, shingle_n=shingle_n, kernel=kernel)
+
+    def bucket(b: int) -> F.Column:
+        comps = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        return F.hash(*comps).cast("long")
+
+    bands = F.array(
+        *[F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket")) for b in range(n_bands)]
+    )
+    exploded = (
+        docs.withWatermark("event_time", watermark)
+        .select(F.col(id_col).alias("id"), sig.alias("signature"), "event_time")
+        .select("id", "signature", "event_time", F.explode(bands).alias("bb"))
+        .select("id", "signature", "event_time", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return
+        ids, sigs, ts_ms = state.get if state.exists else ([], [], [])
+        ids, sigs, ts_ms = list(ids), [list(s) for s in sigs], list(ts_ms)
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and ids:
+            keep = [i for i, t in enumerate(ts_ms) if t >= wm]
+            ids, sigs, ts_ms = [ids[i] for i in keep], [sigs[i] for i in keep], [ts_ms[i] for i in keep]
+        out: dict[str, list] = {"id_a": [], "id_b": [], "est_jaccard": []}
+        for pdf in pdfs:
+            t_ms = (pdf["event_time"].astype("int64") // 1_000_000).tolist()
+            order = sorted(range(len(pdf)), key=lambda i: (t_ms[i], int(pdf["id"].iloc[i])))
+            for i in order:
+                doc_id = int(pdf["id"].iloc[i])
+                doc_sig = [int(x) for x in pdf["signature"].iloc[i]]
+                for m_id, m_sig in zip(ids, sigs):
+                    if m_id == doc_id:
+                        continue
+                    matches = sum(1 for x, y in zip(doc_sig, m_sig) if x == y)
+                    lo, hi = (m_id, doc_id) if m_id < doc_id else (doc_id, m_id)
+                    out["id_a"].append(lo)
+                    out["id_b"].append(hi)
+                    out["est_jaccard"].append(matches / len(doc_sig))
+                if doc_id in ids:  # re-arrival refreshes recency only
+                    ts_ms[ids.index(doc_id)] = t_ms[i]
+                else:
+                    ids.append(doc_id)
+                    sigs.append(doc_sig)
+                    ts_ms.append(t_ms[i])
+        if ids:
+            state.update((ids, sigs, ts_ms))
+            state.setTimeoutTimestamp(max(max(ts_ms), wm + 1) + bucket_ttl_ms)
+        else:
+            state.remove()
+        yield pd.DataFrame(out)
+
+    pairs = exploded.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=_MINHASH_PAIR_SCHEMA,
+        stateStructType=_MINHASH_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    # F.round on the output column: one rounding definition shared with the
+    # batch operator (and its DuckDB oracle), not Python/numpy ties-to-even.
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))

@@ -250,3 +250,79 @@ def test_streaming_zscore_state_survives_checkpoint_restart(spark, tmp_path):
     # restored state from the pre-restart batch
     assert 30 in flagged
     assert len(flagged) == 1
+
+
+def test_streaming_minhash_dedup_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Ingest-time MinHash dedup must discover EXACTLY the batch operator's
+    candidate pairs (ids + est_jaccard) across micro-batch boundaries: the
+    500 fixture docs are split by doc_id % 3 into three files/triggers, so
+    most colliding pairs straddle batches and only cross-batch bucket state
+    can pair them."""
+    from syscol_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
+    from syscol_spark.streaming.analytics import streaming_minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    expected = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_lsh_candidates(minhash_signatures(docs, "text", "doc_id")).collect()
+    }
+    assert expected, "fixture must contain near-dup candidates"
+
+    timed = docs.withColumn("event_time", F.timestamp_micros(1_700_000_000_000_000 + F.col("doc_id") * 1_000_000))
+    src = str(tmp_path / "docs")
+    for k in range(3):
+        timed.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_minhash_dedup(stream, watermark="1 hour")
+    # run until the source is EXHAUSTED (all three files triggered), not just
+    # until N rows exist — per-band duplicate emissions would otherwise let
+    # the poll return mid-stream
+    q = (
+        out.writeStream.format("memory").queryName("mh_dedup").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM mh_dedup").collect()
+    # a pair colliding in several bands emits once per band — dedup here,
+    # as a downstream consumer would
+    got = {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in rows}
+    assert got == expected
+
+
+def test_streaming_minhash_dedup_watermark_evicts_members(spark, tmp_path):
+    """Members behind the watermark leave bucket state: an identical doc
+    arriving AFTER the horizon passed its twin must NOT pair with it, while
+    two in-horizon twins in the same batch still pair (positive control)."""
+    from syscol_spark.streaming.analytics import streaming_minhash_dedup
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_n = "one two three four five six seven eight nine ten eleven"
+    t0 = 1_700_000_000_000_000
+    m30 = 30 * 60 * 1_000_000
+    f0 = [(1, text_a, t0), (2, text_n, t0)]
+    f1 = [(3, "noise words entirely different from both corpora here now", t0 + m30)]
+    f2 = [(4, text_a, t0 + m30 + 1_000_000), (5, text_a, t0 + m30 + 2_000_000)]
+    src = str(tmp_path / "docs")
+    for k, rows in enumerate([f0, f1, f2]):
+        spark.createDataFrame(rows, "doc_id long, text string, ts_us long").withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
+        ).drop("ts_us").coalesce(1).write.parquet(f"{src}/f{k}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_minhash_dedup(stream, watermark="1 minute")
+    rows = _run_to_memory(out, "mh_evict", output_mode="append", min_rows=1, timeout=60)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (4, 5) in got_pairs, "in-horizon identical docs must pair"
+    assert not any(1 in p for p in got_pairs), f"doc 1 should have been evicted, got {got_pairs}"
