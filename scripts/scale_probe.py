@@ -77,6 +77,21 @@ def main() -> None:
         dt = time.time() - t0
         print(f"edjoin {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
 
+    # PPJoin exact-Jaccard probe: same token-bijection inflation — the
+    # copy-suffixed vocabulary keeps prefix-token selectivity realistic
+    # (unlike Ed-Join's q-grams, word shingles stay distinct across copies),
+    # so this measures the prefix-filter index at constant dup density.
+    from syscol_spark.operators.dedup import ngram_jaccard_pairs
+
+    for k in (1, 4, 16):
+        corpus = inflate(base, k)
+        t0 = time.time()
+        n_pairs = ngram_jaccard_pairs(
+            corpus, "text", "doc_id", "lang", shingle_n=3, min_jaccard=0.2
+        ).count()
+        dt = time.time() - t0
+        print(f"ppjoin {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
+
     # Embedding near-dup probe: inflate the embeddings corpus by flipping
     # each copy's coordinates with a copy-specific ±1 Rademacher diagonal —
     # an orthogonal transform, so intra-copy cosine structure is EXACTLY
