@@ -87,6 +87,27 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
         _release_cached(spark)
 
+    # Re-time the 10 heaviest queries twice more and keep the min-of-3:
+    # back-to-back JVM sharing contaminates single-shot numbers (measured
+    # 2.8 -> 18.5 s swings from concurrent GC/codegen pressure), so
+    # round-over-round deltas on the expensive queries are only signal if
+    # each number is a min over repeats taken after the full sweep.
+    solo_min: dict[str, float] = {}
+    top10 = sorted(timings, key=lambda n: -timings[n])[:10]
+    for name in top10:
+        best = timings[name]
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                df = QUERIES[name].builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 - already recorded in pass 1
+                break
+            best = min(best, time.time() - t0)
+            _release_cached(spark)
+        solo_min[name] = round(best, 3)
+        print(f"# min3 {name}: {best:.2f}s", file=sys.stderr)
+
     # Ingest-pipeline throughput vs the reference's operational ceiling
     # (BASELINE.md: ~1000 msg/s for a 1000-node fleet): synthesize envelopes,
     # run the full enrich → JSON-serialize path, measure records/sec.
@@ -108,6 +129,7 @@ def main() -> None:
                 "n_errors": len(errors),
                 "errors": errors,
                 "ingest_envelopes_per_sec": ingest_rps,
+                "top10_min_of_3": solo_min,
             }
         )
     )
