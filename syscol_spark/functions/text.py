@@ -133,6 +133,38 @@ def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Colu
     return F.round(F.lit(0.5) * len_term + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0)) + F.lit(0.1) * (1 - F.least(p_ratio * 10, F.lit(1.0))), 6)
 
 
+# Fixed interpretable weights for the linear quality classifier — the
+# engine-portable stand-in for a fastText/logreg quality model (the real
+# model swaps in as a weight vector; the plumbing and parity stay the same).
+QUALITY_CLF_BIAS = -0.5
+QUALITY_CLF_W_STOP = 4.0  # stopword ratio — fluent prose has stopwords
+QUALITY_CLF_W_LEN = -0.4  # penalty per char of mean token length above 4
+QUALITY_CLF_W_TOK = 0.8  # reward per 100 tokens of length
+
+
+def quality_logit(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Linear quality-classifier score (the pre-sigmoid logit): a fixed
+    interpretable weight vector over engine-portable features, so the score
+    is reproducible bit-for-bit in any ANSI engine (no exp/libm calls —
+    sigmoid is monotone, so thresholding the logit IS thresholding the
+    probability). Feature order and operation order are part of the
+    contract: every term is evaluated left to right exactly as written
+    here, and the DuckDB oracle mirrors that order token for token."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    stop_ratio = stopword_hits(c, stopwords).cast("double") / F.greatest(n_tok, F.lit(1))
+    mean_tok_len = (
+        F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("double")
+        / F.greatest(n_tok, F.lit(1))
+    )
+    return (
+        F.lit(QUALITY_CLF_BIAS)
+        + F.lit(QUALITY_CLF_W_STOP) * stop_ratio
+        + F.lit(QUALITY_CLF_W_LEN) * (mean_tok_len - F.lit(4.0))
+        + F.lit(QUALITY_CLF_W_TOK) * (n_tok.cast("double") / F.lit(100.0))
+    )
+
+
 def repetition_micro(col: Column | str, n: int = 3) -> Column:
     """Gopher-style repetition measure in exact MICRO units (long):
     floor(1e6 · duplicate-n-gram-occurrence fraction). Integer end-to-end —

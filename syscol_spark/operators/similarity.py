@@ -641,3 +641,65 @@ def knn_graph(
     )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("nbr"))
     return sym.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(F.col("rk") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    min_cosine: float = 0.35,
+    max_iter: int = 3,
+    train_stride: int = 1,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: partition the
+    corpus with a coarse k-means quantizer, then inside each cluster drop
+    every vector that has a LOWER-id clustermate with cosine >= min_cosine
+    (the lowest id of each similar group survives — deterministic, no RNG).
+    Output: (vec_id, cluster, keep).
+
+    Scale shape: clustering reuses the bounded-training quantizer
+    (kmeans_centroids — stride-sampled training, one serving scan to
+    assign); the only pairwise work is the intra-cluster self-join, which
+    is the SemDeDup design point — k is chosen so clusters are small
+    (corpus_rows / k pairs-per-cluster is the knob; at 100 TB pick
+    k ~ rows/50k so the per-cluster quadratic term stays bounded), and AQE
+    skew-splits oversized clusters. Vectors travel once to the candidate
+    pairs; scoring is the shared Arrow einsum batch path.
+
+    Oracle-mirrorable end to end: deterministic k-means unrolls into the
+    same CTE chain as the IVF oracle, and the drop rule is one EXISTS over
+    the cluster equi-join (plans/northstar.py::q_semdedup).
+    """
+    cents = kmeans_centroids(
+        corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
+        max_iter=max_iter, train_stride=train_stride,
+    )
+    assigned = _assign_nearest(corpus.select(id_col, vec_col), vec_col, cents).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col("__cluster").alias("cluster")
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("cluster")
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("cluster")
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "vec_a", "vec_b"
+    )
+    dropped = (
+        _score_pairs_arrow(pairs)
+        .filter(F.col("cosine") >= min_cosine)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )

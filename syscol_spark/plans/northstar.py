@@ -251,6 +251,33 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", "lang", shingle_n=3, min_jaccard=0.2)
 
 
+# --- exact duplicated-substring spans (Lee et al. ACL'22 semantics) ----------
+@register(
+    "q_substring_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+        THEN list_transform(range(1, len(toks) - 6),
+                            i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))
+        ELSE [md5(array_to_string(toks, ' '))] END) AS gram
+      FROM t),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT g.doc_id, CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END AS dup
+          FROM g LEFT JOIN d ON g.gram = d.gram)
+    SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(dup) AS BIGINT) AS n_dup_spans,
+           CAST(floor(1000000.0 * CAST(SUM(dup) AS DOUBLE) / COUNT(*)) AS BIGINT) AS dup_ppm
+    FROM m GROUP BY doc_id HAVING SUM(dup) >= 1
+    """,
+    description="exact duplicated-substring spans: 8-token windows occurring in >=2 docs, per-doc dup fraction",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(_docs(spark, sf_dir), "text", "doc_id", n=8)
+
+
 # --- dedup clustering: connected components over near-dup pairs -------------
 @register(
     "q_dedup_clusters",
@@ -535,10 +562,13 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # argmax flips would need two distinct centroids within ~1e-13 of the same
 # score, which the 6-dp rounding of the final cosine makes unobservable
 # anyway (validated by the driver hash at sf0.001/0.01).
-def _ivf_oracle_sql(
-    *, k: int, nprobe: int, iters: int, dim: int, q_max: int, topk: int,
-    train_stride: int = 1,
-) -> str:
+def _kmeans_serve_ctes(
+    *, k: int, iters: int, dim: int, train_stride: int = 1
+) -> list[str]:
+    """Shared unrolled-k-means CTE chain (dims .. servescore .. serve):
+    mirrors kmeans_centroids training + _assign_nearest serving, ending with
+    serve(vec_id, cluster). Used by both the IVF ANN oracle and the
+    SemDeDup oracle so the two can't drift."""
     # training CTEs scan the SAME deterministic stride sample as the engine
     # (kmeans_centroids train_stride); serving scans the full table
     train = (
@@ -584,6 +614,14 @@ def _ivf_oracle_sql(
         "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
         "PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM servescore) WHERE rn = 1)"
     )
+    return ctes
+
+
+def _ivf_oracle_sql(
+    *, k: int, nprobe: int, iters: int, dim: int, q_max: int, topk: int,
+    train_stride: int = 1,
+) -> str:
+    ctes = _kmeans_serve_ctes(k=k, iters=iters, dim=dim, train_stride=train_stride)
     # probe ranking mirrors slice(reverse(array_sort(...)), 1, nprobe):
     # descending score, score-ties broken by the HIGHER cluster index
     ctes.append(
@@ -625,6 +663,47 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4, max_iter=3,
         train_stride=4,
+    )
+
+
+# --- SemDeDup semantic deduplication -----------------------------------------
+# Same unrolled-k-means oracle chain as q_ann_ivf (shared _kmeans_serve_ctes,
+# same validated hyperparameters), then the SemDeDup drop rule as one EXISTS:
+# a vector is dropped iff a lower-id clustermate has rounded cosine >= tau.
+def _semdedup_oracle_sql(*, k: int, iters: int, dim: int, tau: float, train_stride: int) -> str:
+    ctes = _kmeans_serve_ctes(k=k, iters=iters, dim=dim, train_stride=train_stride)
+    cos = (
+        "ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])), 6)"
+    )
+    ctes.append(
+        "dropped AS (SELECT DISTINCT b.vec_id FROM serve a JOIN serve b "
+        "ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id "
+        f"WHERE {cos} >= {tau})"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
+           (d.vec_id IS NULL) AS keep
+    FROM serve s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    """
+    )
+
+
+@register(
+    "q_semdedup",
+    _semdedup_oracle_sql(k=16, iters=3, dim=64, tau=0.35, train_stride=4),
+    description="SemDeDup: k-means clusters + drop vectors with a lower-id clustermate at cosine>=0.35",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), n_clusters=16, min_cosine=0.35, max_iter=3, train_stride=4
     )
 
 

@@ -442,3 +442,91 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --- linear quality classifier (fastText/logreg stand-in) --------------------
+# No exp/libm anywhere: sigmoid is monotone, so thresholding the logit IS
+# thresholding the probability, and the logit is a fixed dot product over
+# engine-portable features evaluated in one pinned operation order (see
+# functions/text.py::quality_logit — the oracle below mirrors that order
+# token for token, so floor(1e6·logit) is the same exact integer in both
+# engines). A trained model swaps in as a weight vector; plumbing + parity
+# are unchanged.
+_STOPS_IN = ", ".join(f"'{s}'" for s in DEFAULT_STOPWORDS)
+
+
+@register(
+    "q_quality_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  tok -> tok IN ({_STOPS_IN}))) AS BIGINT) AS stop_hits,
+             CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_nospace
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             (-0.5) + 4.0 * (CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1))
+                    + (-0.4) * ((CAST(n_nospace AS DOUBLE) / greatest(n_tokens, 1)) - 4.0)
+                    + 0.8 * (CAST(n_tokens AS DOUBLE) / 100.0) AS logit
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(floor(1000000.0 * logit) AS BIGINT) AS score_micro,
+           logit >= 0.0 AS keep
+    FROM s
+    """,
+    description="linear quality classifier: fixed-weight logit over portable text features, exact micro-int score",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.functions.text import quality_logit
+
+    logit = quality_logit("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.lit(1_000_000.0) * logit).cast("long").alias("score_micro"),
+        (logit >= F.lit(0.0)).alias("keep"),
+    )
+
+
+# --- deterministic train/valid/test split ------------------------------------
+# The md5 ppm bucket (operators/sampling.py::hash_bucket) carves the corpus
+# 90/5/5 by doc_id: membership is a pure per-row filter (zero shuffle, zero
+# state), re-runs and engines agree row-for-row, and adding data never moves
+# an existing doc between splits. Membership is proven by per-split id sums,
+# not just counts.
+_SPLIT_BUCKET = hash_bucket_sql("doc_id", 13)
+
+
+@register(
+    "q_split_assign",
+    f"""
+    SELECT CASE WHEN {_SPLIT_BUCKET} < 900000 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 950000 THEN 'valid'
+                ELSE 'test' END AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    description="deterministic 90/5/5 train/valid/test split via md5 ppm bucket, id-sum-proven membership",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = hash_bucket("doc_id", seed=13)
+    split = (
+        F.when(b < 900_000, F.lit("train"))
+        .when(b < 950_000, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(split.alias("split"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

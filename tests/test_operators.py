@@ -502,3 +502,90 @@ def test_edit_distance_pairs_randomized_vs_brute_force(spark):
                     want[(lo, hi)] = d
         assert got == want, f"seed {seed}: {len(got)} vs {len(want)} pairs"
         assert want, f"seed {seed}: fixture produced no pairs"
+
+
+def test_semantic_dedup_lowest_id_survives(spark):
+    from syscol_spark.operators.similarity import semantic_dedup
+
+    # two tight groups of near-identical vectors + one outlier. Seeds are
+    # the k LOWEST ids (kmeans_centroids contract), so ids 1/2/3 are laid
+    # out one per group to give each cluster a distinct seed; within each
+    # group only the lowest id survives and the outlier always survives.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (10, [0.999, 0.01, 0.0, 0.0]),
+        (11, [0.998, 0.02, 0.0, 0.0]),
+        (12, [0.0, 0.999, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    out = semantic_dedup(df, n_clusters=3, min_cosine=0.9, max_iter=3)
+    kept = {r["vec_id"] for r in out.collect() if r["keep"]}
+    assert kept == {1, 2, 3}
+
+
+def test_semantic_dedup_keep_matches_pair_rule(spark, sf_dir):
+    """keep flags must equal the definition: dropped iff some lower-id
+    clustermate has cosine >= tau (checked brute-force per cluster)."""
+    import itertools
+
+    import numpy as np
+
+    from syscol_spark.operators.similarity import semantic_dedup
+    from syscol_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, n_clusters=8, min_cosine=0.35, max_iter=2).collect()
+    flags = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in emb.collect()}
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (c, _) in flags.items():
+        by_cluster.setdefault(c, []).append(vid)
+    for c, ids in by_cluster.items():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            va, vb = vecs[a], vecs[b]
+            cos = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if cos >= 0.35:
+                assert not flags[b][1], f"{b} has lower-id {a} at cos {cos} but keep=True"
+
+
+def test_duplicated_span_stats(spark):
+    from syscol_spark.operators.dedup import duplicated_span_stats
+
+    shared = "a b c d e f g h"  # exactly one 8-token span
+    rows = [
+        (1, shared + " x y z"),
+        (2, "p q " + shared),
+        (3, "totally different words here that nobody repeats at all ok"),
+        (4, "tiny doc"),  # < 8 tokens: whole text is the span
+        (5, "tiny doc"),
+    ]
+    out = {
+        r["id"]: r
+        for r in duplicated_span_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"), "text", "doc_id", n=8
+        ).collect()
+    }
+    # docs 1,2 share the 8-token window; docs 4,5 are identical short docs
+    assert set(out) == {1, 2, 4, 5}
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 3 and out[2]["n_dup_spans"] == 1
+    assert out[4]["n_spans"] == 1 and out[4]["dup_ppm"] == 1_000_000
+    assert out[1]["dup_ppm"] == 250_000
+
+
+def test_quality_logit_feature_directions(spark):
+    import pyspark.sql.functions as F
+
+    from syscol_spark.functions.text import quality_logit
+
+    rows = [
+        (1, "the a of and to in is it the a of and"),  # all stopwords
+        (2, "xylophone quixotic zygote phantasmagoria"),  # long rare tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", quality_logit("text").alias("s")).collect()}
+    assert got[1] > got[2]  # stopword-rich short-token text scores higher
