@@ -74,7 +74,13 @@ def edit_distance_pairs(
     s = strings.withColumn("__grams", _distinct_qgrams(F.col("__s"), q)).withColumn(
         "__len", F.length("__s")
     )
-    ex = s.select("__id", "__len", F.explode("__grams").alias("gram"))
+    # materialize the exploded grams ONCE: the posting list feeds both the
+    # document-frequency aggregation and the rank join, and recomputing the
+    # tokenize+explode pass for each reference (plus for the downstream
+    # prefix scan) dominated the wall time (measured ~2.4x at sf0.1). At
+    # lake scale this is the "write the gram index to a table first" step —
+    # same pattern as ngram_jaccard_pairs' shingle materialization.
+    ex = s.select("__id", "__len", F.explode("__grams").alias("gram")).localCheckpoint()
 
     # global gram order: rarest first, gram string as tie-break (total order)
     freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
