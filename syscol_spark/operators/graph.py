@@ -40,15 +40,32 @@ def pagerank(
 
     Output: (node, pr) with pr rounded to 6dp; sum(pr) ≈ N.
     """
-    # Materialize the edge list ONCE: its producing subplan (e.g. the whole
-    # knn_graph build) would otherwise be re-executed by every consumer
-    # below — nodes once, and TWICE inside weighted (e ⋈ e.groupBy).
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).localCheckpoint()
+    # Materialize the edge list ONCE, pre-partitioned on src: its producing
+    # subplan (e.g. the whole knn_graph build) would otherwise be re-executed
+    # by every consumer below, and hashing it on the join key up front lets
+    # every iteration's sort-merge join reuse the stored partitioning
+    # instead of re-exchanging the (static) edge side.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .localCheckpoint()
+    )
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct().localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    weighted = e.join(deg, "src").localCheckpoint()  # (src, dst, deg) fixed
+    weighted = e.join(deg, "src").repartition("src").localCheckpoint()  # (src, dst, deg) fixed
+
+    # Nodes with NO in-edges is a constant set: their rank is (1-d) after
+    # the first iteration, every iteration. Computing it once replaces the
+    # per-iteration nodes-⋈-contrib left join (one fewer shuffle join per
+    # iteration) with a shuffle-free union of this fixed frame.
+    with_in = e.select(F.col("dst").alias("node")).distinct()
+    dangling = (
+        nodes.join(with_in, "node", "left_anti")
+        .withColumn("pr", F.lit(1.0 - damping))
+        .localCheckpoint()
+    )
 
     pr = nodes.withColumn("pr", F.lit(1.0))
     for it in range(iterations):
@@ -58,13 +75,13 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("pr"),
-        )
+        # every src is in pr by construction (contrib ∪ dangling covers all
+        # nodes), so no contribution is ever dropped and the coalesce of the
+        # old left join is exactly the dangling union below
+        pr = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("s")).alias("pr"),
+        ).unionByName(dangling)
         # truncate lineage every THIRD iteration: each localCheckpoint is an
         # eager job (~0.3-0.5 s scheduling latency at local scale), and a
         # 3-iteration plan is still shallow — cuts the job count by a third
