@@ -92,6 +92,20 @@ def main() -> None:
         dt = time.time() - t0
         print(f"ppjoin {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
 
+    # Substring-span dedup probe: the token bijection keeps every copy's
+    # internal dup structure identical while cross-copy 8-gram overlap is
+    # zero, so the true per-doc output is constant as volume grows — the
+    # measured wall curve is the cost of the (hash, id) explode + groupBy,
+    # which is the linear path a suffix-array replacement must beat.
+    from syscol_spark.operators.dedup import duplicated_span_stats
+
+    for k in (1, 4, 16):
+        corpus = inflate(base, k)
+        t0 = time.time()
+        n_docs_dup = duplicated_span_stats(corpus, "text", "doc_id", n=8).count()
+        dt = time.time() - t0
+        print(f"spans  {k:>2}x  docs={k * base.count():>6}  dup_docs={n_docs_dup:>8}  wall={dt:6.2f}s")
+
     # Embedding near-dup probe: inflate the embeddings corpus by flipping
     # each copy's coordinates with a copy-specific ±1 Rademacher diagonal —
     # an orthogonal transform, so intra-copy cosine structure is EXACTLY
