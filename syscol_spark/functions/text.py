@@ -41,17 +41,36 @@ def stopword_hits(col: Column | str, stopwords: list[str] | None = None) -> Colu
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(stops, t))).cast("long")
 
 
+def _bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once and hand it to ``fn`` as a lambda-bound value.
+
+    A plain aliased select is NOT a barrier — CollapseProject re-inlines the
+    alias into every reference, so an expression used inside a
+    ``transform`` lambda is re-evaluated PER ELEMENT (the similarity.py
+    keys_of lesson: measured ~100x blowup for a regex split referenced from
+    a 100-element transform). transform over a 1-element array forces a
+    NamedLambdaVariable binding, which codegen evaluates exactly once."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of a document, as an array<string>.
 
     Built from transform(sequence(...)) — no explode, no Python — so shingling
-    stays inside codegen even for long documents.
+    stays inside codegen even for long documents. The token array is
+    lambda-bound (_bind_once) so the whitespace split runs once per row,
+    not once per shingle position.
     """
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    # guard: doc shorter than n tokens yields the whole doc as one shingle
-    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+    def sh_of(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        # guard: doc shorter than n tokens yields the whole doc as one shingle
+        return F.array_distinct(
+            F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    return _bind_once(tokens(col), sh_of)
 
 
 # GPT-2-flavored pretokenization shape: word runs OR punctuation runs.
@@ -171,12 +190,15 @@ def repetition_micro(col: Column | str, n: int = 3) -> Column:
     dividing back to a double and re-scaling later is the trap: k/1e6 is not
     representable, so Spark's truncating double→long cast and DuckDB's
     rounding one disagree by 1 on the k−ε values (observed at sf0.1)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    all_grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    total = F.size(all_grams)
-    distinct = F.size(F.array_distinct(all_grams))
-    return F.floor(F.lit(1_000_000.0) * (total - distinct) / total).cast("long")
+    def rep_of(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        all_grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        total = F.size(all_grams)
+        distinct = F.size(F.array_distinct(all_grams))
+        return F.floor(F.lit(1_000_000.0) * (total - distinct) / total).cast("long")
+
+    # lambda-bind the split so it runs once per row, not per gram position
+    return _bind_once(tokens(col), rep_of)
 
 
 def repetition_ratio(col: Column | str, n: int = 3) -> Column:

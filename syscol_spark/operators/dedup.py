@@ -472,14 +472,17 @@ def duplicated_span_stats(
     dup_ppm is kept integer end-to-end (catalog parity rule: no re-scaled
     doubles).
     """
-    from syscol_spark.functions.text import tokens
+    from syscol_spark.functions.text import _bind_once, tokens
 
-    toks = tokens(content_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))),
-    ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+    def grams_of(toks: F.Column) -> F.Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))),
+        ).otherwise(F.array(F.md5(F.concat_ws(" ", toks))))
+
+    # lambda-bind the split so it runs once per row, not per span position
+    grams = _bind_once(tokens(content_col), grams_of)
     ex = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(grams).alias("gram")
     )
