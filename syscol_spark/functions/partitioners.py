@@ -41,10 +41,17 @@ def fnv1a_32(col: Column | str) -> Column:
 
 def _fnv_expr(c: Column) -> Column:
     # byte array of the utf-8 encoding as 0..255 ints: aes-free pure SQL —
-    # encode → hex (2 chars per byte) → conv per byte
-    hx = F.hex(F.encode(c, "UTF-8"))
-    idx = F.sequence(F.lit(0), (F.length(hx) / F.lit(2)).cast("int") - F.lit(1))
-    bts = F.transform(idx, lambda i: F.conv(F.substring(hx, (i * 2 + 1).cast("int"), 2), 16, 10).cast("long"))
+    # encode → hex (2 chars per byte) → conv per byte. The hex string is
+    # lambda-bound (transform over a 1-element array) so it is computed once
+    # per row — referenced bare inside the per-byte transform lambda,
+    # CollapseProject would re-inline (and re-evaluate) it per byte.
+    def bts_of(hx: Column) -> Column:
+        idx = F.sequence(F.lit(0), (F.length(hx) / F.lit(2)).cast("int") - F.lit(1))
+        return F.transform(
+            idx, lambda i: F.conv(F.substring(hx, (i * 2 + 1).cast("int"), 2), 16, 10).cast("long")
+        )
+
+    bts = F.element_at(F.transform(F.array(F.hex(F.encode(c, "UTF-8"))), bts_of), 1)
     m32 = F.lit(_M32).cast("long")
     prime = F.lit(FNV_PRIME_32).cast("long")
     hashed = F.aggregate(

@@ -105,13 +105,18 @@ def rolling_fingerprint(col: Column | str) -> Column:
     first token's int (matches a first-element-init reduce, so any engine's
     fold can reproduce it)."""
     p = F.lit(FINGERPRINT_P).cast("long")
-    ints = F.transform(tokens(col), token_int)
-    rest = F.slice(ints, 2, F.greatest(F.size(ints) - 1, F.lit(0)))
-    return F.aggregate(
-        rest,
-        F.element_at(ints, 1),
-        lambda acc, x: F.pmod(acc * F.lit(31).cast("long") + x, p),
-    )
+
+    def fp_of(ints: Column) -> Column:
+        rest = F.slice(ints, 2, F.greatest(F.size(ints) - 1, F.lit(0)))
+        return F.aggregate(
+            rest,
+            F.element_at(ints, 1),
+            lambda acc, x: F.pmod(acc * F.lit(31).cast("long") + x, p),
+        )
+
+    # lambda-bind the md5-per-token array: it is referenced twice (slice +
+    # first-element init), and inlining would hash every token twice
+    return _bind_once(F.transform(tokens(col), token_int), fp_of)
 
 
 # --- PII scrubbing (north-star: pre-training redaction pass) ----------------
