@@ -580,6 +580,10 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .drop("w")
+        # materialize ONCE: the triangle join consumes the edge list three
+        # times (e1/e2/e3), and the distinct + self-join + groupBy that
+        # builds it would otherwise run per consumer
+        .localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
