@@ -700,6 +700,83 @@ def knn_graph(
     return sym.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(F.col("rk") <= k)
 
 
+def pq_codes(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    max_iter: int = 2,
+    train_stride: int = 1,
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al., TPAMI'11): split each
+    vector into ``n_subspaces`` contiguous sub-vectors, train an independent
+    deterministic k-means codebook per subspace (same bounded trainer as the
+    IVF quantizer — stride-sampled, driver-local under the probe bound),
+    and emit each vector's per-subspace nearest-centroid code plus the
+    packed code word. At n_subspaces=8, n_centroids=16 a 256-byte float32
+    vector compresses to a 4-byte code word (64x) — the memory layout an
+    ANN index at 100 TB actually serves from.
+
+    Serving is ONE corpus scan: all n_subspaces assignments are column
+    expressions (matrix_dots against codebook literals) stacked on the same
+    frame — no joins, no Python. Training cost is n_subspaces bounded
+    k-means runs on the stride sample.
+
+    Output: (id, c0..c{S-1} int codes, pq_code packed long), fully
+    mirrorable by per-subspace unrolled-CTE oracles (q_embed_pq).
+    """
+    sub = dim // n_subspaces
+    bits = max(1, (n_centroids - 1).bit_length())
+    df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    # Train all subspace codebooks from ONE pull of the stride sample when it
+    # fits the driver bound (8 separate kmeans_centroids calls would re-probe
+    # and re-collect the same rows 8 times); the per-subspace distributed
+    # trainer remains the fallback above the bound. _kmeans_local on numpy
+    # slices is numerically identical to slicing inside the engine (the
+    # float32→float64 widening is elementwise).
+    train = df.select("id", "vec")
+    if train_stride > 1:
+        train = train.filter(F.col("id") % train_stride == 0)
+    if train.limit(_LOCAL_TRAIN_LIMIT + 1).count() <= _LOCAL_TRAIN_LIMIT:
+        rows = train.collect()
+        codebooks = [
+            _kmeans_local(
+                [(r[0], r[1][s * sub : (s + 1) * sub]) for r in rows],
+                n_centroids, max_iter,
+            )
+            for s in range(n_subspaces)
+        ]
+    else:
+        codebooks = [
+            kmeans_centroids(
+                df.select("id", F.slice(F.col("vec"), s * sub + 1, sub).alias("__sub")),
+                vec_col="__sub", id_col="id", k=n_centroids,
+                max_iter=max_iter, train_stride=train_stride,
+            )
+            for s in range(n_subspaces)
+        ]
+
+    code_cols = []
+    for s in range(n_subspaces):
+        sliced = F.slice(F.col("vec"), s * sub + 1, sub)
+        df = (
+            _assign_nearest(df.withColumn("__sub", sliced), "__sub", codebooks[s])
+            .withColumnRenamed("__cluster", f"c{s}")
+            .drop("__sub")
+        )
+        code_cols.append(f"c{s}")
+    packed = F.lit(0).cast("long")
+    for s in range(n_subspaces):
+        packed = packed.bitwiseOR(F.shiftleft(F.col(f"c{s}").cast("long"), s * bits))
+    return df.select(
+        F.col("id").alias(id_col), *code_cols, packed.alias("pq_code")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,

@@ -563,12 +563,16 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # score, which the 6-dp rounding of the final cosine makes unobservable
 # anyway (validated by the driver hash at sf0.001/0.01).
 def _kmeans_serve_ctes(
-    *, k: int, iters: int, dim: int, train_stride: int = 1
+    *, k: int, iters: int, dim: int, train_stride: int = 1,
+    suffix: str = "", dim_lo: int = 1,
 ) -> list[str]:
     """Shared unrolled-k-means CTE chain (dims .. servescore .. serve):
     mirrors kmeans_centroids training + _assign_nearest serving, ending with
-    serve(vec_id, cluster). Used by both the IVF ANN oracle and the
-    SemDeDup oracle so the two can't drift."""
+    serve{suffix}(vec_id, cluster). Used by the IVF ANN, SemDeDup and PQ
+    oracles so they can't drift. ``suffix`` namespaces every CTE (PQ builds
+    one chain per subspace); ``dim_lo`` starts the dimension window at a
+    1-based offset so a chain can quantize the F.slice(vec, dim_lo, dim)
+    sub-vector the engine trains on."""
     # training CTEs scan the SAME deterministic stride sample as the engine
     # (kmeans_centroids train_stride); serving scans the full table
     train = (
@@ -576,43 +580,44 @@ def _kmeans_serve_ctes(
         if train_stride > 1
         else "embeddings"
     )
+    s = suffix
     ctes = [
-        f"dims AS (SELECT unnest(range(1, {dim + 1})) AS i)",
+        f"dims{s} AS (SELECT unnest(range({dim_lo}, {dim_lo + dim})) AS i)",
         (
-            "seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, embedding "
+            f"seeds{s} AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, embedding "
             f"FROM (SELECT * FROM {train} ORDER BY vec_id LIMIT {k}))"
         ),
-        "c0 AS (SELECT cluster, i, CAST(embedding[i] AS DOUBLE) AS val FROM seeds, dims)",
+        f"c{s}_0 AS (SELECT cluster, i, CAST(embedding[i] AS DOUBLE) AS val FROM seeds{s}, dims{s})",
     ]
     for t in range(1, iters + 1):
-        prev = f"c{t - 1}"
+        prev = f"c{s}_{t - 1}"
         ctes.append(
-            f"score{t} AS (SELECT e.vec_id, c.cluster, "
+            f"score{s}_{t} AS (SELECT e.vec_id, c.cluster, "
             "SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.val) - SUM(c.val * c.val) / 2 AS score "
             f"FROM {train} e, {prev} c GROUP BY e.vec_id, c.cluster)"
         )
         ctes.append(
-            f"assign{t} AS (SELECT vec_id, cluster FROM ("
+            f"assign{s}_{t} AS (SELECT vec_id, cluster FROM ("
             "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
-            f"PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM score{t}) WHERE rn = 1)"
+            f"PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM score{s}_{t}) WHERE rn = 1)"
         )
         ctes.append(
-            f"c{t} AS (SELECT p.cluster, p.i, COALESCE(m.val, p.val) AS val "
+            f"c{s}_{t} AS (SELECT p.cluster, p.i, COALESCE(m.val, p.val) AS val "
             f"FROM {prev} p LEFT JOIN ("
             "SELECT a.cluster, d.i, AVG(CAST(e.embedding[d.i] AS DOUBLE)) AS val "
-            f"FROM assign{t} a JOIN {train} e USING (vec_id), dims d "
+            f"FROM assign{s}_{t} a JOIN {train} e USING (vec_id), dims{s} d "
             "GROUP BY a.cluster, d.i) m ON p.cluster = m.cluster AND p.i = m.i)"
         )
-    final = f"c{iters}"
+    final = f"c{s}_{iters}"
     ctes.append(
-        "servescore AS (SELECT e.vec_id, c.cluster, "
+        f"servescore{s} AS (SELECT e.vec_id, c.cluster, "
         "SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.val) - SUM(c.val * c.val) / 2 AS score "
         f"FROM embeddings e, {final} c GROUP BY e.vec_id, c.cluster)"
     )
     ctes.append(
-        "serve AS (SELECT vec_id, cluster FROM ("
+        f"serve{s} AS (SELECT vec_id, cluster FROM ("
         "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
-        "PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM servescore) WHERE rn = 1)"
+        f"PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM servescore{s}) WHERE rn = 1)"
     )
     return ctes
 
@@ -663,6 +668,55 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4, max_iter=3,
         train_stride=4,
+    )
+
+
+# --- product quantization codes ----------------------------------------------
+# One unrolled-k-means chain PER SUBSPACE (shared _kmeans_serve_ctes with a
+# namespace suffix and a dimension-window offset), joined on vec_id for the
+# final code word. Same validated oracle family as q_ann_ivf/q_semdedup.
+def _pq_oracle_sql(
+    *, n_subspaces: int, sub_dim: int, k: int, iters: int, train_stride: int
+) -> str:
+    bits = max(1, (k - 1).bit_length())
+    ctes: list[str] = []
+    for s in range(n_subspaces):
+        ctes.extend(
+            _kmeans_serve_ctes(
+                k=k, iters=iters, dim=sub_dim, train_stride=train_stride,
+                suffix=f"_s{s}", dim_lo=s * sub_dim + 1,
+            )
+        )
+    code_cols = ", ".join(
+        f"CAST(s{s}.cluster AS INTEGER) AS c{s}" for s in range(n_subspaces)
+    )
+    packed = " + ".join(
+        f"CAST(s{s}.cluster AS BIGINT) * {1 << (s * bits)}" for s in range(n_subspaces)
+    )
+    joins = " ".join(
+        f"JOIN serve_s{s} s{s} USING (vec_id)" for s in range(1, n_subspaces)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id, {code_cols}, CAST({packed} AS BIGINT) AS pq_code
+    FROM serve_s0 s0 {joins}
+    """
+    )
+
+
+@register(
+    "q_embed_pq",
+    _pq_oracle_sql(n_subspaces=8, sub_dim=8, k=16, iters=2, train_stride=4),
+    description="product quantization: 8 subspace codebooks (k=16), 64x vector compression, per-subspace unrolled-CTE oracle",
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import pq_codes
+
+    return pq_codes(
+        _emb(spark, sf_dir), dim=64, n_subspaces=8, n_centroids=16,
+        max_iter=2, train_stride=4,
     )
 
 
