@@ -185,11 +185,19 @@ def _ingest_throughput(spark, n_records: int = 1_000_000, n_metrics: int = 100) 
     # execution pays whole-stage-codegen compilation + JIT of the large
     # serialization expression (measured 54k rec/s cold vs 470k warm — the
     # cold number reflects compiler latency, not pipeline throughput).
+    # Best-of-2 measured reps: the ingest measurement runs LAST, after the
+    # 112-query sweep plus the min-of-3 re-runs, and a single rep under
+    # end-of-sweep GC pressure understated a solo-measured ~500k rec/s by
+    # 5x once; one retry recovers the real number.
     pipeline(20_000).write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    pipeline(n_records).write.format("noop").mode("overwrite").save()
-    dt = time.time() - t0
-    return int(n_records / dt)
+    best = 0
+    for _ in range(2):
+        _release_cached(spark)
+        t0 = time.time()
+        pipeline(n_records).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = max(best, int(n_records / dt))
+    return best
 
 
 if __name__ == "__main__":
