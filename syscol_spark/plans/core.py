@@ -276,15 +276,26 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for continuous high-cardinality data. At lake scale swap in
     # F.approx_percentile (t-digest, bounded state, mergeable) — kept exact
     # here because exactness IS this query's contract with the oracle.
+    # one array-percentile aggregate: three scalar F.percentile calls each
+    # maintain (and sort) their own per-group value buffer; the array form
+    # computes all three cut points from a single buffer
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("__pcts"),
             F.round(F.min("l_extendedprice"), 4).alias("lo"),
             F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__pcts", 1), 4).alias("p50"),
+            F.round(F.element_at("__pcts", 2), 4).alias("p90"),
+            F.round(F.element_at("__pcts", 3), 4).alias("p99"),
+            "lo",
+            "hi",
         )
     )
 
