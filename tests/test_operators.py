@@ -589,3 +589,85 @@ def test_quality_logit_feature_directions(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["s"] for r in df.select("doc_id", quality_logit("text").alias("s")).collect()}
     assert got[1] > got[2]  # stopword-rich short-token text scores higher
+
+
+def test_duplicated_span_stats_randomized_vs_brute_force(spark):
+    """Seeded random corpora over a tiny vocabulary (worst case: massive
+    n-gram collision rates) — per-doc span counts must match the
+    brute-force definition exactly."""
+    import random
+
+    from syscol_spark.operators.dedup import duplicated_span_stats
+
+    n = 4
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(50):
+            toks = [rng.choice("abcde") for _ in range(rng.randint(1, 12))]
+            docs.append((i, " ".join(toks)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in duplicated_span_stats(df, "text", "doc_id", n=n).collect()
+        }
+        # brute force: positional n-grams; gram is dup iff present in another doc
+        def grams(text):
+            toks = text.split()
+            if len(toks) < n:
+                return [" ".join(toks)]
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        by_doc = {i: grams(t) for i, t in docs}
+        want = {}
+        for i, gs in by_doc.items():
+            other = set()
+            for j, gj in by_doc.items():
+                if j != i:
+                    other.update(gj)
+            dup = sum(1 for g in gs if g in other)
+            if dup:
+                want[i] = (len(gs), dup)
+        assert got == want, f"seed {seed}"
+        assert want, f"seed {seed}: fixture produced no dup spans"
+
+
+def test_pq_codes_vs_numpy_reference(spark):
+    """PQ codes must equal an independent numpy re-implementation of the
+    deterministic per-subspace k-means + nearest-centroid assignment."""
+    import numpy as np
+
+    from syscol_spark.operators.similarity import pq_codes
+    from syscol_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_sub, sub, k, iters = 4, 16, 8, 2
+    out = {
+        r["vec_id"]: tuple(r[f"c{s}"] for s in range(n_sub))
+        for r in pq_codes(
+            emb, dim=64, n_subspaces=n_sub, n_centroids=k, max_iter=iters
+        ).collect()
+    }
+    rows = sorted((r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect())
+    x = np.array([v for _, v in rows], dtype="float64")
+    ids = [i for i, _ in rows]
+    want = {}
+    for s in range(n_sub):
+        xs = x[:, s * sub : (s + 1) * sub]
+        c = xs[:k].copy()
+        for _ in range(iters):
+            scores = xs @ c.T - 0.5 * (c * c).sum(axis=1)
+            assign = scores.argmax(axis=1)
+            new_c = c.copy()
+            for j in range(k):
+                m = xs[assign == j]
+                if len(m):
+                    new_c[j] = m.mean(axis=0)
+            if np.array_equal(new_c, c):
+                break
+            c = new_c
+        final = (xs @ c.T - 0.5 * (c * c).sum(axis=1)).argmax(axis=1)
+        for vid, code in zip(ids, final):
+            want.setdefault(vid, []).append(int(code))
+    want = {vid: tuple(codes) for vid, codes in want.items()}
+    assert out == want
