@@ -391,3 +391,76 @@ def streaming_minhash_dedup(
     # F.round on the output column: one rounding definition shared with the
     # batch operator (and its DuckDB oracle), not Python/numpy ties-to-even.
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+_CDC_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_versions", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+_CDC_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+
+def streaming_cdc_compact(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_cdc_compact (plans/events.py): per
+    (user_id, event_type) key, maintain the latest-wins compacted row —
+    version count, first/last event time, last value under the batch twin's
+    exact tie-break ((ts_us, event_id) lexicographic, so an out-of-order or
+    duplicate-timestamp feed converges to the same winner) — and emit the
+    updated row for every key touched in each micro-batch (update mode:
+    downstream upserts by key, the CDC sink contract).
+
+    State is O(1) per live key — five scalars, independent of stream length
+    and of how many versions a key has seen; the compaction happens in
+    state, never by buffering versions. Input must carry
+    (user_id, event_type, event_id, ts_us, value).
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        if state.exists:
+            n, first_us, last_us, last_eid, last_value = state.get
+        else:
+            n, first_us, last_us, last_eid, last_value = 0, None, None, None, None
+        for pdf in pdfs:
+            for row in pdf.itertuples():
+                ts, eid, v = int(row.ts_us), int(row.event_id), float(row.value)
+                n += 1
+                if first_us is None or ts < first_us:
+                    first_us = ts
+                if last_us is None or (ts, eid) > (last_us, last_eid):
+                    last_us, last_eid, last_value = ts, eid, v
+        state.update((n, first_us, last_us, last_eid, last_value))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "n_versions": [n],
+                "first_us": [first_us],
+                "last_us": [last_us],
+                "last_value": [last_value],
+            }
+        )
+
+    return stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=_CDC_OUT,
+        stateStructType=_CDC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

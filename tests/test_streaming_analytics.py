@@ -326,3 +326,54 @@ def test_streaming_minhash_dedup_watermark_evicts_members(spark, tmp_path):
     got_pairs = {(r["id_a"], r["id_b"]) for r in rows}
     assert (4, 5) in got_pairs, "in-horizon identical docs must pair"
     assert not any(1 in p for p in got_pairs), f"doc 1 should have been evicted, got {got_pairs}"
+
+
+def test_streaming_cdc_compact_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The streaming compaction's FINAL row per key (after all triggers)
+    must equal the batch q_cdc_compact output exactly — versions split
+    across three micro-batches, so only carried state can get the counts
+    and latest-wins tie-breaks right."""
+    from syscol_spark.plans.catalog import query_catalog
+
+    expected = {
+        (r["user_id"], r["event_type"]): (
+            r["n_versions"], r["first_us"], r["last_us"], r["last_value"]
+        )
+        for r in query_catalog()["q_cdc_compact"](spark, sf_dir).collect()
+    }
+    assert expected
+
+    from syscol_spark.sources.tables import load_table
+    from syscol_spark.streaming.analytics import streaming_cdc_compact
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_us", "value"
+    )
+    src = str(tmp_path / "ev")
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, event_id long, ts_us long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_cdc_compact(stream)
+    q = (
+        out.writeStream.format("memory").queryName("cdc_compact").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM cdc_compact").collect()
+    # update mode appends one row per touched key per batch; the final
+    # compacted row is the one with the highest version count (monotone)
+    got = {}
+    for r in rows:
+        k = (r["user_id"], r["event_type"])
+        if k not in got or r["n_versions"] > got[k][0]:
+            got[k] = (r["n_versions"], r["first_us"], r["last_us"], r["last_value"])
+    assert got == expected
