@@ -700,6 +700,45 @@ def knn_graph(
     return sym.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(F.col("rk") <= k)
 
 
+def _pq_codebooks(
+    df: DataFrame,
+    *,
+    dim: int,
+    n_subspaces: int,
+    n_centroids: int,
+    max_iter: int,
+    train_stride: int,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks. Trains ALL subspaces from ONE pull of the
+    stride sample when it fits the driver bound (n_subspaces separate
+    kmeans_centroids calls would re-probe and re-collect the same rows);
+    the per-subspace distributed trainer remains the fallback above the
+    bound. _kmeans_local on numpy slices is numerically identical to
+    slicing inside the engine (float32→float64 widening is elementwise).
+    ``df`` must be (id, vec)."""
+    sub = dim // n_subspaces
+    train = df.select("id", "vec")
+    if train_stride > 1:
+        train = train.filter(F.col("id") % train_stride == 0)
+    if train.limit(_LOCAL_TRAIN_LIMIT + 1).count() <= _LOCAL_TRAIN_LIMIT:
+        rows = train.collect()
+        return [
+            _kmeans_local(
+                [(r[0], r[1][s * sub : (s + 1) * sub]) for r in rows],
+                n_centroids, max_iter,
+            )
+            for s in range(n_subspaces)
+        ]
+    return [
+        kmeans_centroids(
+            df.select("id", F.slice(F.col("vec"), s * sub + 1, sub).alias("__sub")),
+            vec_col="__sub", id_col="id", k=n_centroids,
+            max_iter=max_iter, train_stride=train_stride,
+        )
+        for s in range(n_subspaces)
+    ]
+
+
 def pq_codes(
     corpus: DataFrame,
     *,
@@ -710,6 +749,7 @@ def pq_codes(
     n_centroids: int = 16,
     max_iter: int = 2,
     train_stride: int = 1,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization codes (Jégou et al., TPAMI'11): split each
     vector into ``n_subspaces`` contiguous sub-vectors, train an independent
@@ -731,35 +771,11 @@ def pq_codes(
     sub = dim // n_subspaces
     bits = max(1, (n_centroids - 1).bit_length())
     df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-
-    # Train all subspace codebooks from ONE pull of the stride sample when it
-    # fits the driver bound (8 separate kmeans_centroids calls would re-probe
-    # and re-collect the same rows 8 times); the per-subspace distributed
-    # trainer remains the fallback above the bound. _kmeans_local on numpy
-    # slices is numerically identical to slicing inside the engine (the
-    # float32→float64 widening is elementwise).
-    train = df.select("id", "vec")
-    if train_stride > 1:
-        train = train.filter(F.col("id") % train_stride == 0)
-    if train.limit(_LOCAL_TRAIN_LIMIT + 1).count() <= _LOCAL_TRAIN_LIMIT:
-        rows = train.collect()
-        codebooks = [
-            _kmeans_local(
-                [(r[0], r[1][s * sub : (s + 1) * sub]) for r in rows],
-                n_centroids, max_iter,
-            )
-            for s in range(n_subspaces)
-        ]
-    else:
-        codebooks = [
-            kmeans_centroids(
-                df.select("id", F.slice(F.col("vec"), s * sub + 1, sub).alias("__sub")),
-                vec_col="__sub", id_col="id", k=n_centroids,
-                max_iter=max_iter, train_stride=train_stride,
-            )
-            for s in range(n_subspaces)
-        ]
-
+    if codebooks is None:
+        codebooks = _pq_codebooks(
+            df, dim=dim, n_subspaces=n_subspaces, n_centroids=n_centroids,
+            max_iter=max_iter, train_stride=train_stride,
+        )
     code_cols = []
     for s in range(n_subspaces):
         sliced = F.slice(F.col("vec"), s * sub + 1, sub)
@@ -774,6 +790,86 @@ def pq_codes(
         packed = packed.bitwiseOR(F.shiftleft(F.col(f"c{s}").cast("long"), s * bits))
     return df.select(
         F.col("id").alias(id_col), *code_cols, packed.alias("pq_code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    max_iter: int = 2,
+    train_stride: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC —
+    Jégou et al., TPAMI'11): the corpus is stored ONLY as PQ codes; each
+    query precomputes one distance table per subspace (squared L2 from its
+    sub-vector to every codebook centroid) and a candidate's distance is
+    the sum of n_subspaces table lookups — never touching the original
+    corpus vectors. This is the memory half of the billion-scale ANN
+    recipe (IVF partitions, PQ compresses; the two compose).
+
+    Plan shape: serving is ONE corpus scan emitting codes (pq_codes), one
+    broadcast of the per-query tables (queries are small by contract, the
+    same bound as brute_force_topk's broadcast side), and a cross join
+    whose per-row cost is n_subspaces array lookups — no vector math at
+    serve time. The per-query distance tables are exact float64 numpy vs
+    the codebook literals, so the SQL oracle reproduces them from the
+    unrolled-k-means CTEs (q_ann_pq_adc).
+
+    Output: (query_id, neighbor_id, adc_dist rounded 6dp, rk<=k);
+    deterministic ties (adc_dist asc, neighbor_id asc).
+    """
+    import numpy as np
+
+    sub = dim // n_subspaces
+    df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    codebooks = _pq_codebooks(
+        df, dim=dim, n_subspaces=n_subspaces, n_centroids=n_centroids,
+        max_iter=max_iter, train_stride=train_stride,
+    )
+    codes = pq_codes(
+        corpus, vec_col=vec_col, id_col=id_col, dim=dim,
+        n_subspaces=n_subspaces, n_centroids=n_centroids,
+        max_iter=max_iter, train_stride=train_stride, codebooks=codebooks,
+    )
+    # per-query distance tables: table[s][c] = |q_s - codebook[s][c]|^2
+    books = [np.array(cb, dtype="float64") for cb in codebooks]
+    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).collect()
+    table_rows = []
+    for r in qrows:
+        qv = np.array([float(x) for x in r["qvec"]], dtype="float64")
+        tables = [
+            [float(((qv[s * sub : (s + 1) * sub] - books[s][c]) ** 2).sum())
+             for c in range(n_centroids)]
+            for s in range(n_subspaces)
+        ]
+        table_rows.append((r["qid"], tables))
+    spark = corpus.sparkSession
+    tables_df = spark.createDataFrame(
+        table_rows, f"query_id long, tables array<array<double>>"
+    )
+    dist = None
+    for s in range(n_subspaces):
+        term = F.element_at(F.element_at("tables", s + 1), F.col(f"c{s}") + 1)
+        dist = term if dist is None else dist + term
+    scored = (
+        codes.crossJoin(broadcast(tables_df))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(
+        F.col("rk") <= k
     )
 
 

@@ -720,6 +720,73 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PQ asymmetric-distance search -------------------------------------------
+# The search half of the PQ story: each query's per-subspace distance table
+# is SUM(POW(q[i] - centroid_val, 2)) straight off the unrolled-k-means
+# centroid CTEs, a candidate's distance is the 8-term sum of table lookups
+# through its serve_s{s} codes, and ranking uses the 6dp-rounded distance
+# with the id tie-break (the same ulp-absorption argument as q_ann_ivf).
+def _pq_adc_oracle_sql(
+    *, n_subspaces: int, sub_dim: int, k: int, iters: int, train_stride: int,
+    q_max: int, topk: int,
+) -> str:
+    ctes: list[str] = []
+    for s in range(n_subspaces):
+        ctes.extend(
+            _kmeans_serve_ctes(
+                k=k, iters=iters, dim=sub_dim, train_stride=train_stride,
+                suffix=f"_s{s}", dim_lo=s * sub_dim + 1,
+            )
+        )
+        ctes.append(
+            f"distp_s{s} AS (SELECT q.vec_id AS query_id, c.cluster, "
+            "SUM(POW(CAST(q.embedding[c.i] AS DOUBLE) - c.val, 2)) AS d "
+            f"FROM embeddings q, c_s{s}_{iters} c WHERE q.vec_id < {q_max} "
+            "GROUP BY q.vec_id, c.cluster)"
+        )
+    serve_joins = " ".join(
+        f"JOIN serve_s{s} s{s} USING (vec_id)" for s in range(1, n_subspaces)
+    )
+    dist_joins = " ".join(
+        f"JOIN distp_s{s} d{s} ON d{s}.cluster = s{s}.cluster"
+        + (" AND d{0}.query_id = d0.query_id".format(s) if s > 0 else "")
+        for s in range(n_subspaces)
+    )
+    total = " + ".join(f"d{s}.d" for s in range(n_subspaces))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, adc_dist, rk FROM (
+      SELECT d0.query_id, s0.vec_id AS neighbor_id,
+             ROUND({total}, 6) AS adc_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY d0.query_id
+               ORDER BY ROUND({total}, 6), s0.vec_id) AS BIGINT) AS rk
+      FROM serve_s0 s0 {serve_joins} {dist_joins}
+      WHERE s0.vec_id <> d0.query_id)
+    WHERE rk <= {topk}
+    """
+    )
+
+
+@register(
+    "q_ann_pq_adc",
+    _pq_adc_oracle_sql(
+        n_subspaces=8, sub_dim=8, k=16, iters=2, train_stride=4, q_max=10, topk=5
+    ),
+    description="approximate top-k via PQ asymmetric distance: per-query subspace tables + code lookups, corpus vectors never touched at serve time",
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import pq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, n_subspaces=8,
+        n_centroids=16, max_iter=2, train_stride=4, k=5,
+    )
+
+
 # --- SemDeDup semantic deduplication -----------------------------------------
 # Same unrolled-k-means oracle chain as q_ann_ivf (shared _kmeans_serve_ctes,
 # same validated hyperparameters), then the SemDeDup drop rule as one EXISTS:
