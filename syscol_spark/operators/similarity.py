@@ -538,9 +538,17 @@ def _srp_candidate_pairs(
 
     sums = srp_plane_sums(vec_col, dim, n_bands * band_bits, seed)
     bands = F.element_at(F.transform(F.array(sums), keys_of), 1)
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.explode(bands).alias("bb")
-    ).select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    # materialize the posting rows ONCE: the self-join consumes them twice,
+    # and each evaluation re-runs the Arrow plane-sum pass over the whole
+    # corpus; the materialized frame is narrow (id, block, band, key)
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(block_col).alias("block"),
+            F.explode(bands).alias("bb"),
+        )
+        .select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+        .localCheckpoint()
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -906,8 +914,18 @@ def semantic_dedup(
         corpus, vec_col=vec_col, id_col=id_col, k=n_clusters,
         max_iter=max_iter, train_stride=train_stride,
     )
-    assigned = _assign_nearest(corpus.select(id_col, vec_col), vec_col, cents).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.col("__cluster").alias("cluster")
+    # materialize the assignment ONCE: it feeds both sides of the cluster
+    # self-join, the scorer's (id, vec) corpus, and the final keep join —
+    # without the checkpoint the centroid-distance fold re-runs per consumer
+    # (at lake scale this is the "write cluster assignments to a table"
+    # step every SemDeDup implementation takes)
+    assigned = (
+        _assign_nearest(corpus.select(id_col, vec_col), vec_col, cents)
+        .select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            F.col("__cluster").alias("cluster"),
+        )
+        .localCheckpoint()
     )
     # candidate pairs stay NARROW (two ids) through the cluster self-join;
     # vectors are attached by the routed scorer (closure-shipped corpus under
