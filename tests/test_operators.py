@@ -671,3 +671,48 @@ def test_pq_codes_vs_numpy_reference(spark):
             want.setdefault(vid, []).append(int(code))
     want = {vid: tuple(codes) for vid, codes in want.items()}
     assert out == want
+
+
+def test_ann_recall_sweep_documented(spark, sf_dir):
+    """Measured recall@5 of every ANN serving path vs exact brute force on
+    the same fixture queries — the quality/number that justifies each
+    index's pruning. Floors are deliberately loose (the synthetic fixture
+    has no planted high-sim neighbors, the hardest regime for LSH/IVF/PQ);
+    the printed line is the documentation."""
+    from syscol_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        pq_adc_topk,
+        srp_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r_srp = recall(srp_topk(emb, queries, dim=64, k=5, n_planes=6, probe_hamming=1))
+    r_ivf = recall(ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4, max_iter=3, train_stride=4))
+    # PQ-ADC recall is governed by quantization distortion, so it must rise
+    # with codebook size — the knob a deployment turns (k=256/subspace in
+    # production; the catalog query's k=16 favors a small exact oracle).
+    # Measured here: 0.12 (k=16) -> 0.30 (k=64) on this fixture.
+    r_pq16 = recall(
+        pq_adc_topk(emb, queries, dim=64, n_subspaces=8, n_centroids=16, max_iter=2,
+                    train_stride=4, k=5)
+    )
+    r_pq64 = recall(
+        pq_adc_topk(emb, queries, dim=64, n_subspaces=8, n_centroids=64, max_iter=3,
+                    train_stride=1, k=5)
+    )
+    print(
+        f"\nANN recall@5 vs exact: srp-multiprobe {r_srp:.2f}  ivf-nprobe4 {r_ivf:.2f}  "
+        f"pq-adc(k=16) {r_pq16:.2f}  pq-adc(k=64) {r_pq64:.2f}"
+    )
+    assert r_pq64 > r_pq16, "bigger codebooks must cut quantization error"
+    assert r_pq64 >= 0.2
+    assert r_ivf >= 0.3
+    assert r_srp >= 0.2
