@@ -106,6 +106,12 @@ def main() -> None:
         dt = time.time() - t0
         print(f"spans  {k:>2}x  docs={k * base.count():>6}  dup_docs={n_docs_dup:>8}  wall={dt:6.2f}s")
 
+    # SemDeDup probe (uses the embedding inflation defined below): k-means
+    # cluster count scales WITH the corpus so per-cluster size stays
+    # constant — the SemDeDup design contract — making the intra-cluster
+    # quadratic term per-cluster-bounded at any corpus size.
+    from syscol_spark.operators.similarity import semantic_dedup
+
     # Embedding near-dup probe: inflate the embeddings corpus by flipping
     # each copy's coordinates with a copy-specific ±1 Rademacher diagonal —
     # an orthogonal transform, so intra-copy cosine structure is EXACTLY
@@ -152,6 +158,21 @@ def main() -> None:
         ).count()
         dt = time.time() - t0
         print(f"embed  {k:>2}x  vecs={k * emb.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
+
+        # SemDeDup on the same inflated corpus, cluster count scaled with k
+        # so per-cluster size (and thus the per-cluster quadratic term)
+        # stays constant
+        t0 = time.time()
+        dropped = (
+            semantic_dedup(
+                corpus.select("vec_id", "embedding"),
+                n_clusters=16 * k, min_cosine=0.35, max_iter=3, train_stride=4,
+            )
+            .filter(~F.col("keep"))
+            .count()
+        )
+        dt = time.time() - t0
+        print(f"semded {k:>2}x  vecs={k * emb.count():>6}  dropped={dropped:>7}  wall={dt:6.2f}s")
 
 
 if __name__ == "__main__":
