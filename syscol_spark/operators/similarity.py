@@ -881,6 +881,115 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    coarse_iter: int = 3,
+    coarse_stride: int = 1,
+    n_subspaces: int = 8,
+    pq_centroids: int = 16,
+    pq_iter: int = 2,
+    pq_stride: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """IVF+PQ: the composed billion-scale ANN serving recipe (Jégou et al.
+    — coarse inverted lists prune the corpus, PQ asymmetric distance ranks
+    the survivors from 4-byte codes). Queries probe their ``nprobe``
+    nearest coarse lists; candidates in those lists are ranked by the sum
+    of per-subspace distance-table lookups through their PQ codes — the
+    original corpus vectors are touched only at index-build time.
+
+    This is deliberately plain (non-residual) PQ — codes quantize the raw
+    vectors, not the residual to the coarse centroid — which keeps every
+    stage individually oracle-mirrorable (q_ann_ivfpq composes the
+    VALIDATED coarse chain of q_ann_ivf with the VALIDATED subspace chains
+    of q_ann_pq_adc); residual PQ is the documented upgrade path and
+    changes only what the codebooks train on.
+
+    Serving plan: one corpus scan emits (id, list, codes); the query side
+    (probes + distance tables) is tiny and broadcast; candidate rows cost
+    n_subspaces array lookups each. Output:
+    (query_id, neighbor_id, adc_dist rounded 6dp, rk<=k).
+    """
+    import numpy as np
+
+    sub = dim // n_subspaces
+    df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # coarse quantizer → inverted-list assignment (one scan)
+    coarse = kmeans_centroids(
+        corpus, vec_col=vec_col, id_col=id_col, k=n_lists,
+        max_iter=coarse_iter, train_stride=coarse_stride,
+    )
+    lists_ = _assign_nearest(df, "vec", coarse).select(
+        "id", F.col("__cluster").alias("list_id")
+    )
+    # PQ codebooks + one code row per corpus vector
+    codebooks = _pq_codebooks(
+        df, dim=dim, n_subspaces=n_subspaces, n_centroids=pq_centroids,
+        max_iter=pq_iter, train_stride=pq_stride,
+    )
+    codes = pq_codes(
+        corpus, vec_col=vec_col, id_col=id_col, dim=dim,
+        n_subspaces=n_subspaces, n_centroids=pq_centroids,
+        max_iter=pq_iter, train_stride=pq_stride, codebooks=codebooks,
+    ).join(lists_.withColumnRenamed("id", id_col), id_col)
+    # query probes: nprobe best coarse lists (same ranking as ivf_topk)
+    half_norms = [sum(x * x for x in cc) / 2.0 for cc in coarse]
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        matrix_dots(vec_col, coarse).alias("__dots"),
+    )
+    scored_lists = F.zip_with(
+        F.col("__dots"), F.array(*[F.lit(h) for h in half_norms]), lambda d, h: d - h
+    )
+    ranked = F.transform(
+        scored_lists, lambda s, i: F.struct(s.alias("score"), i.cast("int").alias("idx"))
+    )
+    probes = F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe)
+    qp = qb.select("query_id", F.explode(probes).alias("__p")).select(
+        "query_id", F.col("__p.idx").alias("list_id")
+    )
+    # per-query PQ distance tables (same construction as pq_adc_topk)
+    books = [np.array(cb, dtype="float64") for cb in codebooks]
+    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).collect()
+    table_rows = []
+    for r in qrows:
+        qv = np.array([float(x) for x in r["qvec"]], dtype="float64")
+        tables = [
+            [float(((qv[s * sub : (s + 1) * sub] - books[s][c]) ** 2).sum())
+             for c in range(pq_centroids)]
+            for s in range(n_subspaces)
+        ]
+        table_rows.append((r["qid"], tables))
+    tables_df = corpus.sparkSession.createDataFrame(
+        table_rows, "query_id long, tables array<array<double>>"
+    )
+    dist = None
+    for s in range(n_subspaces):
+        term = F.element_at(F.element_at("tables", s + 1), F.col(f"c{s}") + 1)
+        dist = term if dist is None else dist + term
+    scored = (
+        codes.join(broadcast(qp), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(broadcast(tables_df), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(
+        F.col("rk") <= k
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,

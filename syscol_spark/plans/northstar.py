@@ -787,6 +787,94 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF+PQ composed ANN serving ---------------------------------------------
+# Composes the two validated chains: the coarse IVF chain (suffix _c) prunes
+# to each query's nprobe lists exactly as q_ann_ivf's oracle does, and the
+# per-subspace PQ chains + distance tables rank survivors exactly as
+# q_ann_pq_adc's oracle does.
+def _ivfpq_oracle_sql(
+    *, n_lists: int, nprobe: int, coarse_iters: int, coarse_stride: int,
+    n_subspaces: int, sub_dim: int, pq_k: int, pq_iters: int, pq_stride: int,
+    q_max: int, topk: int,
+) -> str:
+    ctes = _kmeans_serve_ctes(
+        k=n_lists, iters=coarse_iters, dim=n_subspaces * sub_dim,
+        train_stride=coarse_stride, suffix="_c",
+    )
+    ctes.append(
+        "probes_c AS (SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY score DESC, cluster DESC) AS rn "
+        f"FROM servescore_c WHERE vec_id < {q_max}) WHERE rn <= {nprobe})"
+    )
+    for s in range(n_subspaces):
+        ctes.extend(
+            _kmeans_serve_ctes(
+                k=pq_k, iters=pq_iters, dim=sub_dim, train_stride=pq_stride,
+                suffix=f"_s{s}", dim_lo=s * sub_dim + 1,
+            )
+        )
+        ctes.append(
+            f"distp_s{s} AS (SELECT q.vec_id AS query_id, c.cluster, "
+            "SUM(POW(CAST(q.embedding[c.i] AS DOUBLE) - c.val, 2)) AS d "
+            f"FROM embeddings q, c_s{s}_{pq_iters} c WHERE q.vec_id < {q_max} "
+            "GROUP BY q.vec_id, c.cluster)"
+        )
+    serve_joins = " ".join(
+        f"JOIN serve_s{s} s{s} USING (vec_id)" for s in range(1, n_subspaces)
+    )
+    dist_joins = " ".join(
+        f"JOIN distp_s{s} d{s} ON d{s}.cluster = s{s}.cluster AND d{s}.query_id = p.vec_id"
+        for s in range(n_subspaces)
+    )
+    total = " + ".join(f"d{s}.d" for s in range(n_subspaces))
+    # MATERIALIZE every CTE: the composed oracle references the k-means
+    # chains from multiple downstream CTEs (servescore + distp both read the
+    # final centroids), and DuckDB's default inlining re-evaluates each
+    # referenced subtree — compounding through the unrolled iterations into
+    # a runaway plan (>120 s; materialized it's seconds). All intermediates
+    # are tiny tables.
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, adc_dist, rk FROM (
+      SELECT p.vec_id AS query_id, s0.vec_id AS neighbor_id,
+             ROUND({total}, 6) AS adc_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY ROUND({total}, 6), s0.vec_id) AS BIGINT) AS rk
+      FROM serve_s0 s0 {serve_joins}
+      JOIN serve_c sc ON sc.vec_id = s0.vec_id
+      JOIN probes_c p ON p.cluster = sc.cluster
+      {dist_joins}
+      WHERE s0.vec_id <> p.vec_id)
+    WHERE rk <= {topk}
+    """
+    )
+
+
+@register(
+    "q_ann_ivfpq",
+    _ivfpq_oracle_sql(
+        n_lists=16, nprobe=4, coarse_iters=3, coarse_stride=4,
+        n_subspaces=8, sub_dim=8, pq_k=16, pq_iters=2, pq_stride=4,
+        q_max=10, topk=5,
+    ),
+    description="composed IVF+PQ serving: coarse-list pruning + PQ asymmetric-distance ranking from 4-byte codes",
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, n_lists=16, nprobe=4,
+        coarse_iter=3, coarse_stride=4, n_subspaces=8, pq_centroids=16,
+        pq_iter=2, pq_stride=4, k=5,
+    )
+
+
 # --- SemDeDup semantic deduplication -----------------------------------------
 # Same unrolled-k-means oracle chain as q_ann_ivf (shared _kmeans_serve_ctes,
 # same validated hyperparameters), then the SemDeDup drop rule as one EXISTS:
