@@ -681,6 +681,7 @@ def test_ann_recall_sweep_documented(spark, sf_dir):
     the printed line is the documentation."""
     from syscol_spark.operators.similarity import (
         brute_force_topk,
+        ivf_pq_topk,
         ivf_topk,
         pq_adc_topk,
         srp_topk,
@@ -708,10 +709,18 @@ def test_ann_recall_sweep_documented(spark, sf_dir):
         pq_adc_topk(emb, queries, dim=64, n_subspaces=8, n_centroids=64, max_iter=3,
                     train_stride=1, k=5)
     )
+    r_ivfpq = recall(
+        ivf_pq_topk(emb, queries, dim=64, n_lists=16, nprobe=4, coarse_iter=3,
+                    coarse_stride=4, n_subspaces=8, pq_centroids=64, pq_iter=3,
+                    pq_stride=1, k=5)
+    )
     print(
         f"\nANN recall@5 vs exact: srp-multiprobe {r_srp:.2f}  ivf-nprobe4 {r_ivf:.2f}  "
-        f"pq-adc(k=16) {r_pq16:.2f}  pq-adc(k=64) {r_pq64:.2f}"
+        f"pq-adc(k=16) {r_pq16:.2f}  pq-adc(k=64) {r_pq64:.2f}  ivfpq(64) {r_ivfpq:.2f}"
     )
+    # composed IVF+PQ stacks pruning loss on quantization loss: bounded
+    # above by its PQ stage alone
+    assert r_ivfpq <= r_pq64 + 1e-9
     assert r_pq64 > r_pq16, "bigger codebooks must cut quantization error"
     assert r_pq64 >= 0.2
     assert r_ivf >= 0.3
