@@ -859,8 +859,12 @@ def pq_adc_topk(
         ]
         table_rows.append((r["qid"], tables))
     spark = corpus.sparkSession
+    # query ids are materialized as LONG here (and in ivf_pq_topk): string
+    # doc ids would need the schema derived from queries.schema[id_col] —
+    # asserted early so a string-id caller fails here, not in an Arrow cast
+    assert isinstance(qrows[0]["qid"], int) if qrows else True, "query ids must be integral"
     tables_df = spark.createDataFrame(
-        table_rows, f"query_id long, tables array<array<double>>"
+        table_rows, "query_id long, tables array<array<double>>"
     )
     dist = None
     for s in range(n_subspaces):
