@@ -364,6 +364,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The frames oracle leans on the documents table being pure ASCII (asserted
+# 0 rows with octet_length(encode(text)) != length(text) at every SF), so
+# char-based VARCHAR substring in DuckDB equals byte-based binary slicing in
+# the Spark operator.
+@register(
+    "q_multimodal_frames",
+    """
+    WITH f AS (
+      SELECT doc_id AS asset_id, text, length(text) AS len FROM documents
+    ), g AS (
+      SELECT asset_id, text,
+             unnest(generate_series(0, least(8, greatest(1, len // 64)) - 1)) AS i
+      FROM f
+    )
+    SELECT asset_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(length(substring(text, i * 64 + 1, 64)) AS BIGINT) AS n_bytes,
+           md5(substring(text, i * 64 + 1, 64)) AS frame_md5
+    FROM g
+    """,
+    description="multimodal frame sampling: blob → N frame rows via mapInPandas (video-style sampling)",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.multimodal import documents_as_assets, sample_frames
+
+    assets = documents_as_assets(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.length("frame_blob").cast("long").alias("n_bytes"),
+        F.md5("frame_blob").alias("frame_md5"),
+    )
+
+
 # --- full outer join ---------------------------------------------------------
 # Monthly order activity vs monthly shipping activity: the ship calendar runs
 # past the last order month, so the right-only branch is exercised (and the

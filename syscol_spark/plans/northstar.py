@@ -1547,3 +1547,49 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return curve.filter(F.col("doc_rank") % 10 == 0)
+
+
+# --- RAG-style document chunking ---------------------------------------------
+# Overlapping token-window chunks (size 32, stride 24): the retrieval-corpus
+# prep step of a RAG/training pipeline. Chunk starts are 0, 24, 48, ... while
+# start < n_tokens, so every token lands in >=1 chunk and consecutive chunks
+# overlap by 8 tokens; the trailing chunk clamps (F.slice / DuckDB list[a:b]
+# both clamp past the end). Scale: one sequence+posexplode per doc (no
+# shuffle until a consumer aggregates) — chunk fan-out is data-proportional.
+@register(
+    "q_doc_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, (array_length(toks) - 1) // 24)) AS ci
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           CAST(len(toks[ci * 24 + 1 : ci * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
+    FROM g
+    """,
+    description="RAG chunking: overlapping token windows (size 32 / stride 24) via sequence+posexplode",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str, *, size: int = 32, stride: int = 24) -> DataFrame:
+    toks_df = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+    chunked = toks_df.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.slice("toks", F.col("start") + 1, size).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
