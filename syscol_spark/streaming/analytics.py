@@ -464,3 +464,130 @@ def streaming_cdc_compact(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TOPK_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("rk", LongType()),
+    ]
+)
+
+
+_TOPK_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _topk_merge(pairs: list[tuple[int, float]], k: int) -> list[tuple[int, float]]:
+    """Shared top-k merge: by (value DESC, event_id ASC), truncated to k."""
+    pairs.sort(key=lambda p: (-p[1], p[0]))
+    return pairs[:k]
+
+
+def _topk_frame(event_type: str, pairs: list[tuple[int, float]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_type": [event_type] * len(pairs),
+            "event_id": [p[0] for p in pairs],
+            "value": [p[1] for p in pairs],
+            "rk": list(range(1, len(pairs) + 1)),
+        }
+    )
+
+
+def transform_with_state_available() -> bool:
+    """The Spark 4 arbitrary-state API (transformWithStateInPandas) speaks a
+    protobuf protocol to the JVM state server; without the google.protobuf
+    package the driver worker crashes at init. Gate, don't assume."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_topk_per_group(stream: DataFrame, *, k: int = 3, api: str = "auto") -> DataFrame:
+    """Streaming twin of q_ev_topk_per_group (plans/events.py): per
+    event_type, maintain the running top-k by (value DESC, event_id ASC)
+    across micro-batches, re-emitting the group's complete current top-k
+    whenever a batch delivers rows for it.
+
+    ``api`` selects the state backend: ``"tws"`` uses the Spark 4
+    arbitrary-state API (``transformWithStateInPandas``, ValueState),
+    ``"apiws"`` the Spark 3-era ``applyInPandasWithState``, and ``"auto"``
+    picks tws when its protobuf dependency is importable (this container
+    lacks it, so the fallback is what tests exercise; the tws path is the
+    same merge function behind the newer handle API).
+
+    State is BOUNDED: exactly k (event_id, value) pairs per group —
+    independent of stream length. After the source is exhausted, the LAST
+    emission per group equals the batch query's rows for that group, which
+    is what the twin test asserts. Input must carry (event_type, event_id,
+    value).
+    """
+    if api == "auto":
+        api = "tws" if transform_with_state_available() else "apiws"
+    prepared = stream.select("event_type", "event_id", "value")
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class TopK(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "topk", "ids array<bigint>, vals array<double>"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+                (event_type,) = key
+                held = self._state.get() if self._state.exists() else None
+                pairs = list(zip(held[0], held[1])) if held else []
+                for pdf in rows:
+                    pairs.extend(
+                        zip((int(i) for i in pdf["event_id"]), (float(v) for v in pdf["value"]))
+                    )
+                pairs = _topk_merge(pairs, k)
+                self._state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+                yield _topk_frame(event_type, pairs)
+
+            def close(self) -> None:
+                pass
+
+        return prepared.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=TopK(),
+            outputStructType=_TOPK_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        ids, vals = state.get if state.exists else ([], [])
+        pairs = list(zip(ids, vals))
+        for pdf in pdfs:
+            pairs.extend(
+                zip((int(i) for i in pdf["event_id"]), (float(v) for v in pdf["value"]))
+            )
+        pairs = _topk_merge(pairs, k)
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+        yield _topk_frame(event_type, pairs)
+
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_TOPK_OUT,
+        stateStructType=_TOPK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

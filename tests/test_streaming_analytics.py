@@ -377,3 +377,52 @@ def test_streaming_cdc_compact_matches_batch_twin(spark, sf_dir, tmp_path):
         if k not in got or r["n_versions"] > got[k][0]:
             got[k] = (r["n_versions"], r["first_us"], r["last_us"], r["last_value"])
     assert got == expected
+
+
+def test_streaming_topk_matches_batch_twin(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas running top-k: after the source is
+    exhausted, the LAST emission per event_type must equal the batch
+    q_ev_topk_per_group rows. Events are split by event_id % 3 into three
+    files/triggers, so the final top-k generally mixes rows from different
+    micro-batches and only cross-batch ValueState can assemble it."""
+    from syscol_spark.plans.catalog import query_catalog
+    from syscol_spark.streaming.analytics import streaming_topk_per_group
+
+    expected = {
+        (r["event_type"], r["event_id"], r["value"], r["rk"])
+        for r in query_catalog()["q_ev_topk_per_group"](spark, sf_dir).collect()
+    }
+    assert expected
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "event_id", "value")
+    src = str(tmp_path / "ev")
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    stream = (
+        spark.readStream.schema("event_type string, event_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_topk_per_group(stream, k=3)
+    sink: list[tuple[int, tuple]] = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, bid: sink.extend((bid, tuple(r)) for r in b.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    # keep each group's rows from the last batch that re-emitted it
+    last_batch: dict[str, int] = {}
+    for bid, row in sink:
+        last_batch[row[0]] = max(last_batch.get(row[0], -1), bid)
+    got = {row for bid, row in sink if bid == last_batch[row[0]]}
+    assert got == expected
