@@ -774,3 +774,62 @@ def q_ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
     )
     return ev.select("event_id", "user_id", "ts_us", ewma.alias("ewma"))
+
+
+# --- per-entity linear trend (exact-integer OLS) -----------------------------
+# Least-squares slope of value over time per user — the "trend" aggregate of
+# a time-series engine (timescaledb stats_agg / PromQL deriv). Cross-engine
+# exactness: x = epoch-µs (long), y = floor(value·1e6) (long); all OLS sums
+# and the num/den combination stay EXACT integers (Spark DECIMAL(38,0),
+# DuckDB HUGEINT — both hold the ~1e30 magnitudes with 1e8x headroom), and
+# the only float op is one identical IEEE division + scale at the end.
+# Production note: at per-user cardinalities where n²·x·y approaches 1e38
+# (≈1e10 rows per user), switch to float regr_slope; the exact path is the
+# verification-grade twin.
+@register(
+    "q_ev_trend",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS HUGEINT) AS x,
+             CAST(floor(value * 1000000.0) AS HUGEINT) AS y
+      FROM events
+    ), sums AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             * 3600000000.0 AS trend_micro_per_hour
+    FROM sums
+    WHERE n >= 3 AND n * sxx - sx * sx > 0
+    """,
+    description="per-user OLS trend slope over event time (exact integer sums, one final float division)",
+)
+def q_ev_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dec38 = "decimal(38,0)"
+    x = F.col("ts_us").cast(dec38)
+    y = F.floor(F.col("value") * 1000000.0).cast("long").cast(dec38)
+    sums = (
+        ev.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast(dec38).alias("n"),
+            F.sum("x").cast(dec38).alias("sx"),
+            F.sum("y").cast(dec38).alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.filter((F.col("n") >= 3) & (den > 0)).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        (num.cast("double") / den.cast("double") * 3600000000.0).alias("trend_micro_per_hour"),
+    )

@@ -1593,3 +1593,30 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str, *, size: int = 32, stride: in
         F.size("chunk").cast("long").alias("n_chunk_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+# --- heavy hitters (bounded-memory sketch + exact verify) --------------------
+@register(
+    "q_heavy_hitters",
+    """
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tt AS (
+      SELECT token FROM t WHERE token <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM tt
+    GROUP BY token
+    HAVING COUNT(*) * 50 > (SELECT COUNT(*) FROM tt)
+    """,
+    description="exact heavy hitters (freq > n/50) via per-partition Misra-Gries candidates + exact recount",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.sketch import heavy_hitters
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters(toks, "token", k=50)

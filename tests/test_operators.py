@@ -725,3 +725,29 @@ def test_ann_recall_sweep_documented(spark, sf_dir):
     assert r_pq64 >= 0.2
     assert r_ivf >= 0.3
     assert r_srp >= 0.2
+
+
+def test_heavy_hitters_exact_vs_bruteforce_random(spark):
+    """heavy_hitters must equal the brute-force groupBy answer on a skewed
+    random stream even with a tiny MG capacity and adversarial partitioning
+    (round-robin spreads every item across all partitions, the worst case
+    for per-partition candidate generation)."""
+    import random
+
+    from syscol_spark.operators.sketch import heavy_hitters
+
+    rng = random.Random(7)
+    # zipf-ish: a few hot items + long tail
+    items = [f"hot{i}" for i in range(5) for _ in range(rng.randint(200, 400))]
+    items += [f"tail{rng.randrange(3000)}" for _ in range(4000)]
+    rng.shuffle(items)
+    df = spark.createDataFrame([(t,) for t in items], "token string").repartition(8)
+
+    k, capacity = 20, 64  # tiny capacity: decrement path definitely exercised
+    got = {(r["token"], r["freq"]) for r in heavy_hitters(df, "token", k=k, capacity=capacity).collect()}
+    n = len(items)
+    from collections import Counter
+
+    expected = {(t, c) for t, c in Counter(items).items() if c * k > n}
+    assert expected, "fixture must contain heavy hitters"
+    assert got == expected
