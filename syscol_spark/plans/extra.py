@@ -399,6 +399,30 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same ASCII-corpus argument as q_multimodal_frames: the stub resize is
+# nearest-neighbor BYTE sampling (out[k] = raw[(k*len)//n_out]), which the
+# oracle mirrors with char-based substring + a list_transform over the
+# output grid.
+@register(
+    "q_multimodal_resize",
+    """
+    WITH f AS (SELECT doc_id AS asset_id, text, length(text) AS len FROM documents)
+    SELECT asset_id,
+           64 AS width, 64 AS height,
+           md5(array_to_string(list_transform(range(0, 4096),
+               k -> substring(text, (k * len) // 4096 + 1, 1)), '')) AS blob_md5
+    FROM f
+    """,
+    description="multimodal resize plumbing: nearest-neighbor stub kernel via mapInPandas, md5-checked",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.multimodal import documents_as_assets, resize_assets
+
+    assets = documents_as_assets(_t(spark, sf_dir, "documents"))
+    resized = resize_assets(assets, width=64, height=64)
+    return resized.select("asset_id", "width", "height", F.md5("blob").alias("blob_md5"))
+
+
 # --- full outer join ---------------------------------------------------------
 # Monthly order activity vs monthly shipping activity: the ship calendar runs
 # past the last order month, so the right-only branch is exercised (and the
