@@ -22,7 +22,8 @@ directory trees readable by any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
 
 
 def write_bucketed(
@@ -63,3 +64,65 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back through the catalog (the bucketing spec
     only applies when read via the table name, not the raw path)."""
     return spark.table(table)
+
+
+# --- z-order clustering (multi-dimensional data skipping) --------------------
+# Parquet data skipping works off per-row-group min/max stats: a predicate
+# prunes a row group only when its value range misses the group's range.
+# Sorting by ONE column gives that column tight ranges and leaves every other
+# column's range full-width; interleaving the bits of TWO columns (Morton /
+# z-order code) and sorting by the code gives BOTH columns locality, so 2-D
+# box predicates prune on either dimension. This is the standard Delta/
+# Iceberg OPTIMIZE ZORDER primitive, expressed as pure Catalyst bit
+# arithmetic — no UDF, no shuffle beyond the one range-partition write.
+
+
+def _spread_bits16(c: Column) -> Column:
+    """Interleave-ready bit spread: 16-bit value -> bits at even positions
+    of a 32-bit word (classic magic-number shifts, all long arithmetic)."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def _scale16(c: Column, lo: Column, hi: Column) -> Column:
+    """Min-max scale to the 16-bit grid, clamped (degenerate range -> 0)."""
+    span = hi - lo
+    scaled = F.when(span > 0, ((c - lo).cast("double") * 65535.0 / span.cast("double")).cast("long")).otherwise(
+        F.lit(0)
+    )
+    return F.greatest(F.lit(0), F.least(F.lit(65535), scaled))
+
+
+def zorder_code(x: Column, y: Column, x_lo: Column, x_hi: Column, y_lo: Column, y_hi: Column) -> Column:
+    """32-bit Morton code of two numeric columns scaled to a 65536^2 grid."""
+    return _spread_bits16(_scale16(x, x_lo, x_hi)).bitwiseOR(
+        F.shiftleft(_spread_bits16(_scale16(y, y_lo, y_hi)), 1)
+    )
+
+
+def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str, n_files: int = 8) -> None:
+    """Write ``df`` as parquet clustered by the z-order code of (x, y).
+
+    One tiny min/max aggregate (broadcast) + one range repartition on the
+    code + a within-partition sort: at 100 TB this is the layout-maintenance
+    job you run once so every later 2-D box predicate skips most row groups.
+    """
+    bounds = df.agg(
+        F.min(x_col).alias("xlo"), F.max(x_col).alias("xhi"),
+        F.min(y_col).alias("ylo"), F.max(y_col).alias("yhi"),
+    )
+    code = zorder_code(
+        F.col(x_col), F.col(y_col),
+        F.col("xlo"), F.col("xhi"), F.col("ylo"), F.col("yhi"),
+    )
+    (
+        df.join(F.broadcast(bounds))
+        .withColumn("__z", code)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "xlo", "xhi", "ylo", "yhi")
+        .write.mode("overwrite").parquet(path)
+    )
