@@ -126,3 +126,21 @@ def write_zordered(df: DataFrame, path: str, x_col: str, y_col: str, n_files: in
         .drop("__z", "xlo", "xhi", "ylo", "yhi")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession, path: str, out_path: str, *, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(n/target) files. The lake-maintenance twin of OPTIMIZE: streaming
+    ingest (one file per micro-batch per partition) leaves thousands of
+    KB-sized files whose open/footer costs dominate scans; compaction pays
+    one read+write to restore scan efficiency. Returns the output file
+    count. Round-robin repartition (not coalesce): coalesce would chain the
+    narrow dependency up the read and skew output sizes to input locality.
+    """
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

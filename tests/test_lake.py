@@ -141,3 +141,23 @@ def test_zorder_layout_prunes_2d_box_row_groups(spark, sf_dir, tmp_path):
     # round-robin leaves every group overlapping; z-order must prune most
     assert frac_plain == 1.0
     assert frac_z <= 0.375, (frac_plain, frac_z)
+
+
+def test_compact_files_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    import os
+
+    from syscol_spark.sources.lake import compact_files
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    frag = str(tmp_path / "frag")
+    li.repartition(64).write.parquet(frag)  # simulate micro-batch fragmentation
+    assert len([f for f in os.listdir(frag) if f.endswith(".parquet")]) == 64
+
+    out = str(tmp_path / "compact")
+    n_files = compact_files(spark, frag, out, target_rows_per_file=50_000)
+    got = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(got) == n_files < 64
+    # content identical (multiset of rows)
+    a = spark.read.parquet(out).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"), F.count("*").alias("c"))
+    b = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"), F.count("*").alias("c"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
