@@ -833,3 +833,58 @@ def q_ev_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         (num.cast("double") / den.cast("double") * 3600000000.0).alias("trend_micro_per_hour"),
     )
+
+
+# --- concurrent-sessions sweep line ------------------------------------------
+# Interval analytics: how many sessions are active at once, at every
+# transition instant. Sessions are the same 10-minute-gap session windows as
+# q_ev_session (end = last event + gap, exclusive); each session emits +1 at
+# start and -1 at end, deltas are NETTED PER TIMESTAMP before the running
+# sum (ties between different users would otherwise make the intermediate
+# concurrency order-dependent), and one global running sum over the unique
+# timestamps yields the concurrency timeline. Scale note: the global window
+# orders only transition points (2 rows per session, not per event); at
+# volumes where even that breaks, the standard fix is per-partition prefix
+# sums + broadcast offsets — same algebra, two scans.
+@register(
+    "q_ev_concurrency",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_us,
+             SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 600000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM o
+    ), g AS (
+      SELECT user_id, sess, MIN(ts_us) AS st, MAX(ts_us) + 600000000 AS en
+      FROM s GROUP BY user_id, sess
+    ), pts AS (
+      SELECT st AS ts_us, 1 AS d FROM g
+      UNION ALL
+      SELECT en AS ts_us, -1 AS d FROM g
+    ), net AS (
+      SELECT ts_us, CAST(SUM(d) AS BIGINT) AS net_delta FROM pts GROUP BY ts_us
+    )
+    SELECT ts_us, net_delta,
+           CAST(SUM(net_delta) OVER (ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
+    FROM net
+    """,
+    description="concurrent active sessions at every transition instant (sweep line over session intervals)",
+)
+def q_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sess = ev.groupBy(F.session_window("ts_utc", "10 minutes").alias("sw"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    starts = sess.select(F.unix_micros(F.col("sw.start")).alias("ts_us"), F.lit(1).alias("d"))
+    ends = sess.select(F.unix_micros(F.col("sw.end")).alias("ts_us"), F.lit(-1).alias("d"))
+    net = starts.unionAll(ends).groupBy("ts_us").agg(F.sum("d").cast("long").alias("net_delta"))
+    w = Window.orderBy("ts_us").rowsBetween(Window.unboundedPreceding, 0)
+    return net.select(
+        "ts_us", "net_delta", F.sum("net_delta").over(w).cast("long").alias("concurrent")
+    )
