@@ -888,3 +888,61 @@ def q_ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return net.select(
         "ts_us", "net_delta", F.sum("net_delta").over(w).cast("long").alias("concurrent")
     )
+
+
+# --- winsorization (robust clipping) -----------------------------------------
+# Training-data preprocessing: clip value to the exact nearest-rank
+# [p05, p95] per event_type and report the clipped micro-int sum.
+# Engine-exactness choices: bounds are NEAREST-RANK picks (the value at rank
+# ceil(q*n)) so both engines select the same input double — interpolated
+# percentiles differ in the last ulp across engines for non-half fractions;
+# and the clipped aggregate is an integer micro sum, immune to float
+# addition order.
+@register(
+    "q_ev_winsorize",
+    """
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             MIN(CASE WHEN rk >= CAST(CEIL(0.05 * n) AS BIGINT) THEN value END) AS lo,
+             MIN(CASE WHEN rk >= CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ANY_VALUE(b.lo) AS lo, ANY_VALUE(b.hi) AS hi,
+           CAST(SUM(CAST(FLOOR(LEAST(GREATEST(e.value, b.lo), b.hi) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_clip_micro
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+    description="winsorization: exact nearest-rank [p05,p95] clipping per group, integer micro sums",
+)
+def q_ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    wp = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wp.orderBy("value", "event_id")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731 - value at nearest-rank ceil(q*n)
+        F.when(F.col("rk") >= F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("value"))
+    )
+    b = r.groupBy("event_type").agg(pick(0.05).alias("lo"), pick(0.95).alias("hi"))
+    clip = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(b, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.sum(F.floor(clip * 1000000.0).cast("long")).cast("long").alias("sum_clip_micro"),
+        )
+    )
