@@ -161,3 +161,32 @@ def test_compact_files_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path)
     a = spark.read.parquet(out).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"), F.count("*").alias("c"))
     b = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"), F.count("*").alias("c"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_zorder_code_matches_python_interleave(spark):
+    """The Catalyst Morton kernel must equal the reference bit-interleave:
+    code = sum over bits of x_bit<<2i | y_bit<<(2i+1) on the scaled grid."""
+    import random
+
+    from syscol_spark.sources.lake import zorder_code
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = (
+        df.select(
+            "x", "y",
+            zorder_code(F.col("x"), F.col("y"), F.lit(0), F.lit(65535), F.lit(0), F.lit(65535)).alias("z"),
+        )
+        .collect()
+    )
+
+    def interleave(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in got:
+        assert r["z"] == interleave(r["x"], r["y"]), (r["x"], r["y"])
