@@ -509,3 +509,69 @@ def duplicated_span_stats(
             .alias("dup_ppm"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    block_col: str,
+    *,
+    shingle_n: int = 3,
+    min_containment: float = 0.6,
+) -> DataFrame:
+    """Asymmetric containment near-dup: (id_a, id_b, containment) where
+    C(A ⊆ B) = |A∩B| / |A| >= t and A != B — the subset/superset detector
+    that Jaccard structurally misses (a short doc quoted inside a long one
+    has high containment but low Jaccard, since the union is dominated by
+    the long side).
+
+    Candidate lemma (one-sided prefix filter): a real pair needs overlap
+    >= ceil(t·|A|), so if A's first |A| - ceil(t·|A|) + 1 tokens (in the
+    global sorted order) all miss B, overlap <= ceil(t·|A|) - 1 — explode
+    only A's prefix, but B's FULL token list (the contained side can hide
+    anywhere in the container, so the B side cannot be pruned without
+    losing exactness). Lossless, like prefix_filter_pairs; the equi-join is
+    on (block, token) and arrays re-attach to the distinct candidates.
+    """
+    shingled = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.sort_array(
+            F.array_distinct(
+                F.transform(word_shingles(content_col, shingle_n), lambda s: F.xxhash64(s))
+            )
+        ).alias("sh"),
+    ).localCheckpoint()
+    n = F.size("sh")
+    # epsilon guard as in prefix_filter_pairs: never shorten the prefix
+    plen = (n - F.ceil(F.lit(min_containment) * n - F.lit(1e-9)) + 1).cast("int")
+    a_post = shingled.select(
+        "id", "block", F.explode(F.slice("sh", F.lit(1), F.greatest(plen, F.lit(1)))).alias("tok")
+    )
+    b_post = shingled.select("id", "block", F.explode("sh").alias("tok"))
+    a, b = a_post.alias("a"), b_post.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sides = shingled.select("id", "sh")
+    attached = pairs.join(
+        sides.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sides.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    na = F.size("sh_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont = inter / na.cast("double")
+    # safe prune before the intersect: |A∩B| <= |B|, so |B| < t·|A| can't match
+    size_ok = F.size("sh_b").cast("double") >= F.lit(min_containment) * na.cast("double")
+    return (
+        attached.filter(size_ok)
+        .filter(cont >= min_containment)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )

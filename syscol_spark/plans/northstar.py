@@ -1620,3 +1620,29 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     return heavy_hitters(toks, "token", k=50)
+
+
+# --- containment (subset/superset) near-dup ----------------------------------
+@register(
+    "q_ngram_containment",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN array_length(toks) >= 3
+               THEN list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS shset
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) / len(a.shset), 6)
+             AS containment
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) / len(a.shset) >= 0.6
+    """,
+    description="asymmetric containment near-dup (|A intersect B|/|A| >= 0.6): subset docs Jaccard misses",
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), "text", "doc_id", "lang", min_containment=0.6)

@@ -751,3 +751,42 @@ def test_heavy_hitters_exact_vs_bruteforce_random(spark):
     expected = {(t, c) for t, c in Counter(items).items() if c * k > n}
     assert expected, "fixture must contain heavy hitters"
     assert got == expected
+
+
+def test_containment_prefix_filter_is_complete_vs_allpairs(spark, sf_dir):
+    """The one-sided containment prefix filter is LOSSLESS: pairs must be
+    IDENTICAL to a quadratic all-pairs block self-join on the real fixture
+    (both directions — containment is asymmetric)."""
+    from syscol_spark.functions.text import word_shingles
+    from syscol_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs(docs, "text", "doc_id", "lang", min_containment=0.6).collect()
+    }
+    shingled = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("block"),
+        F.array_distinct(
+            F.transform(word_shingles("text", 3), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    cont = inter / F.size(F.col("a.sh")).cast("double")
+    truth = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.6)
+        .collect()
+    }
+    assert got == truth and truth, "containment prefix filter dropped or invented pairs"
