@@ -175,5 +175,21 @@ def main() -> None:
         print(f"semded {k:>2}x  vecs={k * emb.count():>6}  dropped={dropped:>7}  wall={dt:6.2f}s")
 
 
+    # Containment probe: same token-bijection inflation — cross-copy overlap
+    # is zero, so true containment pairs stay per-copy and output grows
+    # linearly; the one-sided prefix filter's cost is the A-prefix x B-full
+    # posting join, the term that would blow up if the filter leaked.
+    from syscol_spark.operators.dedup import containment_pairs
+
+    for k in (1, 4, 16):
+        corpus = inflate(base, k)
+        t0 = time.time()
+        n_pairs = containment_pairs(
+            corpus, "text", "doc_id", "lang", min_containment=0.6
+        ).count()
+        dt = time.time() - t0
+        print(f"contain {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
+
+
 if __name__ == "__main__":
     main()
