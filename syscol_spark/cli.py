@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("describe", help="print engine/catalog summary as JSON")
 
+    q_p = sub.add_parser("query", help="run a catalog query and print JSONL rows")
+    q_p.add_argument("name", help="query name (see `describe`)")
+    q_p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
+    q_p.add_argument("--limit", type=int, default=20, help="max rows printed (0 = all)")
+
     serve_p = sub.add_parser("serve", help="run the HTTP control plane (≈ reference `cli scheduler`)")
     serve_p.add_argument("--bind", default="127.0.0.1")
     serve_p.add_argument("--control-port", type=int, default=0)
@@ -95,6 +100,20 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "query":
+        from syscol_spark.plans.catalog import query_catalog
+        from syscol_spark.session import get_session
+
+        cat = query_catalog()
+        if args.name not in cat:
+            print(json.dumps({"error": f"unknown query {args.name!r}; run `describe` for the list"}), file=sys.stderr)
+            return 1
+        df = cat[args.name](get_session("syscol-query"), args.sf_dir)
+        rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        for row in rows:
+            print(json.dumps(row.asDict(recursive=True), default=str))
         return 0
 
     if args.cmd in ("start", "stop", "status", "update"):

@@ -36,3 +36,16 @@ def test_describe_lists_catalog(capsys):
     assert rc == 0
     assert out["n_queries"] >= 58
     assert "q01_pricing_summary" in out["queries"]
+
+
+def test_query_verb_runs_catalog_query(spark, sf_dir, capsys):
+    rc = main(["query", "q01_pricing_summary", "--sf-dir", sf_dir, "--limit", "2"])
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and len(lines) == 2
+    assert "l_returnflag" in lines[0] and "sum_qty" in lines[0]
+
+
+def test_query_verb_unknown_name(capsys):
+    rc = main(["query", "no_such_query"])
+    assert rc == 1
+    assert "unknown query" in json.loads(capsys.readouterr().err)["error"]
