@@ -736,3 +736,177 @@ def register_envelope_schema(registry_url: str, record_name: str = "SlaveMetrics
         return ConfluentRegistryClient(registry_url).register(f"{record_name}-value", SLAVE_METRICS_AVSC)
     except Exception:  # noqa: BLE001 — no registry in test env
         return 1
+
+
+# --- schema resolution (reader vs writer evolution) --------------------------
+# Avro spec "Schema Resolution": a consumer may read data written with an
+# OLDER schema through its own NEWER reader schema. The registry hands us the
+# writer schema (by id); this projects the decoded value into the reader's
+# shape: reader-only fields take their defaults, writer-only fields are
+# dropped, numeric promotions apply (int->long->float->double, float->double,
+# string<->bytes), enums fall back to the reader's enum default for unknown
+# symbols, and unions resolve branch-by-branch. Field aliases are not
+# supported (documented delta; the reference's vendored decoder has no
+# resolution layer at all — this is a strict superset of its read path).
+
+
+class AvroSchemaResolutionError(ValueError):
+    pass
+
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+class AvroResolver:
+    """Projects values decoded with ``writer`` schema into ``reader`` shape.
+
+    Works at the decoded-value level (after ``AvroCodec.decode``): the
+    writer schema supplies the type of every value, so no re-decode of the
+    wire bytes is needed.
+    """
+
+    def __init__(self, writer: dict | str | list, reader: dict | str | list):
+        self._wnamed: dict[str, object] = {}
+        self._rnamed: dict[str, object] = {}
+        self._w = self._index(writer, self._wnamed)
+        self._r = self._index(reader, self._rnamed)
+
+    def _index(self, s: object, named: dict) -> object:
+        if isinstance(s, dict) and s.get("type") in ("record", "enum", "fixed"):
+            named[s["name"]] = s
+            if s["type"] == "record":
+                for f in s["fields"]:
+                    self._index(f["type"], named)
+            return s
+        if isinstance(s, dict) and s.get("type") in ("array",):
+            self._index(s["items"], named)
+        if isinstance(s, dict) and s.get("type") in ("map",):
+            self._index(s["values"], named)
+        if isinstance(s, list):
+            for b in s:
+                self._index(b, named)
+        return s
+
+    @staticmethod
+    def _kind(s: object, named: dict) -> tuple[str, object]:
+        """Normalize a schema node to (kind, node)."""
+        if isinstance(s, str):
+            if s in _PRIMITIVES:
+                return "prim", s
+            return AvroResolver._kind(named[s], named)
+        if isinstance(s, list):
+            return "union", s
+        t = s["type"]
+        if t in _PRIMITIVES:
+            return "prim", t
+        return t, s
+
+    def project(self, value: object) -> object:
+        return self._project(value, self._w, self._r)
+
+    def _coerce_prim(self, value: object, wt: str, rt: str) -> object:
+        if rt not in _PROMOTIONS.get(wt, ()):  # noqa: SIM201
+            raise AvroSchemaResolutionError(f"cannot promote writer {wt} to reader {rt}")
+        if rt in ("float", "double") and isinstance(value, int):
+            return float(value)
+        if wt == "string" and rt == "bytes" and isinstance(value, str):
+            return value.encode("utf-8")
+        if wt == "bytes" and rt == "string" and isinstance(value, (bytes, bytearray)):
+            return bytes(value).decode("utf-8")
+        return value
+
+    def _project(self, value: object, w: object, r: object) -> object:
+        wk, wn = self._kind(w, self._wnamed)
+        rk, rn = self._kind(r, self._rnamed)
+
+        # writer union: the decoded value belongs to exactly one branch —
+        # find it by match, then resolve that branch against the reader
+        if wk == "union":
+            branch = self._writer_branch(value, wn)
+            return self._project(value, branch, r)
+        # reader union (writer not a union): first reader branch that the
+        # writer schema resolves against wins (spec rule)
+        if rk == "union":
+            for b in rn:
+                try:
+                    return self._project(value, w, b)
+                except AvroSchemaResolutionError:
+                    continue
+            raise AvroSchemaResolutionError(f"no reader union branch accepts writer {wn!r}")
+
+        if wk == "prim" and rk == "prim":
+            return self._coerce_prim(value, wn, rn)
+        if wk != rk:
+            raise AvroSchemaResolutionError(f"writer {wk} vs reader {rk}")
+
+        if wk == "record":
+            if wn["name"] != rn["name"]:
+                raise AvroSchemaResolutionError(f"record name {wn['name']} != {rn['name']}")
+            wfields = {f["name"]: f for f in wn["fields"]}
+            out = {}
+            for rf in rn["fields"]:
+                name = rf["name"]
+                if name in wfields:
+                    out[name] = self._project(value[name], wfields[name]["type"], rf["type"])
+                elif "default" in rf:
+                    out[name] = rf["default"]
+                else:
+                    raise AvroSchemaResolutionError(f"reader field {name!r} missing and has no default")
+            return out
+        if wk == "enum":
+            if value in rn["symbols"]:
+                return value
+            if "default" in rn:
+                return rn["default"]
+            raise AvroSchemaResolutionError(f"enum symbol {value!r} unknown to reader")
+        if wk == "fixed":
+            if wn["name"] != rn["name"] or int(wn["size"]) != int(rn["size"]):
+                raise AvroSchemaResolutionError("fixed name/size mismatch")
+            return value
+        if wk == "array":
+            return [self._project(v, wn["items"], rn["items"]) for v in value]
+        if wk == "map":
+            return {k: self._project(v, wn["values"], rn["values"]) for k, v in value.items()}
+        raise AvroSchemaResolutionError(f"unsupported kind {wk}")
+
+    def _writer_branch(self, value: object, branches: list) -> object:
+        probe = AvroCodec(["null"])  # reuse _matches via a parsed probe
+        for b in branches:
+            if isinstance(b, dict) and b.get("type") in ("record", "enum", "fixed"):
+                continue  # named/complex branches matched by shape below
+            try:
+                if probe._matches(probe._parse(b), value):
+                    return b
+            except KeyError:  # unresolved named ref inside the branch
+                continue
+        # named/complex branches: match by shape
+        for b in branches:
+            bk, bn = self._kind(b, self._wnamed)
+            if bk == "record" and isinstance(value, dict):
+                return b
+            if bk == "enum" and isinstance(value, str):
+                return b
+            if bk == "fixed" and isinstance(value, (bytes, bytearray)):
+                return b
+            if bk == "array" and isinstance(value, list):
+                return b
+            if bk == "map" and isinstance(value, dict):
+                return b
+        raise AvroSchemaResolutionError(f"no writer union branch matches {value!r}")
+
+
+def decode_resolved(body: bytes, writer_schema: dict, reader_schema: dict) -> object:
+    """Decode Avro binary written with ``writer_schema`` and project it into
+    ``reader_schema`` (the registry-consumer evolution path)."""
+    return AvroResolver(writer_schema, reader_schema).project(
+        codec_for(writer_schema).decode(body)
+    )
