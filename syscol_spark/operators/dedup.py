@@ -575,3 +575,70 @@ def containment_pairs(
         .filter(cont >= min_containment)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
+
+
+def minhash_dedup_delta(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    *,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    portable_buckets: bool = False,
+) -> DataFrame:
+    """Incremental near-dedup: candidates for a NEW shard against an
+    EXISTING signature table plus within the shard itself — the daily-ingest
+    path. Never re-joins the corpus against itself: the corpus side only
+    contributes bucket postings, so the join cost is
+    O(new·bands + matching corpus postings), not O(corpus²) — at 100 TB the
+    corpus signature table is the precomputed lake asset ("write signatures
+    to a table first") and each ingest batch pays only its own banding.
+
+    Inputs are (id, signature) frames from ``minhash_signatures``; ids must
+    be disjoint across the two frames. Output: (id_a, id_b, est_jaccard)
+    where id_a is always the NEW doc; new-new pairs appear once (id_a <
+    id_b), new-old pairs as (new, old).
+    """
+
+    def explode_bands(sig: DataFrame) -> DataFrame:
+        def bucket(b: int):
+            comps = [F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+            if portable_buckets:
+                return F.concat_ws(",", *[c.cast("string") for c in comps])
+            return F.hash(*comps)
+
+        bands = F.array(
+            *[F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket")) for b in range(n_bands)]
+        )
+        return sig.select("id", "signature", F.explode(bands).alias("bb")).select(
+            "id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    new_x = explode_bands(new_sigs).localCheckpoint()
+    old_x = explode_bands(corpus_sigs)
+    a = new_x.alias("a")
+    # candidate side = corpus postings UNION the new shard's own postings,
+    # tagged so new-new pairs keep one orientation (a.id < b.id) while
+    # new-old pairs survive in their (new, old) direction regardless of ids
+    b = (
+        old_x.withColumn("__new", F.lit(False))
+        .unionByName(new_x.withColumn("__new", F.lit(True)))
+        .alias("b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (~F.col("b.__new") | (F.col("a.id") < F.col("b.id"))),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1))
+    n_hashes = F.size(F.col("sig_a"))
+    return pairs.select("id_a", "id_b", F.round(matches / n_hashes, 6).alias("est_jaccard"))

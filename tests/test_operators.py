@@ -790,3 +790,39 @@ def test_containment_prefix_filter_is_complete_vs_allpairs(spark, sf_dir):
         .collect()
     }
     assert got == truth and truth, "containment prefix filter dropped or invented pairs"
+
+
+def test_minhash_dedup_delta_matches_full_rebuild(spark, sf_dir):
+    """Incremental dedup of a new shard against a corpus signature table
+    must find EXACTLY the full-corpus candidate pairs that involve at least
+    one new doc (new-new once, new-old in (new, old) direction)."""
+    from syscol_spark.operators.dedup import (
+        minhash_dedup_delta,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs, "text", "doc_id").localCheckpoint()
+    new_ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    new_sigs = sigs.join(new_ids.withColumnRenamed("doc_id", "id"), "id", "left_semi")
+    old_sigs = sigs.join(new_ids.withColumnRenamed("doc_id", "id"), "id", "left_anti")
+
+    got = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_dedup_delta(new_sigs, old_sigs).collect()
+    }
+
+    full = minhash_lsh_candidates(sigs).collect()
+    new_set = {r["id"] for r in new_sigs.select("id").collect()}
+    expected = set()
+    for r in full:
+        x, y, j = r["id_a"], r["id_b"], r["est_jaccard"]
+        if x in new_set and y in new_set:
+            expected.add((min(x, y), max(x, y), j))
+        elif x in new_set:
+            expected.add((x, y, j))
+        elif y in new_set:
+            expected.add((y, x, j))
+    assert expected, "fixture must contain pairs touching the new shard"
+    assert got == expected
