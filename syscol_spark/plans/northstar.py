@@ -1646,3 +1646,45 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.dedup import containment_pairs
 
     return containment_pairs(_docs(spark, sf_dir), "text", "doc_id", "lang", min_containment=0.6)
+
+
+# --- incremental dedup (new shard vs corpus signature table) -----------------
+# Same portable-kernel oracle technique as q_minhash_lsh; the split is
+# doc_id % 5 == 0 (the "new shard"), and the join keeps new-new pairs once
+# (a < b) plus new-old pairs in the (new, old) direction.
+@register(
+    "q_dedup_delta",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN array_length(toks) >= 3
+               THEN list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS shset
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_P} AS h
+      FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
+    ), sig AS (
+      SELECT doc_id,
+         {_MH_SIG_COLS}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(({_MH_MATCHES}) / {_MH_N}.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b
+      ON (a.doc_id % 5 = 0)
+     AND ((b.doc_id % 5 <> 0) OR a.doc_id < b.doc_id)
+     AND ({_MH_BAND_EQ})
+    """,
+    description="incremental MinHash dedup: new shard (id%5=0) vs corpus signature table, exact portable oracle",
+)
+def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import minhash_dedup_delta, minhash_signatures
+
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), "text", "doc_id", kernel="portable"
+    ).localCheckpoint()
+    new = sigs.filter(F.col("id") % 5 == 0)
+    old = sigs.filter(F.col("id") % 5 != 0)
+    return minhash_dedup_delta(new, old, portable_buckets=True)
