@@ -80,3 +80,17 @@ def test_q03_small_dim_broadcast(plans):
     # side broadcastable; what we assert is that SOME broadcast join was
     # chosen, i.e. the plan is not all-shuffle)
     assert "BroadcastHashJoin" in plans["q03_shipping_priority"]
+
+
+# Queries whose SEMANTICS require Expand (grouping-set replication, sliding
+# windows, unpivot). Everything else must plan without it: an unexpected
+# Expand means a multi-distinct aggregate rewrite multiplying every input
+# row (the q_profile/q_approx_distinct trap — measured x6 row inflation).
+_EXPAND_JUSTIFIED = {"q_rollup", "q_cube", "q_grouping_sets", "q_ev_sliding", "q_unpivot"}
+
+
+def test_no_unjustified_expand_anywhere(plans):
+    offenders = [
+        n for n, p in plans.items() if "Expand" in p and n not in _EXPAND_JUSTIFIED
+    ]
+    assert offenders == [], f"unexpected Expand (multi-distinct rewrite?) in: {offenders}"
