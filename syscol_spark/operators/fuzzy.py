@@ -80,12 +80,7 @@ def edit_distance_pairs(
     # prefix scan) dominated the wall time (measured ~2.4x at sf0.1). At
     # lake scale this is the "write the gram index to a table first" step —
     # same pattern as ngram_jaccard_pairs' shingle materialization.
-    # carry the gram-set size from the pre-explode array: it is exactly the
-    # per-id posting count, so the rank pass below needs only ONE window
-    # (row_number), not a second whole-partition COUNT aggregation
-    ex = s.select(
-        "__id", "__len", F.size("__grams").alias("__n"), F.explode("__grams").alias("gram")
-    ).localCheckpoint()
+    ex = s.select("__id", "__len", F.explode("__grams").alias("gram")).localCheckpoint()
 
     # global gram order: rarest first, gram string as tie-break (total order)
     freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
@@ -93,6 +88,7 @@ def edit_distance_pairs(
     w = Window.partitionBy("__id").orderBy(F.col("df").asc(), F.col("gram").asc())
     base = (
         ranked.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__id")))
         .filter(F.col("__rn") <= prefix_len)
         .select("__id", "__len", "gram", "__rn", "__n")
     )
