@@ -97,27 +97,44 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
         _release_cached(spark)
 
-    # Re-time the 15 heaviest queries twice more and keep the min-of-3:
+    # Re-time EVERY query up to twice more and keep the min-of-3:
     # back-to-back JVM sharing contaminates single-shot numbers (measured
     # 2.8 -> 18.5 s swings from concurrent GC/codegen pressure, plus
-    # externally noisy windows on this box), so round-over-round deltas on
-    # the expensive queries are only signal if each number is a min over
-    # repeats taken after the full sweep.
-    solo_min: dict[str, float] = {}
-    top10 = sorted(timings, key=lambda n: -timings[n])[:15]
-    for name in top10:
-        best = timings[name]
-        for _ in range(2):
+    # externally noisy windows on this box — r5 recorded q_ann_pq_adc at
+    # 10.74 s shared vs 1.42 s solo), so round-over-round deltas are only
+    # signal if each number is a min over repeats taken after the full
+    # sweep. Coverage is budget-bounded (SPARK_GRAFT_BENCH_BUDGET_SEC,
+    # default 1500 s wall for the whole harness) with repeats ordered
+    # most-expensive-first, so if the box is having a pathological day the
+    # noisiest numbers still get cleaned before the budget trips.
+    t_start = time.time() - total
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    solo_min: dict[str, float] = dict(timings)
+    reps_done: dict[str, int] = {n: 1 for n in timings}
+    by_cost_order = sorted(timings, key=lambda n: -timings[n])
+    for rep in range(1, n_reps):
+        for name in by_cost_order:
+            if time.time() - t_start > budget:
+                break
             t0 = time.time()
             try:
                 df = QUERIES[name].builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
             except Exception:  # noqa: BLE001 - already recorded in pass 1
-                break
-            best = min(best, time.time() - t0)
+                continue
+            solo_min[name] = round(min(solo_min[name], time.time() - t0), 3)
+            reps_done[name] += 1
             _release_cached(spark)
-        solo_min[name] = round(best, 3)
-        print(f"# min3 {name}: {best:.2f}s", file=sys.stderr)
+        else:
+            continue
+        break
+    fully_repped = sum(1 for v in reps_done.values() if v >= n_reps)
+    print(
+        f"# min-of-{n_reps}: {fully_repped}/{len(timings)} queries fully repped "
+        f"within {budget:.0f}s budget",
+        file=sys.stderr,
+    )
 
     # Ingest-pipeline throughput vs the reference's operational ceiling
     # (BASELINE.md: ~1000 msg/s for a 1000-node fleet): synthesize envelopes,
@@ -128,23 +145,29 @@ def main() -> None:
         errors["_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
         ingest_rps = -1
 
-    # Noise-resistant total: substitute the min-of-3 where measured. The
-    # single-pass `value` stays the headline for continuity, but the box has
-    # externally noisy windows (433 s vs 162 s sweeps with zero changes), so
-    # `total_best_known` is the number to compare across rounds.
-    best_known = {**timings, **solo_min}
+    # Noise-resistant numbers: `queries` now carries the min-of-N per query
+    # (full catalog coverage — the r5 top-15-only map under the misnamed
+    # `top10_min_of_3` key is retired), `total_best_known` sums it, and the
+    # single-pass sweep stays available as `value`/`queries_single_pass`
+    # for continuity with r1-r5 artifacts. Compare rounds on
+    # `total_best_known` / `queries`; the box has externally noisy windows
+    # (433 s vs 162 s sweeps with zero changes), so the shared-sweep total
+    # is weather, not signal.
     full = {
         "metric": "catalog_total_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": timings,
+        "timing": f"queries = min of {n_reps} serial reps (budget-bounded)",
+        "queries": solo_min,
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "errors": errors,
         "ingest_envelopes_per_sec": ingest_rps,
-        "top10_min_of_3": solo_min,
-        "total_best_known": round(sum(best_known.values()), 3),
+        "n_reps": n_reps,
+        "reps_done": reps_done,
+        "queries_single_pass": timings,
+        "total_best_known": round(sum(solo_min.values()), 3),
     }
     # Complete per-query artifact for the judge (the stdout line below is
     # size-capped and may omit the fastest queries).
@@ -159,11 +182,13 @@ def main() -> None:
     # queries that fit, with a pointer at the complete artifact.
     line = dict(full)
     line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
+    line.pop("reps_done", None)
+    line.pop("queries_single_pass", None)
     line["full_results"] = "BENCH_FULL.json"
-    by_cost = sorted(timings, key=lambda n: -timings[n])
+    by_cost = sorted(solo_min, key=lambda n: -solo_min[n])
     for keep in range(len(by_cost), -1, -1):
-        line["queries"] = {n: timings[n] for n in by_cost[:keep]}
-        line["queries_omitted"] = len(timings) - keep
+        line["queries"] = {n: solo_min[n] for n in by_cost[:keep]}
+        line["queries_omitted"] = len(solo_min) - keep
         out = json.dumps(line)
         if len(out) <= 1900:
             break
