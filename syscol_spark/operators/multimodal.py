@@ -160,12 +160,17 @@ def resize_assets(assets: DataFrame, *, width: int = 64, height: int = 64, decod
     n_out = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ks = np.arange(n_out, dtype=np.int64)
         for pdf in it:
             def one(b: bytes) -> bytes:
                 raw = bytes(b) or b"\x00"
                 # nearest-neighbor byte sampling: output k maps to source
-                # index k*len/n_out — the shape of a real resize kernel
-                return bytes(raw[(k * len(raw)) // n_out] for k in range(n_out))
+                # index k*len/n_out — the shape of a real resize kernel.
+                # One numpy gather per row (no per-byte Python loop);
+                # (ks*n)//n_out is the same integer math as the scalar form,
+                # so outputs stay byte-identical to the original definition.
+                src = np.frombuffer(raw, dtype=np.uint8)
+                return src[(ks * len(raw)) // n_out].tobytes()
 
             yield pd.DataFrame(
                 {
@@ -187,13 +192,22 @@ def sample_frames(assets: DataFrame, *, every_n_bytes: int = 256, max_frames: in
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, blobs = [], [], []
-            for aid, blob in zip(pdf["asset_id"], pdf["blob"]):
-                raw = bytes(blob)
-                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
-                    ids.append(aid)
-                    idxs.append(i)
-                    blobs.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            raws = [bytes(b) for b in pdf["blob"]]
+            # frames per row, vectorized: min(max_frames, max(1, len//every))
+            lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
+            counts = np.minimum(max_frames, np.maximum(1, lens // every_n_bytes))
+            ids = np.repeat(pdf["asset_id"].to_numpy(), counts)
+            # frame_idx = 0..count-1 within each row: global arange minus the
+            # repeated start offset of each row's frame block
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            idxs = (np.arange(int(counts.sum())) - np.repeat(starts, counts)).astype(np.int32)
+            # bytes slicing has no vectorized form; this flat comprehension
+            # is O(output bytes) C-level copies, not a per-byte Python loop
+            blobs = [
+                raw[i * every_n_bytes : (i + 1) * every_n_bytes]
+                for raw, c in zip(raws, counts)
+                for i in range(c)
+            ]
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_blob": blobs})
 
     return assets.mapInPandas(batches, schema=_FRAMES_SCHEMA)

@@ -35,6 +35,14 @@ def _as_text(col: Column, dtype) -> Column:
 def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
     """Long-format profile: one row per column with
     (column, n_rows, n_nulls, n_distinct, min_str, max_str)."""
+    if not cols:
+        # reduce() over zero branches would raise a bare TypeError; return an
+        # empty frame with the report schema instead.
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n_rows long, n_nulls long, n_distinct long, "
+            "min_str string, max_str string",
+        )
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     branches: list[DataFrame] = []
     for c in cols:

@@ -43,17 +43,26 @@ def misra_gries_candidates(df: DataFrame, col: str, *, capacity: int = 4096) -> 
     """
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        counters: dict = {}
+        template = None
         for pdf in it:
+            if template is None:
+                template = pdf.iloc[:0]
             for tok, c in pdf[col].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(c)
             if len(counters) > capacity:
                 vals = sorted(counters.values())
                 cut = vals[len(counters) - capacity - 1]
                 counters = {t: c - cut for t, c in counters.items() if c > cut}
-        yield pd.DataFrame({col: list(counters.keys())})
+        if template is None:
+            return
+        yield pd.DataFrame({col: pd.Series(list(counters.keys()), dtype=template[col].dtype)})
 
-    return df.select(col).mapInPandas(summarize, schema=f"{col} string").distinct()
+    # Output schema mirrors the input column's type (not hardcoded string),
+    # so heavy hitters over long/int/date columns keep a correctly-typed
+    # semi-join key instead of an Arrow type mismatch.
+    item_type = df.schema[col].dataType.simpleString()
+    return df.select(col).mapInPandas(summarize, schema=f"{col} {item_type}").distinct()
 
 
 def heavy_hitters(df: DataFrame, col: str | Column, *, k: int = 50, capacity: int = 4096) -> DataFrame:

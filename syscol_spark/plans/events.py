@@ -779,21 +779,28 @@ def q_ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- per-entity linear trend (exact-integer OLS) -----------------------------
 # Least-squares slope of value over time per user — the "trend" aggregate of
 # a time-series engine (timescaledb stats_agg / PromQL deriv). Cross-engine
-# exactness: x = epoch-µs (long), y = floor(value·1e6) (long); all OLS sums
-# and the num/den combination stay EXACT integers (Spark DECIMAL(38,0),
-# DuckDB HUGEINT — both hold the ~1e30 magnitudes with 1e8x headroom), and
-# the only float op is one identical IEEE division + scale at the end.
-# Production note: at per-user cardinalities where n²·x·y approaches 1e38
-# (≈1e10 rows per user), switch to float regr_slope; the exact path is the
-# verification-grade twin.
+# exactness: x = epoch-µs CENTERED per user (x - min(x)), y = floor(value·1e6)
+# (long); the slope is shift-invariant, so centering changes nothing
+# mathematically, but it shrinks the intermediates from ~n²·epoch² (overflow
+# at ~5,900 events/user with raw epoch-µs) to ~n²·span², keeping all OLS
+# sums and the num/den combination EXACT integers (Spark DECIMAL(38,0),
+# DuckDB HUGEINT) up to ~1e6–1e7 events per user for month-long spans. The
+# only float op is one identical IEEE division + scale at the end. The
+# centering min() is a window partitioned on the same key as the groupBy, so
+# Catalyst reuses one exchange — no extra shuffle. Production note: beyond
+# ~1e6 rows/user, switch to float regr_slope (y-centering buys another ~1e2
+# if value spreads are small); the exact path is the verification-grade twin.
 @register(
     "q_ev_trend",
     """
-    WITH pts AS (
+    WITH raw AS (
       SELECT user_id,
-             CAST(epoch_us(ts) AS HUGEINT) AS x,
+             CAST(epoch_us(ts) AS HUGEINT) AS xr,
              CAST(floor(value * 1000000.0) AS HUGEINT) AS y
       FROM events
+    ), pts AS (
+      SELECT user_id, xr - MIN(xr) OVER (PARTITION BY user_id) AS x, y
+      FROM raw
     ), sums AS (
       SELECT user_id,
              CAST(COUNT(*) AS HUGEINT) AS n,
@@ -808,15 +815,17 @@ def q_ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sums
     WHERE n >= 3 AND n * sxx - sx * sx > 0
     """,
-    description="per-user OLS trend slope over event time (exact integer sums, one final float division)",
+    description="per-user OLS trend slope over event time (exact integer sums on per-user-centered x, one final float division)",
 )
 def q_ev_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     dec38 = "decimal(38,0)"
-    x = F.col("ts_us").cast(dec38)
+    xr = F.col("ts_us").cast(dec38)
     y = F.floor(F.col("value") * 1000000.0).cast("long").cast(dec38)
+    xmin = F.min("xr").over(Window.partitionBy("user_id"))
     sums = (
-        ev.select("user_id", x.alias("x"), y.alias("y"))
+        ev.select("user_id", xr.alias("xr"), y.alias("y"))
+        .withColumn("x", (F.col("xr") - xmin).cast(dec38))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast(dec38).alias("n"),

@@ -87,6 +87,15 @@ def test_profile_columns_exact(spark):
     assert (got["x"]["min_str"], got["x"]["max_str"]) == ("0.250000", "2.500000")
 
 
+def test_profile_columns_empty_cols(spark):
+    """cols=[] returns an empty report with the profile schema (previously a
+    bare TypeError from reduce() over zero branches)."""
+    df = spark.createDataFrame([(1,)], ["k"])
+    out = profile_columns(df, [])
+    assert out.count() == 0
+    assert out.columns == ["column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"]
+
+
 def test_redact_pii_planted(spark):
     df = spark.createDataFrame(
         [("write bob.smith+x@mail.example.org or call 555-123-4567 today",),
