@@ -273,6 +273,25 @@ def kmeans_centroids(
 
 _LOCAL_TRAIN_LIMIT = 200_000  # ≈100 MB of float64 at dim=64 — driver-safe
 
+# ADC serving collects the query side to the driver to build distance tables
+# and broadcasts them; "queries are small by contract" is enforced, not just
+# documented. 10k queries × 8 subspaces × 256 centroids of float64 ≈ 160 MB
+# of broadcast tables — the ceiling of comfortable.
+_QUERY_SIDE_LIMIT = 10_000
+
+
+def _assert_query_side_small(queries: DataFrame, what: str) -> None:
+    """Bounded probe (limit(N+1).count() — transfers 8 bytes, never rows)
+    mirroring the _LOCAL_TRAIN_LIMIT pattern: ADC-style serving must fail
+    loudly on an oversized query frame instead of silently materializing it
+    on the driver."""
+    if queries.limit(_QUERY_SIDE_LIMIT + 1).count() > _QUERY_SIDE_LIMIT:
+        raise ValueError(
+            f"{what}: query side exceeds _QUERY_SIDE_LIMIT={_QUERY_SIDE_LIMIT} rows; "
+            "ADC serving builds driver-side distance tables per query — batch the "
+            "queries or use a join-based scorer for query sets this large"
+        )
+
 
 def _kmeans_local(rows: list, k: int, max_iter: int) -> list[list[float]]:
     """Lloyd's on a collected (id, vec) sample — numerically the same
@@ -847,6 +866,7 @@ def pq_adc_topk(
         max_iter=max_iter, train_stride=train_stride, codebooks=codebooks,
     )
     # per-query distance tables: table[s][c] = |q_s - codebook[s][c]|^2
+    _assert_query_side_small(queries, "pq_adc_topk")
     books = [np.array(cb, dtype="float64") for cb in codebooks]
     qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).collect()
     table_rows = []
@@ -901,6 +921,8 @@ def ivf_pq_topk(
     pq_iter: int = 2,
     pq_stride: int = 1,
     k: int = 5,
+    residual: bool = False,
+    refine: int = 0,
 ) -> DataFrame:
     """IVF+PQ: the composed billion-scale ANN serving recipe (Jégou et al.
     — coarse inverted lists prune the corpus, PQ asymmetric distance ranks
@@ -909,17 +931,32 @@ def ivf_pq_topk(
     of per-subspace distance-table lookups through their PQ codes — the
     original corpus vectors are touched only at index-build time.
 
-    This is deliberately plain (non-residual) PQ — codes quantize the raw
-    vectors, not the residual to the coarse centroid — which keeps every
-    stage individually oracle-mirrorable (q_ann_ivfpq composes the
-    VALIDATED coarse chain of q_ann_ivf with the VALIDATED subspace chains
-    of q_ann_pq_adc); residual PQ is the documented upgrade path and
-    changes only what the codebooks train on.
+    ``residual=False`` is plain PQ — codes quantize the raw vectors, which
+    keeps every stage individually oracle-mirrorable (q_ann_ivfpq composes
+    the VALIDATED coarse chain of q_ann_ivf with the VALIDATED subspace
+    chains of q_ann_pq_adc).
 
-    Serving plan: one corpus scan emits (id, list, codes); the query side
-    (probes + distance tables) is tiny and broadcast; candidate rows cost
-    n_subspaces array lookups each. Output:
-    (query_id, neighbor_id, adc_dist rounded 6dp, rk<=k).
+    ``residual=True`` is the production recipe (IVFADC, Jégou et al. §IV):
+    codebooks train on (vec - coarse_centroid[list]) so the PQ budget is
+    spent on the variance the coarse quantizer did NOT explain, and each
+    query builds one distance table per PROBED LIST from its own residual
+    to that list's centroid. Same serving plan — one corpus scan to
+    (id, list, codes), broadcast per-(query, list) tables, n_subspaces
+    lookups per candidate — with strictly better recall per code byte.
+    Oracle-mirrored by q_ann_ivfpq_res (residual CTE + long-format
+    k-means chains).
+
+    ``refine=R`` (IVFADC+R, Jégou et al. §V): keep the top-R ADC
+    candidates per query, then re-rank ONLY those R rows with the exact
+    cosine against the raw vectors. The refinement join touches R rows per
+    query (broadcast shortlist vs one corpus scan), so the 100 TB shape is
+    unchanged, and recall recovers to the coarse stage's ceiling — ADC
+    ordering noise inside the shortlist no longer costs recall (measured:
+    the fixture's recall@5 roughly doubles at R=50; see
+    test_ann_ivfpq_residual_refine_recall).
+
+    Output: (query_id, neighbor_id, adc_dist rounded 6dp, rk<=k);
+    with ``refine``, (query_id, neighbor_id, cosine rounded 6dp, rk<=k).
     """
     import numpy as np
 
@@ -930,58 +967,102 @@ def ivf_pq_topk(
         corpus, vec_col=vec_col, id_col=id_col, k=n_lists,
         max_iter=coarse_iter, train_stride=coarse_stride,
     )
-    lists_ = _assign_nearest(df, "vec", coarse).select(
-        "id", F.col("__cluster").alias("list_id")
+    assigned = _assign_nearest(df, "vec", coarse).select(
+        "id", "vec", F.col("__cluster").alias("list_id")
     )
+    if residual:
+        # residual to the assigned coarse centroid, as one column expression
+        # against the plan-time centroid matrix literal — no extra scan/join
+        cmat = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in coarse])
+        enc_src = assigned.select(
+            "id",
+            F.zip_with(
+                F.col("vec"),
+                F.element_at(cmat, F.col("list_id") + 1),
+                lambda a, b: a.cast("double") - b,
+            ).alias("vec"),
+            "list_id",
+        )
+    else:
+        enc_src = assigned
     # PQ codebooks + one code row per corpus vector
     codebooks = _pq_codebooks(
-        df, dim=dim, n_subspaces=n_subspaces, n_centroids=pq_centroids,
-        max_iter=pq_iter, train_stride=pq_stride,
+        enc_src.select("id", "vec"), dim=dim, n_subspaces=n_subspaces,
+        n_centroids=pq_centroids, max_iter=pq_iter, train_stride=pq_stride,
     )
     codes = pq_codes(
-        corpus, vec_col=vec_col, id_col=id_col, dim=dim,
+        enc_src, vec_col="vec", id_col="id", dim=dim,
         n_subspaces=n_subspaces, n_centroids=pq_centroids,
         max_iter=pq_iter, train_stride=pq_stride, codebooks=codebooks,
-    ).join(lists_.withColumnRenamed("id", id_col), id_col)
-    # query probes: nprobe best coarse lists (same ranking as ivf_topk)
-    half_norms = [sum(x * x for x in cc) / 2.0 for cc in coarse]
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        matrix_dots(vec_col, coarse).alias("__dots"),
+    ).withColumnRenamed("id", id_col).join(
+        enc_src.select(F.col("id").alias(id_col), "list_id"), id_col
     )
-    scored_lists = F.zip_with(
-        F.col("__dots"), F.array(*[F.lit(h) for h in half_norms]), lambda d, h: d - h
-    )
-    ranked = F.transform(
-        scored_lists, lambda s, i: F.struct(s.alias("score"), i.cast("int").alias("idx"))
-    )
-    probes = F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe)
-    qp = qb.select("query_id", F.explode(probes).alias("__p")).select(
-        "query_id", F.col("__p.idx").alias("list_id")
-    )
-    # per-query PQ distance tables (same construction as pq_adc_topk)
+    _assert_query_side_small(queries, "ivf_pq_topk")
     books = [np.array(cb, dtype="float64") for cb in codebooks]
+    coarse_m = np.array(coarse, dtype="float64")
+    half = 0.5 * (coarse_m * coarse_m).sum(axis=1)
     qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).collect()
-    table_rows = []
-    for r in qrows:
-        qv = np.array([float(x) for x in r["qvec"]], dtype="float64")
-        tables = [
-            [float(((qv[s * sub : (s + 1) * sub] - books[s][c]) ** 2).sum())
-             for c in range(pq_centroids)]
-            for s in range(n_subspaces)
-        ]
-        table_rows.append((r["qid"], tables))
-    tables_df = corpus.sparkSession.createDataFrame(
-        table_rows, "query_id long, tables array<array<double>>"
-    )
+    spark = corpus.sparkSession
+    if residual:
+        # per-(query, probed list) distance tables on the query's residual
+        # to THAT list's centroid: table[s][c] = |(q - C_list)_s - cb[s][c]|^2.
+        # Probe ranking mirrors the Spark-side slice(reverse(array_sort)):
+        # score desc, ties to the HIGHER list index.
+        table_rows = []
+        for r in qrows:
+            qv = np.array([float(x) for x in r["qvec"]], dtype="float64")
+            scores = coarse_m @ qv - half
+            probe_ids = sorted(range(n_lists), key=lambda j: (-scores[j], -j))[:nprobe]
+            for lid in probe_ids:
+                qres = qv - coarse_m[lid]
+                tables = [
+                    [float(((qres[s * sub : (s + 1) * sub] - books[s][c]) ** 2).sum())
+                     for c in range(pq_centroids)]
+                    for s in range(n_subspaces)
+                ]
+                table_rows.append((r["qid"], lid, tables))
+        tables_df = spark.createDataFrame(
+            table_rows, "query_id long, list_id int, tables array<array<double>>"
+        )
+        joined = codes.join(broadcast(tables_df), "list_id")
+    else:
+        # query probes: nprobe best coarse lists (same ranking as ivf_topk),
+        # computed Spark-side so the plain-PQ oracle chain mirrors it
+        half_norms = [float(h) for h in half]
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            matrix_dots(vec_col, coarse).alias("__dots"),
+        )
+        scored_lists = F.zip_with(
+            F.col("__dots"), F.array(*[F.lit(h) for h in half_norms]), lambda d, h: d - h
+        )
+        ranked = F.transform(
+            scored_lists, lambda s, i: F.struct(s.alias("score"), i.cast("int").alias("idx"))
+        )
+        probes = F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe)
+        qp = qb.select("query_id", F.explode(probes).alias("__p")).select(
+            "query_id", F.col("__p.idx").alias("list_id")
+        )
+        # per-query PQ distance tables (same construction as pq_adc_topk)
+        table_rows = []
+        for r in qrows:
+            qv = np.array([float(x) for x in r["qvec"]], dtype="float64")
+            tables = [
+                [float(((qv[s * sub : (s + 1) * sub] - books[s][c]) ** 2).sum())
+                 for c in range(pq_centroids)]
+                for s in range(n_subspaces)
+            ]
+            table_rows.append((r["qid"], tables))
+        tables_df = spark.createDataFrame(
+            table_rows, "query_id long, tables array<array<double>>"
+        )
+        joined = codes.join(broadcast(qp), "list_id").join(broadcast(tables_df), "query_id")
     dist = None
     for s in range(n_subspaces):
         term = F.element_at(F.element_at("tables", s + 1), F.col(f"c{s}") + 1)
         dist = term if dist is None else dist + term
     scored = (
-        codes.join(broadcast(qp), "list_id")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .join(broadcast(tables_df), "query_id")
+        joined.filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
@@ -989,6 +1070,30 @@ def ivf_pq_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    if refine:
+        shortlist = (
+            scored.select("*", F.row_number().over(w).alias("__r"))
+            .filter(F.col("__r") <= refine)
+            .drop("adc_dist", "__r")
+        )
+        qvec_df = spark.createDataFrame(
+            [(r["qid"], [float(x) for x in r["qvec"]]) for r in qrows],
+            "query_id long, q_vec array<double>",
+        )
+        rescored = (
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+            .join(broadcast(shortlist), "neighbor_id")
+            .join(broadcast(qvec_df), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        return rescored.select("*", F.row_number().over(w2).cast("long").alias("rk")).filter(
+            F.col("rk") <= k
+        )
     return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(
         F.col("rk") <= k
     )
@@ -1058,6 +1163,72 @@ def semantic_dedup(
     )
     return (
         assigned.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_delta(
+    new_vecs: DataFrame,
+    corpus_state: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.35,
+) -> DataFrame:
+    """Incremental SemDeDup: dedup a NEW shard against a PERSISTED cluster
+    state — the embedding-side daily-ingest path, mirroring
+    minhash_dedup_delta's shape (dedup.py). The quantizer (``centroids``)
+    and the corpus assignments (``corpus_state``: (id, vec, cluster) rows,
+    the materialized output of the index-time run joined with its vectors)
+    are precomputed lake assets; each ingest batch pays ONE assignment scan
+    of its own rows plus intra-cluster joins against only the clusters it
+    actually touches — O(new · cluster_occupancy), never corpus².
+
+    Drop rule matches the batch operator exactly: a new vector is dropped
+    iff a LOWER-id clustermate (old or new) has cosine >= min_cosine. With
+    monotonically increasing ingest ids (old < new), this reproduces what
+    batch SemDeDup over (corpus ∪ shard) decides for the shard's rows —
+    the parity test runs both on a two-shard split
+    (test_semantic_dedup_delta_parity). Output: (id_col, cluster, keep)
+    for the NEW shard only.
+    """
+    new_assigned = (
+        _assign_nearest(new_vecs.select(id_col, vec_col), vec_col, centroids)
+        .select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            F.col("__cluster").alias("cluster"),
+        )
+        .localCheckpoint()
+    )
+    old = corpus_state.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.col("cluster").cast("int").alias("cluster"),
+    )
+    a = new_assigned.select(F.col("id").alias("id_a"), "cluster")
+    b = (
+        old.select(F.col("id").alias("id_b"), "cluster")
+        .unionByName(new_assigned.select(F.col("id").alias("id_b"), "cluster"))
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .select(F.col("id_a"), F.col("id_b"))
+    )
+    sides = old.select("id", "vec").unionByName(new_assigned.select("id", "vec"))
+    dropped = (
+        _score_pairs_for(pairs, sides)
+        .filter(F.col("cosine") >= min_cosine)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        new_assigned.join(dropped, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.col("cluster").cast("int").alias("cluster"),

@@ -564,7 +564,7 @@ def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anyway (validated by the driver hash at sf0.001/0.01).
 def _kmeans_serve_ctes(
     *, k: int, iters: int, dim: int, train_stride: int = 1,
-    suffix: str = "", dim_lo: int = 1,
+    suffix: str = "", dim_lo: int = 1, train_where: str | None = None,
 ) -> list[str]:
     """Shared unrolled-k-means CTE chain (dims .. servescore .. serve):
     mirrors kmeans_centroids training + _assign_nearest serving, ending with
@@ -574,12 +574,13 @@ def _kmeans_serve_ctes(
     1-based offset so a chain can quantize the F.slice(vec, dim_lo, dim)
     sub-vector the engine trains on."""
     # training CTEs scan the SAME deterministic stride sample as the engine
-    # (kmeans_centroids train_stride); serving scans the full table
-    train = (
-        f"(SELECT * FROM embeddings WHERE vec_id % {train_stride} = 0)"
-        if train_stride > 1
-        else "embeddings"
+    # (kmeans_centroids train_stride), optionally under an extra predicate
+    # (train_where — e.g. the old-shard filter of the incremental SemDeDup
+    # oracle); serving always scans the full table
+    conds = ([train_where] if train_where else []) + (
+        [f"vec_id % {train_stride} = 0"] if train_stride > 1 else []
     )
+    train = f"(SELECT * FROM embeddings WHERE {' AND '.join(conds)})" if conds else "embeddings"
     s = suffix
     ctes = [
         f"dims{s} AS (SELECT unnest(range({dim_lo}, {dim_lo + dim})) AS i)",
@@ -875,6 +876,153 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- residual IVF+PQ (IVFADC) -------------------------------------------------
+# The production recipe: PQ codebooks train on the residual to the assigned
+# coarse centroid, and each query builds one distance table per PROBED LIST
+# from its own residual to that list's centroid. The oracle needs k-means
+# chains over a COMPUTED long-format source (the residual CTE) rather than
+# the embeddings array column, so the chain below is the long-format twin of
+# _kmeans_serve_ctes: identical seeding/assignment/means/tie semantics, with
+# (vec_id, i, val) join on i replacing embedding[i] indexing.
+def _kmeans_serve_ctes_long(
+    *, src: str, k: int, iters: int, dim: int, dim_lo: int,
+    suffix: str, train_stride: int = 1,
+) -> list[str]:
+    s = suffix
+    stride_f = f" WHERE vec_id % {train_stride} = 0" if train_stride > 1 else ""
+    ctes = [
+        f"sub{s} AS (SELECT vec_id, i, val FROM {src} "
+        f"WHERE i >= {dim_lo} AND i < {dim_lo + dim})",
+        f"train{s} AS (SELECT * FROM sub{s}{stride_f})",
+        (
+            f"seeds{s} AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id "
+            f"FROM (SELECT DISTINCT vec_id FROM train{s} ORDER BY vec_id LIMIT {k}))"
+        ),
+        f"c{s}_0 AS (SELECT sd.cluster, t.i, t.val FROM seeds{s} sd JOIN train{s} t USING (vec_id))",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{s}_{t - 1}"
+        ctes.append(
+            f"score{s}_{t} AS (SELECT r.vec_id, c.cluster, "
+            "SUM(r.val * c.val) - SUM(c.val * c.val) / 2 AS score "
+            f"FROM train{s} r JOIN {prev} c ON r.i = c.i GROUP BY r.vec_id, c.cluster)"
+        )
+        ctes.append(
+            f"assign{s}_{t} AS (SELECT vec_id, cluster FROM ("
+            "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+            f"PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM score{s}_{t}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{s}_{t} AS (SELECT p.cluster, p.i, COALESCE(m.val, p.val) AS val "
+            f"FROM {prev} p LEFT JOIN ("
+            f"SELECT a.cluster, t.i, AVG(t.val) AS val "
+            f"FROM assign{s}_{t} a JOIN train{s} t USING (vec_id) "
+            "GROUP BY a.cluster, t.i) m ON p.cluster = m.cluster AND p.i = m.i)"
+        )
+    final = f"c{s}_{iters}"
+    ctes.append(
+        f"servescore{s} AS (SELECT r.vec_id, c.cluster, "
+        "SUM(r.val * c.val) - SUM(c.val * c.val) / 2 AS score "
+        f"FROM sub{s} r JOIN {final} c ON r.i = c.i GROUP BY r.vec_id, c.cluster)"
+    )
+    ctes.append(
+        f"serve{s} AS (SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+        f"PARTITION BY vec_id ORDER BY score DESC, cluster) AS rn FROM servescore{s}) WHERE rn = 1)"
+    )
+    return ctes
+
+
+def _ivfpq_res_oracle_sql(
+    *, n_lists: int, nprobe: int, coarse_iters: int, coarse_stride: int,
+    n_subspaces: int, sub_dim: int, pq_k: int, pq_iters: int, pq_stride: int,
+    q_max: int, topk: int,
+) -> str:
+    ctes = _kmeans_serve_ctes(
+        k=n_lists, iters=coarse_iters, dim=n_subspaces * sub_dim,
+        train_stride=coarse_stride, suffix="_c",
+    )
+    ctes.append(
+        "probes_c AS (SELECT vec_id, cluster FROM ("
+        "SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY score DESC, cluster DESC) AS rn "
+        f"FROM servescore_c WHERE vec_id < {q_max}) WHERE rn <= {nprobe})"
+    )
+    # residual to the assigned coarse centroid, long format (vec_id, i, val)
+    ctes.append(
+        "resid AS (SELECT e.vec_id, cc.i, CAST(e.embedding[cc.i] AS DOUBLE) - cc.val AS val "
+        f"FROM embeddings e JOIN serve_c sv ON sv.vec_id = e.vec_id "
+        f"JOIN c_c_{coarse_iters} cc ON cc.cluster = sv.cluster)"
+    )
+    for s in range(n_subspaces):
+        ctes.extend(
+            _kmeans_serve_ctes_long(
+                src="resid", k=pq_k, iters=pq_iters, dim=sub_dim,
+                dim_lo=s * sub_dim + 1, suffix=f"_s{s}", train_stride=pq_stride,
+            )
+        )
+        # per-(query, probed list) distance table: the query's residual to
+        # THAT list's centroid vs every codebook centroid of subspace s
+        ctes.append(
+            f"distp_s{s} AS (SELECT p.vec_id AS query_id, p.cluster AS list_id, b.cluster, "
+            "SUM(POW(CAST(q.embedding[b.i] AS DOUBLE) - cc.val - b.val, 2)) AS d "
+            f"FROM probes_c p JOIN embeddings q ON q.vec_id = p.vec_id "
+            f"JOIN c_c_{coarse_iters} cc ON cc.cluster = p.cluster "
+            f"JOIN c_s{s}_{pq_iters} b ON b.i = cc.i "
+            "GROUP BY p.vec_id, p.cluster, b.cluster)"
+        )
+    serve_joins = " ".join(
+        f"JOIN serve_s{s} s{s} USING (vec_id)" for s in range(1, n_subspaces)
+    )
+    dist_joins = " ".join(
+        f"JOIN distp_s{s} d{s} ON d{s}.cluster = s{s}.cluster "
+        f"AND d{s}.query_id = p.vec_id AND d{s}.list_id = sc.cluster"
+        for s in range(n_subspaces)
+    )
+    total = " + ".join(f"d{s}.d" for s in range(n_subspaces))
+    # MATERIALIZE every CTE (same reason as _ivfpq_oracle_sql: multiply-
+    # referenced chains re-inline into a runaway plan otherwise)
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, adc_dist, rk FROM (
+      SELECT p.vec_id AS query_id, s0.vec_id AS neighbor_id,
+             ROUND({total}, 6) AS adc_dist,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY ROUND({total}, 6), s0.vec_id) AS BIGINT) AS rk
+      FROM serve_s0 s0 {serve_joins}
+      JOIN serve_c sc ON sc.vec_id = s0.vec_id
+      JOIN probes_c p ON p.cluster = sc.cluster
+      {dist_joins}
+      WHERE s0.vec_id <> p.vec_id)
+    WHERE rk <= {topk}
+    """
+    )
+
+
+@register(
+    "q_ann_ivfpq_res",
+    _ivfpq_res_oracle_sql(
+        n_lists=16, nprobe=4, coarse_iters=3, coarse_stride=4,
+        n_subspaces=8, sub_dim=8, pq_k=16, pq_iters=2, pq_stride=4,
+        q_max=10, topk=5,
+    ),
+    description="residual IVF+PQ (IVFADC): PQ codebooks on coarse residuals, per-(query,list) distance tables — the production billion-scale recipe",
+)
+def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, n_lists=16, nprobe=4,
+        coarse_iter=3, coarse_stride=4, n_subspaces=8, pq_centroids=16,
+        pq_iter=2, pq_stride=4, k=5, residual=True,
+    )
+
+
 # --- SemDeDup semantic deduplication -----------------------------------------
 # Same unrolled-k-means oracle chain as q_ann_ivf (shared _kmeans_serve_ctes,
 # same validated hyperparameters), then the SemDeDup drop rule as one EXISTS:
@@ -914,6 +1062,71 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         _emb(spark, sf_dir), n_clusters=16, min_cosine=0.35, max_iter=3, train_stride=4
     )
+
+
+# --- incremental SemDeDup (daily-ingest embedding dedup) ----------------------
+# The delta twin of q_semdedup: the quantizer trains on the OLD shard only
+# (the persisted index-time model), the old shard's assignments are the
+# persisted cluster state, and the NEW shard is assigned + deduped against
+# state ∪ itself. Oracle = the same unrolled chain with the training CTEs
+# filtered to the old shard (train_where), serving over everything, and the
+# drop rule restricted to new-shard victims.
+_SEMDEDUP_SPLIT = 250
+
+
+def _semdedup_delta_oracle_sql(
+    *, k: int, iters: int, dim: int, tau: float, train_stride: int, split: int
+) -> str:
+    ctes = _kmeans_serve_ctes(
+        k=k, iters=iters, dim=dim, train_stride=train_stride,
+        train_where=f"vec_id < {split}",
+    )
+    cos = (
+        "ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])), 6)"
+    )
+    ctes.append(
+        "dropped AS (SELECT DISTINCT b.vec_id FROM serve a JOIN serve b "
+        "ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        f"AND b.vec_id >= {split} "
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id "
+        f"WHERE {cos} >= {tau})"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
+           (d.vec_id IS NULL) AS keep
+    FROM serve s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    WHERE s.vec_id >= {split}
+    """
+    )
+
+
+@register(
+    "q_semdedup_delta",
+    _semdedup_delta_oracle_sql(
+        k=16, iters=3, dim=64, tau=0.35, train_stride=4, split=_SEMDEDUP_SPLIT
+    ),
+    description="incremental SemDeDup: new shard vs persisted quantizer + cluster state — the embedding side of the daily-ingest dedup story",
+)
+def q_semdedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import (
+        _assign_nearest,
+        kmeans_centroids,
+        semantic_dedup_delta,
+    )
+
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") < _SEMDEDUP_SPLIT)
+    new = emb.filter(F.col("vec_id") >= _SEMDEDUP_SPLIT)
+    cents = kmeans_centroids(old, k=16, max_iter=3, train_stride=4)
+    state = _assign_nearest(old.select("vec_id", "embedding"), "embedding", cents).select(
+        "vec_id", "embedding", F.col("__cluster").alias("cluster")
+    )
+    return semantic_dedup_delta(new, state, cents, min_cosine=0.35)
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
