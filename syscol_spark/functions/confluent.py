@@ -331,7 +331,7 @@ class AvroCodec:
 
     # --- decode --------------------------------------------------------------
 
-    def _dec(self, node: list, buf: bytes, pos: int) -> tuple[object, int]:
+    def _dec(self, node: list, buf: bytes, pos: int, tag: bool = False) -> tuple[object, int]:
         node = self._deref(node)
         kind = node[0]
         if kind == "prim":
@@ -352,7 +352,7 @@ class AvroCodec:
                     n = -n
                     _, pos = zigzag_decode(buf, pos)
                 for _ in range(n):
-                    item, pos = self._dec(node[1], buf, pos)
+                    item, pos = self._dec(node[1], buf, pos, tag)
                     items.append(item)
         if kind == "map":
             d: dict = {}
@@ -365,19 +365,28 @@ class AvroCodec:
                     _, pos = zigzag_decode(buf, pos)
                 for _ in range(n):
                     key, pos = FlatAvroCodec._dec_value("string", buf, pos)
-                    d[key], pos = self._dec(node[1], buf, pos)
+                    d[key], pos = self._dec(node[1], buf, pos, tag)
         if kind == "union":
             branch, pos = zigzag_decode(buf, pos)
-            return self._dec(node[1][branch], buf, pos)
+            v, pos = self._dec(node[1][branch], buf, pos, tag)
+            return (UnionValue(branch, v) if tag else v), pos
         if kind == "record":
             rec: dict = {}
             for fname, fnode in node[2]:
-                rec[fname], pos = self._dec(fnode, buf, pos)
+                rec[fname], pos = self._dec(fnode, buf, pos, tag)
             return rec, pos
         raise ValueError(f"bad node {kind!r}")  # pragma: no cover
 
     def decode(self, body: bytes) -> object:
         v, pos = self._dec(self._root, body, 0)
+        return v
+
+    def decode_tagged(self, body: bytes) -> object:
+        """Decode preserving each union's WIRE BRANCH INDEX (wrapped as
+        UnionValue). The resolution layer needs the index: re-deriving the
+        branch from the decoded Python value is ambiguous for unions like
+        [string, enum] or [record, map], where two branches share a shape."""
+        v, pos = self._dec(self._root, body, 0, tag=True)
         return v
 
     # --- JSON interop --------------------------------------------------------
@@ -745,13 +754,32 @@ def register_envelope_schema(registry_url: str, record_name: str = "SlaveMetrics
 # shape: reader-only fields take their defaults, writer-only fields are
 # dropped, numeric promotions apply (int->long->float->double, float->double,
 # string<->bytes), enums fall back to the reader's enum default for unknown
-# symbols, and unions resolve branch-by-branch. Field aliases are not
-# supported (documented delta; the reference's vendored decoder has no
-# resolution layer at all — this is a strict superset of its read path).
+# symbols, and unions resolve branch-by-branch. Reader ALIASES are honored
+# per the spec's "Aliases" section: a reader record/enum/fixed whose
+# ``aliases`` list contains the writer's name matches despite the rename,
+# and a reader field resolves from a writer field named by any of its
+# ``aliases`` when no same-named writer field exists. (The reference's
+# vendored go-avro parses aliases in schema.go; its decoder has no
+# resolution layer at all — this is a strict superset of its read path.)
 
 
 class AvroSchemaResolutionError(ValueError):
     pass
+
+
+class UnionValue:
+    """A decoded union value carrying its wire branch index (produced by
+    AvroCodec.decode_tagged; consumed by AvroResolver so writer-union
+    resolution never has to guess the branch from the value's shape)."""
+
+    __slots__ = ("branch", "value")
+
+    def __init__(self, branch: int, value: object):
+        self.branch = branch
+        self.value = value
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"UnionValue({self.branch}, {self.value!r})"
 
 
 _PROMOTIONS = {
@@ -821,18 +849,41 @@ class AvroResolver:
         if wt == "string" and rt == "bytes" and isinstance(value, str):
             return value.encode("utf-8")
         if wt == "bytes" and rt == "string" and isinstance(value, (bytes, bytearray)):
-            return bytes(value).decode("utf-8")
+            try:
+                return bytes(value).decode("utf-8")
+            except UnicodeDecodeError as exc:
+                # surface as a RESOLUTION error so a reader-union branch
+                # trial moves on to the next branch instead of aborting
+                raise AvroSchemaResolutionError(f"bytes not valid UTF-8: {exc}") from exc
         return value
+
+    @staticmethod
+    def _names_match(wn: dict, rn: dict) -> bool:
+        """Spec 'Aliases': match if names are equal, or the reader declares
+        the writer's (unqualified) name among its aliases."""
+        if wn["name"] == rn["name"]:
+            return True
+        return wn["name"] in rn.get("aliases", ())
 
     def _project(self, value: object, w: object, r: object) -> object:
         wk, wn = self._kind(w, self._wnamed)
         rk, rn = self._kind(r, self._rnamed)
 
-        # writer union: the decoded value belongs to exactly one branch —
-        # find it by match, then resolve that branch against the reader
+        # writer union: the decoded value belongs to exactly one branch.
+        # A tagged decode (AvroCodec.decode_tagged) carries the exact wire
+        # branch index; shape matching is only the fallback for callers
+        # that project plain decoded values.
         if wk == "union":
+            if isinstance(value, UnionValue):
+                if not 0 <= value.branch < len(wn):
+                    raise AvroSchemaResolutionError(
+                        f"union branch {value.branch} out of range for {len(wn)} branches"
+                    )
+                return self._project(value.value, wn[value.branch], r)
             branch = self._writer_branch(value, wn)
             return self._project(value, branch, r)
+        if isinstance(value, UnionValue):  # writer not a union at this node
+            raise AvroSchemaResolutionError("tagged union value at a non-union writer node")
         # reader union (writer not a union): first reader branch that the
         # writer schema resolves against wins (spec rule)
         if rk == "union":
@@ -849,27 +900,34 @@ class AvroResolver:
             raise AvroSchemaResolutionError(f"writer {wk} vs reader {rk}")
 
         if wk == "record":
-            if wn["name"] != rn["name"]:
+            if not self._names_match(wn, rn):
                 raise AvroSchemaResolutionError(f"record name {wn['name']} != {rn['name']}")
             wfields = {f["name"]: f for f in wn["fields"]}
             out = {}
             for rf in rn["fields"]:
                 name = rf["name"]
-                if name in wfields:
-                    out[name] = self._project(value[name], wfields[name]["type"], rf["type"])
+                # spec: a reader field may name its writer-schema ancestor
+                # via aliases (rename-with-evolution); same-name wins first
+                src = name if name in wfields else next(
+                    (a for a in rf.get("aliases", ()) if a in wfields), None
+                )
+                if src is not None:
+                    out[name] = self._project(value[src], wfields[src]["type"], rf["type"])
                 elif "default" in rf:
                     out[name] = rf["default"]
                 else:
                     raise AvroSchemaResolutionError(f"reader field {name!r} missing and has no default")
             return out
         if wk == "enum":
+            if not self._names_match(wn, rn):
+                raise AvroSchemaResolutionError(f"enum name {wn['name']} != {rn['name']}")
             if value in rn["symbols"]:
                 return value
             if "default" in rn:
                 return rn["default"]
             raise AvroSchemaResolutionError(f"enum symbol {value!r} unknown to reader")
         if wk == "fixed":
-            if wn["name"] != rn["name"] or int(wn["size"]) != int(rn["size"]):
+            if not self._names_match(wn, rn) or int(wn["size"]) != int(rn["size"]):
                 raise AvroSchemaResolutionError("fixed name/size mismatch")
             return value
         if wk == "array":
@@ -906,7 +964,11 @@ class AvroResolver:
 
 def decode_resolved(body: bytes, writer_schema: dict, reader_schema: dict) -> object:
     """Decode Avro binary written with ``writer_schema`` and project it into
-    ``reader_schema`` (the registry-consumer evolution path)."""
-    return AvroResolver(writer_schema, reader_schema).project(
-        codec_for(writer_schema).decode(body)
+    ``reader_schema`` (the registry-consumer evolution path). Uses the
+    branch-tagged decode when the codec supports it, so union resolution
+    follows the exact wire branch rather than guessing from value shape."""
+    codec = codec_for(writer_schema)
+    decoded = (
+        codec.decode_tagged(body) if hasattr(codec, "decode_tagged") else codec.decode(body)
     )
+    return AvroResolver(writer_schema, reader_schema).project(decoded)

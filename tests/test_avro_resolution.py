@@ -104,3 +104,77 @@ def test_nested_record_evolution():
             {"name": "x", "type": "long"},
             {"name": "y", "type": "string", "default": "d"}]}}]}
     assert AvroResolver(w, r).project({"inner": {"x": 1}}) == {"inner": {"x": 1, "y": "d"}}
+
+
+# --- aliases (spec "Aliases": rename-with-evolution) --------------------------
+
+def test_record_and_field_aliases_rename():
+    w = {"type": "record", "name": "OldEnv", "fields": [
+        {"name": "hostname", "type": "string"},
+        {"name": "port", "type": "int"}]}
+    r = {"type": "record", "name": "Envelope", "aliases": ["OldEnv"], "fields": [
+        {"name": "host", "type": "string", "aliases": ["hostname"]},
+        {"name": "port", "type": "long"}]}
+    body = codec_for(w).encode({"hostname": "h9", "port": 1})
+    assert decode_resolved(body, w, r) == {"host": "h9", "port": 1}
+
+
+def test_enum_and_fixed_name_aliases():
+    we = {"type": "enum", "name": "OldSt", "symbols": ["OK", "DEAD"]}
+    re_ = {"type": "enum", "name": "Status", "aliases": ["OldSt"], "symbols": ["OK", "DEAD"]}
+    assert AvroResolver(we, re_).project("DEAD") == "DEAD"
+    wf = {"type": "fixed", "name": "OldSum", "size": 4}
+    rf = {"type": "fixed", "name": "Checksum", "aliases": ["OldSum"], "size": 4}
+    assert AvroResolver(wf, rf).project(b"abcd") == b"abcd"
+
+
+def test_unrelated_enum_names_now_rejected():
+    """Resolving two UNRELATED enums (no alias link) must fail, not silently
+    succeed — the pre-round-6 resolver never compared enum names."""
+    we = {"type": "enum", "name": "Color", "symbols": ["RED"]}
+    re_ = {"type": "enum", "name": "Status", "symbols": ["RED"]}
+    with pytest.raises(AvroSchemaResolutionError):
+        AvroResolver(we, re_).project("RED")
+
+
+def test_field_alias_prefers_same_name():
+    """When the writer has BOTH the reader field's name and its alias, the
+    same-named writer field wins (spec resolution order)."""
+    w = {"type": "record", "name": "R", "fields": [
+        {"name": "v", "type": "int"},
+        {"name": "old_v", "type": "int"}]}
+    r = {"type": "record", "name": "R", "fields": [
+        {"name": "v", "type": "int", "aliases": ["old_v"]}]}
+    assert AvroResolver(w, r).project({"v": 1, "old_v": 2}) == {"v": 1}
+
+
+# --- union-branch fidelity (tagged decode) ------------------------------------
+
+def test_ambiguous_string_enum_union_uses_wire_branch():
+    """[string, enum]: both decode to a Python str — shape matching cannot
+    tell them apart, the wire branch index can. An enum-branch value must
+    resolve through ENUM rules (name check + symbol membership), not string."""
+    en = {"type": "enum", "name": "St", "symbols": ["OK", "DEAD"]}
+    w = {"type": "record", "name": "R", "fields": [{"name": "u", "type": ["string", en]}]}
+    r_enum_renamed = {"type": "record", "name": "R", "fields": [
+        {"name": "u", "type": ["int", {"type": "enum", "name": "St2", "aliases": ["St"],
+                                        "symbols": ["OK", "DEAD"]}]}]}
+    # the encoder's shape matching would pick the string branch for "OK",
+    # so build the enum-branch wire bytes explicitly: branch 1 + symbol idx 0
+    from syscol_spark.functions.confluent import zigzag_encode
+    body_enum = zigzag_encode(1) + zigzag_encode(0)
+    assert decode_resolved(body_enum, w["fields"][0]["type"], 
+                           r_enum_renamed["fields"][0]["type"]) == "OK"
+    # and a STRING-branch "OK" must NOT resolve into the enum-only reader
+    body_str = zigzag_encode(0) + zigzag_encode(2) + b"OK"
+    with pytest.raises(AvroSchemaResolutionError):
+        decode_resolved(body_str, w["fields"][0]["type"],
+                        {"type": "enum", "name": "St2", "aliases": ["St"],
+                         "symbols": ["OK", "DEAD"]})
+
+
+def test_reader_union_skips_non_utf8_bytes_branch():
+    """bytes->string inside a reader-union branch trial: invalid UTF-8 must
+    move to the next branch (previously a UnicodeDecodeError aborted)."""
+    got = AvroResolver("bytes", ["string", "bytes"]).project(b"\xff\xfe")
+    assert got == b"\xff\xfe"
