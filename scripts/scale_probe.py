@@ -174,6 +174,47 @@ def main() -> None:
         dt = time.time() - t0
         print(f"semded {k:>2}x  vecs={k * emb.count():>6}  dropped={dropped:>7}  wall={dt:6.2f}s")
 
+        # Incremental SemDeDup probe: the index-time artifacts (quantizer +
+        # cluster-state table) are built OUTSIDE the timed window, as in
+        # production where they are persisted lake assets — the timed cost
+        # is what ONE fixed-size ingest batch pays against a K-times-larger
+        # corpus. Flat wall across K = O(new_batch · cluster_occupancy),
+        # the incremental contract (occupancy held constant by scaling the
+        # cluster count with the corpus).
+        from syscol_spark.operators.similarity import (
+            _assign_nearest,
+            kmeans_centroids,
+            semantic_dedup_delta,
+        )
+
+        cents = kmeans_centroids(
+            corpus.select("vec_id", "embedding"), vec_col="embedding", id_col="vec_id",
+            k=16 * k, max_iter=3, train_stride=4,
+        )
+        state = (
+            _assign_nearest(corpus.select("vec_id", "embedding"), "embedding", cents)
+            .select("vec_id", "embedding", F.col("__cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        signs_new = F.array(*[F.lit(s) for s in rademacher_signs(dim, 63, seed=777)])
+        new_shard = emb.select(
+            (F.col("vec_id") + F.lit(64 * nbig).cast("long")).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding"), signs_new, lambda x, s: x.cast("double") * s
+            ).alias("embedding"),
+        )
+        t0 = time.time()
+        n_new_drop = (
+            semantic_dedup_delta(new_shard, state, cents, min_cosine=0.35)
+            .filter(~F.col("keep"))
+            .count()
+        )
+        dt = time.time() - t0
+        print(
+            f"semdelta {k:>2}x  corpus={k * emb.count():>6}  batch={emb.count():>6}  "
+            f"dropped={n_new_drop:>6}  wall={dt:6.2f}s"
+        )
+
 
     # Containment probe: same token-bijection inflation — cross-copy overlap
     # is zero, so true containment pairs stay per-copy and output grows

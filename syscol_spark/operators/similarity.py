@@ -777,6 +777,7 @@ def pq_codes(
     max_iter: int = 2,
     train_stride: int = 1,
     codebooks: list[list[list[float]]] | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantization codes (Jégou et al., TPAMI'11): split each
     vector into ``n_subspaces`` contiguous sub-vectors, train an independent
@@ -792,16 +793,21 @@ def pq_codes(
     frame — no joins, no Python. Training cost is n_subspaces bounded
     k-means runs on the stride sample.
 
-    Output: (id, c0..c{S-1} int codes, pq_code packed long), fully
-    mirrorable by per-subspace unrolled-CTE oracles (q_embed_pq).
+    Output: (id, c0..c{S-1} int codes, pq_code packed long, *passthrough),
+    fully mirrorable by per-subspace unrolled-CTE oracles (q_embed_pq).
+    ``passthrough`` columns of the input ride along unchanged — e.g. a
+    precomputed inverted-list id — so callers composing codes with other
+    per-vector state don't pay a self-join to re-attach it.
     """
     sub = dim // n_subspaces
     bits = max(1, (n_centroids - 1).bit_length())
-    df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    df = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), *passthrough
+    )
     if codebooks is None:
         codebooks = _pq_codebooks(
-            df, dim=dim, n_subspaces=n_subspaces, n_centroids=n_centroids,
-            max_iter=max_iter, train_stride=train_stride,
+            df.select("id", "vec"), dim=dim, n_subspaces=n_subspaces,
+            n_centroids=n_centroids, max_iter=max_iter, train_stride=train_stride,
         )
     code_cols = []
     for s in range(n_subspaces):
@@ -816,7 +822,7 @@ def pq_codes(
     for s in range(n_subspaces):
         packed = packed.bitwiseOR(F.shiftleft(F.col(f"c{s}").cast("long"), s * bits))
     return df.select(
-        F.col("id").alias(id_col), *code_cols, packed.alias("pq_code")
+        F.col("id").alias(id_col), *code_cols, packed.alias("pq_code"), *passthrough
     )
 
 
@@ -985,7 +991,9 @@ def ivf_pq_topk(
         )
     else:
         enc_src = assigned
-    # PQ codebooks + one code row per corpus vector
+    # PQ codebooks + one code row per corpus vector; list_id rides through
+    # pq_codes (passthrough) so serving is ONE scan — no self-join to
+    # re-attach the inverted-list assignment
     codebooks = _pq_codebooks(
         enc_src.select("id", "vec"), dim=dim, n_subspaces=n_subspaces,
         n_centroids=pq_centroids, max_iter=pq_iter, train_stride=pq_stride,
@@ -994,9 +1002,8 @@ def ivf_pq_topk(
         enc_src, vec_col="vec", id_col="id", dim=dim,
         n_subspaces=n_subspaces, n_centroids=pq_centroids,
         max_iter=pq_iter, train_stride=pq_stride, codebooks=codebooks,
-    ).withColumnRenamed("id", id_col).join(
-        enc_src.select(F.col("id").alias(id_col), "list_id"), id_col
-    )
+        passthrough=("list_id",),
+    ).withColumnRenamed("id", id_col)
     _assert_query_side_small(queries, "ivf_pq_topk")
     books = [np.array(cb, dtype="float64") for cb in codebooks]
     coarse_m = np.array(coarse, dtype="float64")

@@ -936,7 +936,7 @@ def _kmeans_serve_ctes_long(
 def _ivfpq_res_oracle_sql(
     *, n_lists: int, nprobe: int, coarse_iters: int, coarse_stride: int,
     n_subspaces: int, sub_dim: int, pq_k: int, pq_iters: int, pq_stride: int,
-    q_max: int, topk: int,
+    q_max: int, topk: int, refine: int = 0,
 ) -> str:
     ctes = _kmeans_serve_ctes(
         k=n_lists, iters=coarse_iters, dim=n_subspaces * sub_dim,
@@ -980,14 +980,7 @@ def _ivfpq_res_oracle_sql(
         for s in range(n_subspaces)
     )
     total = " + ".join(f"d{s}.d" for s in range(n_subspaces))
-    # MATERIALIZE every CTE (same reason as _ivfpq_oracle_sql: multiply-
-    # referenced chains re-inline into a runaway plan otherwise)
-    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
-    SELECT query_id, neighbor_id, adc_dist, rk FROM (
+    adc_ranked = f"""(
       SELECT p.vec_id AS query_id, s0.vec_id AS neighbor_id,
              ROUND({total}, 6) AS adc_dist,
              CAST(ROW_NUMBER() OVER (
@@ -997,10 +990,35 @@ def _ivfpq_res_oracle_sql(
       JOIN serve_c sc ON sc.vec_id = s0.vec_id
       JOIN probes_c p ON p.cluster = sc.cluster
       {dist_joins}
-      WHERE s0.vec_id <> p.vec_id)
+      WHERE s0.vec_id <> p.vec_id)"""
+    if refine:
+        # IVFADC+R: keep the top-``refine`` ADC candidates, then re-rank
+        # them by EXACT cosine (the shortlist boundary is the 6dp-rounded
+        # ADC with id tie-break — deterministic on both engines)
+        cos = (
+            "ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), "
+            "CAST(ce.embedding AS DOUBLE[])), 6)"
+        )
+        ctes.append(f"shortlist AS (SELECT query_id, neighbor_id FROM {adc_ranked} WHERE rk <= {refine})")
+        final = f"""
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT sl.query_id, sl.neighbor_id, {cos} AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY sl.query_id ORDER BY {cos} DESC, sl.neighbor_id) AS BIGINT) AS rk
+      FROM shortlist sl
+      JOIN embeddings qe ON qe.vec_id = sl.query_id
+      JOIN embeddings ce ON ce.vec_id = sl.neighbor_id)
     WHERE rk <= {topk}
     """
-    )
+    else:
+        final = f"""
+    SELECT query_id, neighbor_id, adc_dist, rk FROM {adc_ranked}
+    WHERE rk <= {topk}
+    """
+    # MATERIALIZE every CTE (same reason as _ivfpq_oracle_sql: multiply-
+    # referenced chains re-inline into a runaway plan otherwise)
+    ctes = [c.replace(" AS (", " AS MATERIALIZED (", 1) for c in ctes]
+    return "WITH " + ",\n    ".join(ctes) + final
 
 
 @register(
@@ -1020,6 +1038,26 @@ def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), dim=64, n_lists=16, nprobe=4,
         coarse_iter=3, coarse_stride=4, n_subspaces=8, pq_centroids=16,
         pq_iter=2, pq_stride=4, k=5, residual=True,
+    )
+
+
+@register(
+    "q_ann_ivfpq_rr",
+    _ivfpq_res_oracle_sql(
+        n_lists=16, nprobe=4, coarse_iters=3, coarse_stride=4,
+        n_subspaces=8, sub_dim=8, pq_k=16, pq_iters=2, pq_stride=4,
+        q_max=10, topk=5, refine=20,
+    ),
+    description="IVFADC+R: residual IVF+PQ shortlist (top-20 by ADC) re-ranked by exact cosine — the full production serving recipe",
+)
+def q_ann_ivfpq_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, n_lists=16, nprobe=4,
+        coarse_iter=3, coarse_stride=4, n_subspaces=8, pq_centroids=16,
+        pq_iter=2, pq_stride=4, k=5, residual=True, refine=20,
     )
 
 
@@ -1123,8 +1161,14 @@ def q_semdedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = emb.filter(F.col("vec_id") < _SEMDEDUP_SPLIT)
     new = emb.filter(F.col("vec_id") >= _SEMDEDUP_SPLIT)
     cents = kmeans_centroids(old, k=16, max_iter=3, train_stride=4)
-    state = _assign_nearest(old.select("vec_id", "embedding"), "embedding", cents).select(
-        "vec_id", "embedding", F.col("__cluster").alias("cluster")
+    # localCheckpoint = the "persisted cluster-state table" of the
+    # production story: the delta op consumes state three times (postings,
+    # scorer vectors, would-be keep join) and must not re-run the
+    # assignment scan per consumer
+    state = (
+        _assign_nearest(old.select("vec_id", "embedding"), "embedding", cents)
+        .select("vec_id", "embedding", F.col("__cluster").alias("cluster"))
+        .localCheckpoint()
     )
     return semantic_dedup_delta(new, state, cents, min_cosine=0.35)
 
