@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -391,6 +393,131 @@ def streaming_minhash_dedup(
     # F.round on the output column: one rounding definition shared with the
     # batch operator (and its DuckDB oracle), not Python/numpy ties-to-even.
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+_SEMDEDUP_OUT = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("cluster", IntegerType()),
+        StructField("keep", BooleanType()),
+    ]
+)
+_SEMDEDUP_STATE = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+        StructField("ts_ms", ArrayType(LongType())),
+    ]
+)
+
+
+def _round6_like_spark(x: float) -> float:
+    """Mirror F.round(col, 6) for a double: Spark rounds the value's
+    SHORTEST decimal representation HALF_UP (BigDecimal.valueOf ==
+    Double.toString == Python repr), NOT the full binary expansion and NOT
+    banker's rounding. The keep decision below thresholds on this rounded
+    cosine, so it must match the batch scorer's F.round bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.35,
+    watermark: str = "10 minutes",
+    cluster_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Ingest-time SemDeDup: the streaming twin of semantic_dedup /
+    semantic_dedup_delta (operators/similarity.py). The quantizer is the
+    PERSISTED index-time model (plan-time centroid literals, exactly like
+    the delta operator); each arriving vector is assigned to its nearest
+    centroid JVM/Arrow-side, grouped by cluster, and checked against the
+    cluster's members seen so far via applyInPandasWithState. Emits
+    (vec_id, cluster, keep) as rows arrive: keep=false iff a LOWER-id
+    clustermate already seen has rounded cosine >= min_cosine — the batch
+    drop rule, so for monotone ingest ids (old < new, the ingest contract)
+    the emitted flags equal what batch SemDeDup over the whole corpus
+    decides (parity test: test_streaming_semantic_dedup_matches_batch).
+    Dropped members still enter state (batch semantics: dropped vectors
+    drop later lookalikes too).
+
+    State is bounded the same two ways as streaming_minhash_dedup: members
+    behind the watermark are pruned on every cluster visit, and a cluster
+    untouched for ``cluster_ttl_ms`` of event time is evicted wholesale —
+    per-cluster state is O(vectors within the watermark horizon), matching
+    the SemDeDup design point that clusters are small.
+    """
+    from syscol_spark.operators.similarity import _assign_nearest
+
+    assigned = (
+        stream.withWatermark("event_time", watermark)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "event_time")
+    )
+    assigned = _assign_nearest(assigned, "vec", centroids).select(
+        "id", "vec", F.col("__cluster").alias("cluster"), "event_time"
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"vec_id": [], "cluster": [], "keep": []})
+            return
+        cluster = int(key[0])
+        ids, vecs, ts_ms = state.get if state.exists else ([], [], [])
+        ids, vecs, ts_ms = list(ids), [list(v) for v in vecs], list(ts_ms)
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and ids:
+            kept = [i for i, t in enumerate(ts_ms) if t >= wm]
+            ids, vecs, ts_ms = [ids[i] for i in kept], [vecs[i] for i in kept], [ts_ms[i] for i in kept]
+        out: dict[str, list] = {"vec_id": [], "cluster": [], "keep": []}
+        for pdf in pdfs:
+            t_ms = (pdf["event_time"].astype("int64") // 1_000_000).tolist()
+            order = sorted(range(len(pdf)), key=lambda i: (t_ms[i], int(pdf["id"].iloc[i])))
+            for i in order:
+                doc_id = int(pdf["id"].iloc[i])
+                v = np.array([float(x) for x in pdf["vec"].iloc[i]], dtype="float64")
+                nv = float(np.sqrt(v @ v))
+                keep = True
+                for m_id, m_vec in zip(ids, vecs):
+                    if m_id >= doc_id:
+                        continue  # only lower ids drop (batch rule)
+                    m = np.array(m_vec, dtype="float64")
+                    cos = float(v @ m) / (nv * float(np.sqrt(m @ m)))
+                    if _round6_like_spark(cos) >= min_cosine:
+                        keep = False
+                        break
+                out["vec_id"].append(doc_id)
+                out["cluster"].append(cluster)
+                out["keep"].append(keep)
+                if doc_id in ids:  # re-arrival refreshes recency only
+                    ts_ms[ids.index(doc_id)] = t_ms[i]
+                else:
+                    ids.append(doc_id)
+                    vecs.append([float(x) for x in v])
+                    ts_ms.append(t_ms[i])
+        if ids:
+            state.update((ids, vecs, ts_ms))
+            state.setTimeoutTimestamp(max(max(ts_ms), wm + 1) + cluster_ttl_ms)
+        else:
+            state.remove()
+        yield pd.DataFrame(out)
+
+    return assigned.groupBy("cluster").applyInPandasWithState(
+        update,
+        outputStructType=_SEMDEDUP_OUT,
+        stateStructType=_SEMDEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 _CDC_OUT = StructType(

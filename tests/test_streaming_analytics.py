@@ -426,3 +426,52 @@ def test_streaming_topk_matches_batch_twin(spark, sf_dir, tmp_path):
         last_batch[row[0]] = max(last_batch.get(row[0], -1), bid)
     got = {row for bid, row in sink if bid == last_batch[row[0]]}
     assert got == expected
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Ingest-time SemDeDup must emit EXACTLY the batch operator's
+    (vec_id, cluster, keep) decisions when ids arrive monotonically (the
+    ingest contract): the fixture is split into three id-range files /
+    triggers, so drops caused by a batch-1 member against a batch-3
+    arrival only happen if cross-batch cluster state works."""
+    from syscol_spark.operators.similarity import kmeans_centroids, semantic_dedup
+    from syscol_spark.streaming.analytics import streaming_semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cents = kmeans_centroids(emb, k=16, max_iter=3, train_stride=1)
+    expected = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semantic_dedup(emb, n_clusters=16, min_cosine=0.2, max_iter=3).collect()
+    }
+    assert any(not k for _, _, k in expected), "fixture must produce drops"
+
+    timed = emb.withColumn(
+        "event_time", F.timestamp_micros(1_700_000_000_000_000 + F.col("vec_id") * 1_000_000)
+    )
+    src = str(tmp_path / "vecs")
+    # id-RANGE shards written in order: lower ids must never trail higher
+    # ones across triggers (the monotone-ingest contract the operator
+    # documents); FileStreamSource triggers files in mod-time order
+    for k, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 1 << 40)]):
+        timed.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(1).write.parquet(
+            f"{src}/f{k}"
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, event_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_semantic_dedup(stream, cents, min_cosine=0.2, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("sem_dedup").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in spark.sql("SELECT * FROM sem_dedup").collect()
+    }
+    assert got == expected
