@@ -417,8 +417,11 @@ def _round6_like_spark(x: float) -> float:
     Double.toString == Python repr), NOT the full binary expansion and NOT
     banker's rounding. The keep decision below thresholds on this rounded
     cosine, so it must match the batch scorer's F.round bit-for-bit."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
+    if not math.isfinite(x):
+        return x
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
