@@ -280,17 +280,23 @@ _LOCAL_TRAIN_LIMIT = 200_000  # ≈100 MB of float64 at dim=64 — driver-safe
 _QUERY_SIDE_LIMIT = 10_000
 
 
-def _assert_query_side_small(queries: DataFrame, what: str) -> None:
-    """Bounded probe (limit(N+1).count() — transfers 8 bytes, never rows)
-    mirroring the _LOCAL_TRAIN_LIMIT pattern: ADC-style serving must fail
-    loudly on an oversized query frame instead of silently materializing it
-    on the driver."""
-    if queries.limit(_QUERY_SIDE_LIMIT + 1).count() > _QUERY_SIDE_LIMIT:
+def _collect_query_side(queries: DataFrame, what: str) -> list:
+    """Bounded collect enforcing the query-side contract in the SAME job
+    that fetches the rows: limit(N+1) caps the driver transfer at ~N rows
+    (a few MB at dim=64) whether or not the caller's frame is huge, and
+    one row past the bound raises instead of serving a silently-oversized
+    broadcast. One Spark job total — a separate count() probe would double
+    the scheduling cost of every ADC query for no extra safety at this
+    bound (unlike _LOCAL_TRAIN_LIMIT, whose 200k-row bound makes the
+    8-byte count probe worth a job)."""
+    rows = queries.limit(_QUERY_SIDE_LIMIT + 1).collect()
+    if len(rows) > _QUERY_SIDE_LIMIT:
         raise ValueError(
             f"{what}: query side exceeds _QUERY_SIDE_LIMIT={_QUERY_SIDE_LIMIT} rows; "
             "ADC serving builds driver-side distance tables per query — batch the "
             "queries or use a join-based scorer for query sets this large"
         )
+    return rows
 
 
 def _kmeans_local(rows: list, k: int, max_iter: int) -> list[list[float]]:
@@ -872,9 +878,11 @@ def pq_adc_topk(
         max_iter=max_iter, train_stride=train_stride, codebooks=codebooks,
     )
     # per-query distance tables: table[s][c] = |q_s - codebook[s][c]|^2
-    _assert_query_side_small(queries, "pq_adc_topk")
     books = [np.array(cb, dtype="float64") for cb in codebooks]
-    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).collect()
+    qrows = _collect_query_side(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+        "pq_adc_topk",
+    )
     table_rows = []
     for r in qrows:
         qv = np.array([float(x) for x in r["qvec"]], dtype="float64")
@@ -1004,11 +1012,13 @@ def ivf_pq_topk(
         max_iter=pq_iter, train_stride=pq_stride, codebooks=codebooks,
         passthrough=("list_id",),
     ).withColumnRenamed("id", id_col)
-    _assert_query_side_small(queries, "ivf_pq_topk")
     books = [np.array(cb, dtype="float64") for cb in codebooks]
     coarse_m = np.array(coarse, dtype="float64")
     half = 0.5 * (coarse_m * coarse_m).sum(axis=1)
-    qrows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).collect()
+    qrows = _collect_query_side(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+        "ivf_pq_topk",
+    )
     spark = corpus.sparkSession
     if residual:
         # per-(query, probed list) distance tables on the query's residual
