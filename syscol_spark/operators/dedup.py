@@ -21,7 +21,7 @@ Five strategies, all shuffle-based and cluster-scalable:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from syscol_spark.functions.text import word_shingles
 
@@ -45,6 +45,44 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col).alias("__id"))
         .groupBy("content_hash")
         .agg(F.min("__id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_delta(
+    new_docs: DataFrame,
+    corpus_digests: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: keep flags for a NEW shard against a
+    precomputed corpus digest table — the exact-family member of the
+    daily-ingest trio (minhash_dedup_delta, semantic_dedup_delta). A new
+    doc is kept iff its content digest is absent from the corpus AND it is
+    the lowest-id holder of that digest within the shard (the batch
+    min-id-canonical policy restricted to new rows).
+
+    ``corpus_digests`` is (content_hash string) — at 100 TB the persisted
+    digest table an exact_dedup run writes. Cost: one shuffle of the NEW
+    shard on its digest (window + left join share the partitioning; AQE
+    broadcasts a small digest table) — never re-hashes the corpus.
+    Output: (id_col, content_hash, keep).
+    """
+    hashed = new_docs.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(content_col)).alias("content_hash")
+    )
+    first = Window.partitionBy("content_hash")
+    seen = corpus_digests.select(F.col("content_hash")).distinct().withColumn(
+        "__old", F.lit(True)
+    )
+    return (
+        hashed.withColumn("__first", F.min("__id").over(first))
+        .join(seen, "content_hash", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "content_hash",
+            (F.col("__old").isNull() & (F.col("__id") == F.col("__first"))).alias("keep"),
+        )
     )
 
 

@@ -971,10 +971,43 @@ def ivf_pq_topk(
 
     Output: (query_id, neighbor_id, adc_dist rounded 6dp, rk<=k);
     with ``refine``, (query_id, neighbor_id, cosine rounded 6dp, rk<=k).
-    """
-    import numpy as np
 
-    sub = dim // n_subspaces
+    Implementation = build_ivfpq_index + ivfpq_serve: the index (codes +
+    quantizers) is a first-class artifact that can be persisted with
+    save_ivfpq_index and served later from load_ivfpq_index — the
+    build-once / serve-many lifecycle a real deployment runs.
+    """
+    index_codes, meta = build_ivfpq_index(
+        corpus, vec_col=vec_col, id_col=id_col, dim=dim, n_lists=n_lists,
+        coarse_iter=coarse_iter, coarse_stride=coarse_stride,
+        n_subspaces=n_subspaces, pq_centroids=pq_centroids,
+        pq_iter=pq_iter, pq_stride=pq_stride, residual=residual,
+    )
+    return ivfpq_serve(
+        index_codes, meta, queries, vec_col=vec_col, k=k, nprobe=nprobe,
+        refine=refine, corpus=corpus if refine else None,
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_lists: int = 16,
+    coarse_iter: int = 3,
+    coarse_stride: int = 1,
+    n_subspaces: int = 8,
+    pq_centroids: int = 16,
+    pq_iter: int = 2,
+    pq_stride: int = 1,
+    residual: bool = False,
+) -> tuple[DataFrame, dict]:
+    """Index half of IVF+PQ: one corpus scan to (id, c0.., pq_code,
+    list_id) plus the plan-time quantizer state. Returns (codes, meta);
+    meta carries the coarse centroids, PQ codebooks and hyperparameters —
+    everything ivfpq_serve needs, and what save_ivfpq_index persists."""
     df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     # coarse quantizer → inverted-list assignment (one scan)
     coarse = kmeans_centroids(
@@ -1012,6 +1045,86 @@ def ivf_pq_topk(
         max_iter=pq_iter, train_stride=pq_stride, codebooks=codebooks,
         passthrough=("list_id",),
     ).withColumnRenamed("id", id_col)
+    meta = {
+        "dim": dim, "n_lists": n_lists, "n_subspaces": n_subspaces,
+        "n_centroids": pq_centroids, "residual": residual, "id_col": id_col,
+        "coarse": coarse, "codebooks": codebooks,
+    }
+    return codes, meta
+
+
+def save_ivfpq_index(codes: DataFrame, meta: dict, path: str) -> None:
+    """Persist the index as lake tables: codes parquet + a long-format
+    centroid table (kind, subspace, cluster, i, val) + a one-row params
+    table. Doubles round-trip parquet exactly, so a loaded index serves
+    bit-identically to the one it was saved from (tested)."""
+    spark = codes.sparkSession
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        ("coarse", -1, j, i, float(v))
+        for j, row in enumerate(meta["coarse"]) for i, v in enumerate(row)
+    ] + [
+        ("pq", s, c, i, float(v))
+        for s, cb in enumerate(meta["codebooks"])
+        for c, row in enumerate(cb)
+        for i, v in enumerate(row)
+    ]
+    spark.createDataFrame(
+        rows, "kind string, subspace int, cluster int, i int, val double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(meta["dim"], meta["n_lists"], meta["n_subspaces"], meta["n_centroids"],
+          meta["residual"], meta["id_col"])],
+        "dim int, n_lists int, n_subspaces int, n_centroids int, residual boolean, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Inverse of save_ivfpq_index: (codes, meta) ready for ivfpq_serve."""
+    p = spark.read.parquet(f"{path}/meta").collect()[0]
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    sub = p["dim"] // p["n_subspaces"]
+    coarse = [[0.0] * p["dim"] for _ in range(p["n_lists"])]
+    codebooks = [
+        [[0.0] * sub for _ in range(p["n_centroids"])] for _ in range(p["n_subspaces"])
+    ]
+    for r in cents:
+        if r["kind"] == "coarse":
+            coarse[r["cluster"]][r["i"]] = r["val"]
+        else:
+            codebooks[r["subspace"]][r["cluster"]][r["i"]] = r["val"]
+    meta = {
+        "dim": p["dim"], "n_lists": p["n_lists"], "n_subspaces": p["n_subspaces"],
+        "n_centroids": p["n_centroids"], "residual": p["residual"],
+        "id_col": p["id_col"], "coarse": coarse, "codebooks": codebooks,
+    }
+    return spark.read.parquet(f"{path}/codes"), meta
+
+
+def ivfpq_serve(
+    index_codes: DataFrame,
+    meta: dict,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Serve half of IVF+PQ: rank an index's codes for a query set.
+    ``refine`` needs the raw ``corpus`` frame (exact re-rank touches
+    refine rows per query). Same output contract as ivf_pq_topk."""
+    import numpy as np
+
+    dim, n_subspaces = meta["dim"], meta["n_subspaces"]
+    n_lists, pq_centroids = meta["n_lists"], meta["n_centroids"]
+    residual, id_col = meta["residual"], meta["id_col"]
+    coarse, codebooks = meta["coarse"], meta["codebooks"]
+    codes = index_codes
+    sub = dim // n_subspaces
+    if refine and corpus is None:
+        raise ValueError("ivfpq_serve: refine>0 needs the raw corpus frame for the exact re-rank")
     books = [np.array(cb, dtype="float64") for cb in codebooks]
     coarse_m = np.array(coarse, dtype="float64")
     half = 0.5 * (coarse_m * coarse_m).sum(axis=1)
@@ -1019,7 +1132,7 @@ def ivf_pq_topk(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
         "ivf_pq_topk",
     )
-    spark = corpus.sparkSession
+    spark = queries.sparkSession
     if residual:
         # per-(query, probed list) distance tables on the query's residual
         # to THAT list's centroid: table[s][c] = |(q - C_list)_s - cb[s][c]|^2.

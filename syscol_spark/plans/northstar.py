@@ -118,6 +118,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental exact dedup --------------------------------------------------
+@register(
+    "q_dedup_exact_delta",
+    """
+    WITH oldd AS (SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 250),
+         newd AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id >= 250),
+         firsts AS (SELECT content_hash, MIN(doc_id) AS first_id FROM newd GROUP BY content_hash)
+    SELECT n.doc_id, n.content_hash,
+           (o.content_hash IS NULL AND n.doc_id = f.first_id) AS keep
+    FROM newd n
+    LEFT JOIN oldd o USING (content_hash)
+    JOIN firsts f USING (content_hash)
+    """,
+    description="incremental exact dedup: new shard vs persisted corpus digest table (keep = unseen digest + first-in-shard)",
+)
+def q_dedup_exact_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import exact_dedup_delta
+
+    docs = _docs(spark, sf_dir)
+    old_digests = docs.filter(F.col("doc_id") < 250).select(
+        F.md5(F.col("text")).alias("content_hash")
+    )
+    return exact_dedup_delta(docs.filter(F.col("doc_id") >= 250), old_digests)
+
+
 # --- per-document quality scores --------------------------------------------
 @register(
     "q_text_quality",

@@ -754,6 +754,42 @@ def test_ann_ivfpq_residual_refine_recall(spark, sf_dir):
     assert r_res >= 0.5
 
 
+def test_ivfpq_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """The persisted index must serve BIT-IDENTICALLY to the in-memory one
+    (build-once / serve-many lifecycle): save to parquet, load, serve with
+    and without refine, compare full row sets against direct ivf_pq_topk."""
+    from syscol_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivf_pq_topk,
+        ivfpq_serve,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    params = dict(dim=64, n_lists=16, coarse_iter=3, coarse_stride=4,
+                  n_subspaces=8, pq_centroids=16, pq_iter=2, pq_stride=4, residual=True)
+    codes, meta = build_ivfpq_index(emb, **params)
+    path = str(tmp_path / "ivfpq_index")
+    save_ivfpq_index(codes, meta, path)
+    codes2, meta2 = load_ivfpq_index(spark, path)
+    assert meta2["coarse"] == meta["coarse"]
+    assert meta2["codebooks"] == meta["codebooks"]
+
+    direct = {tuple(r) for r in ivf_pq_topk(emb, queries, nprobe=4, k=5, **params).collect()}
+    loaded = {tuple(r) for r in ivfpq_serve(codes2, meta2, queries, nprobe=4, k=5).collect()}
+    assert loaded == direct and direct
+
+    direct_r = {tuple(r) for r in ivf_pq_topk(
+        emb, queries, nprobe=4, k=5, refine=20, **params
+    ).collect()}
+    loaded_r = {tuple(r) for r in ivfpq_serve(
+        codes2, meta2, queries, nprobe=4, k=5, refine=20, corpus=emb
+    ).collect()}
+    assert loaded_r == direct_r and direct_r
+
+
 def test_semantic_dedup_delta_parity(spark, sf_dir):
     """Incremental SemDeDup must reproduce, for the new shard's rows, EXACTLY
     what batch SemDeDup over the whole corpus decides — given the same
