@@ -106,6 +106,11 @@ def edit_distance_pairs(
             F.lit(1).alias("__n"),
         )
     )
+    # NOT checkpointed on purpose (measured A/B at sf0.1: 4.10 s plain vs
+    # 4.94 s with a localCheckpoint here): the self-join below does read
+    # this subtree twice, but the freq agg + rank windows are cheaper to
+    # recompute than the eager materialization barrier. Same lesson as the
+    # Ed-Join COUNT-window revert — measure before "deduplicating" subplans.
     prefix = base.unionByName(short)
 
     a = prefix.select(
