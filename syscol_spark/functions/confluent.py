@@ -259,7 +259,7 @@ class AvroCodec:
 
     # --- encode --------------------------------------------------------------
 
-    def _matches(self, node: list, v: object) -> bool:
+    def _matches(self, node: list, v: object, exact: bool = False) -> bool:
         node = self._deref(node)
         kind = node[0]
         if kind == "prim":
@@ -271,7 +271,14 @@ class AvroCodec:
             if t in ("int", "long"):
                 return isinstance(v, int) and not isinstance(v, bool)
             if t in ("float", "double"):
-                return isinstance(v, float) or (isinstance(v, int) and not isinstance(v, bool))
+                # ``exact`` excludes the int->float promotion: union encode
+                # tries an exact pass first so an int value in a
+                # [double, long] union takes the LONG branch (lossless, the
+                # Avro-Java writer behavior) instead of the first float
+                # branch (silent precision loss past 2^53).
+                return isinstance(v, float) or (
+                    not exact and isinstance(v, int) and not isinstance(v, bool)
+                )
             if t == "bytes":
                 return isinstance(v, (bytes, bytearray))
             if t == "string":
@@ -312,11 +319,15 @@ class AvroCodec:
                     self._enc(node[1], val, out)
             out.append(b"\x00")
         elif kind == "union":
-            for i, branch in enumerate(node[1]):
-                if self._matches(branch, v):
-                    out.append(zigzag_encode(i))
-                    self._enc(branch, v, out)
-                    return
+            # two passes: exact-type matches first (int never promotes to a
+            # float/double branch while an int/long branch exists), then the
+            # promoting first-match fallback
+            for exact in (True, False):
+                for i, branch in enumerate(node[1]):
+                    if self._matches(branch, v, exact=exact):
+                        out.append(zigzag_encode(i))
+                        self._enc(branch, v, out)
+                        return
             raise ValueError(f"no union branch matches {type(v).__name__} value")
         elif kind == "record":
             for fname, fnode in node[2]:
@@ -884,14 +895,21 @@ class AvroResolver:
             return self._project(value, branch, r)
         if isinstance(value, UnionValue):  # writer not a union at this node
             raise AvroSchemaResolutionError("tagged union value at a non-union writer node")
-        # reader union (writer not a union): first reader branch that the
-        # writer schema resolves against wins (spec rule)
+        # reader union (writer not a union): like Avro-Java's ReaderUnion,
+        # prefer the branch of the writer's own kind (bytes stays bytes in a
+        # [string, bytes] reader) and only then fall back to the first
+        # branch a promotion reaches.
         if rk == "union":
-            for b in rn:
-                try:
-                    return self._project(value, w, b)
-                except AvroSchemaResolutionError:
-                    continue
+            for exact in (True, False):
+                for b in rn:
+                    if exact:
+                        bk, bn = self._kind(b, self._rnamed)
+                        if bk != wk or (wk == "prim" and bn != wn):
+                            continue
+                    try:
+                        return self._project(value, w, b)
+                    except AvroSchemaResolutionError:
+                        continue
             raise AvroSchemaResolutionError(f"no reader union branch accepts writer {wn!r}")
 
         if wk == "prim" and rk == "prim":

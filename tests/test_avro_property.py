@@ -287,3 +287,77 @@ def test_enum_and_fixed_layout():
     codec = AvroCodec(schema)
     wire = codec.encode({"e": "BLUE", "x": b"\x01\x02\x03\x04"})
     assert wire == zigzag_encode(2) + b"\x01\x02\x03\x04"
+
+
+# --- schema-resolution properties (round 6) -----------------------------------
+# The resolver through an IDENTICAL reader must be the identity projection,
+# and through a deep alias-rename of every named type and field it must be
+# the same value with record keys renamed. Both drive the tagged-union
+# decode + projection across the whole random schema space.
+
+from syscol_spark.functions.confluent import UnionValue, decode_resolved  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(sv=schema_and_value())
+def test_resolution_identity_projection(sv):
+    schema, value = sv
+    codec = AvroCodec(schema)
+    body = codec.encode(value)
+    assert _norm(decode_resolved(body, schema, schema)) == _norm(codec.decode(body))
+
+
+def _rename_schema(s):
+    """Deep-rename every named type and record field to <name>_r, declaring
+    the old name in aliases — the reader an evolving deployment writes."""
+    if isinstance(s, str):
+        return s
+    if isinstance(s, list):
+        return [_rename_schema(b) for b in s]
+    t = s["type"]
+    if t in ("enum", "fixed"):
+        return {**s, "name": s["name"] + "_r", "aliases": [s["name"]]}
+    if t == "array":
+        return {**s, "items": _rename_schema(s["items"])}
+    if t == "map":
+        return {**s, "values": _rename_schema(s["values"])}
+    if t == "record":
+        return {
+            **s,
+            "name": s["name"] + "_r",
+            "aliases": [s["name"]],
+            "fields": [
+                {"name": f["name"] + "_r", "aliases": [f["name"]],
+                 "type": _rename_schema(f["type"])}
+                for f in s["fields"]
+            ],
+        }
+    return s
+
+
+def _rename_value(s, v):
+    """Expected projection of a TAGGED decoded value through the renamed
+    reader: record keys gain _r; union tags select the branch; all else
+    passes through."""
+    if isinstance(v, UnionValue):
+        return _rename_value(s[v.branch], v.value)
+    if isinstance(s, dict) and s["type"] == "record":
+        return {
+            f["name"] + "_r": _rename_value(f["type"], v[f["name"]])
+            for f in s["fields"]
+        }
+    if isinstance(s, dict) and s["type"] == "array":
+        return [_rename_value(s["items"], x) for x in v]
+    if isinstance(s, dict) and s["type"] == "map":
+        return {k: _rename_value(s["values"], x) for k, x in v.items()}
+    return v
+
+
+@settings(max_examples=150, deadline=None)
+@given(sv=schema_and_value())
+def test_resolution_alias_rename_everything(sv):
+    schema, value = sv
+    codec = AvroCodec(schema)
+    body = codec.encode(value)
+    expected = _rename_value(schema, codec.decode_tagged(body))
+    assert _norm(decode_resolved(body, schema, _rename_schema(schema))) == _norm(expected)
