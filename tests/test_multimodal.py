@@ -62,3 +62,23 @@ def test_frame_sampling_multiplies_rows(spark, sf_dir):
     for idxs in per_asset.values():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame ids
         assert 1 <= len(idxs) <= 3
+
+
+def test_stub_features_batch_matches_scalar_definition():
+    """The vectorized batch stub must stay bit-identical to the per-row
+    definition for arbitrary blobs (the docstring's contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from syscol_spark.operators.multimodal import _stub_feature, _stub_features_batch
+
+    @settings(max_examples=60, deadline=None)
+    @given(blobs=st.lists(st.binary(max_size=64), min_size=1, max_size=5),
+           dim=st.sampled_from([8, 17, 64]))
+    def check(blobs, dim):
+        batch = _stub_features_batch(blobs, dim)
+        for b, row in zip(blobs, batch):
+            assert row == _stub_feature(b, dim)
+            assert len(row) == dim
+
+    check()

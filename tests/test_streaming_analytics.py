@@ -475,3 +475,23 @@ def test_streaming_semantic_dedup_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM sem_dedup").collect()
     }
     assert got == expected
+
+
+def test_round6_mirror_matches_spark_round(spark):
+    """_round6_like_spark must agree with F.round(col, 6) on arbitrary
+    doubles — the streaming dedup's keep decision thresholds on it, so any
+    divergence breaks batch parity. One Spark job over a deterministic
+    mixed sample: uniform cosines, boundary-ish values, negatives, ints."""
+    import random
+
+    from syscol_spark.streaming.analytics import _round6_like_spark
+
+    rng = random.Random(99)
+    vals = [rng.uniform(-1, 1) for _ in range(3000)]
+    vals += [rng.uniform(-1, 1) * 10 ** rng.randint(-9, 3) for _ in range(3000)]
+    vals += [x / 2_000_000 for x in range(-20, 21)]  # exact 5e-7 half-points
+    vals += [0.0, -0.0, 1.0, -1.0, 0.1234565, 0.1234575]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
+    for v, g in zip(vals, got):
+        assert _round6_like_spark(v) == g, (v, _round6_like_spark(v), g)
