@@ -749,6 +749,11 @@ def _pq_codebooks(
     bound. _kmeans_local on numpy slices is numerically identical to
     slicing inside the engine (float32→float64 widening is elementwise).
     ``df`` must be (id, vec)."""
+    if dim % n_subspaces:
+        raise ValueError(
+            f"dim={dim} not divisible by n_subspaces={n_subspaces}: the trailing "
+            f"{dim % n_subspaces} dimensions would be silently dropped from every code"
+        )
     sub = dim // n_subspaces
     train = df.select("id", "vec")
     if train_stride > 1:
@@ -805,6 +810,11 @@ def pq_codes(
     precomputed inverted-list id — so callers composing codes with other
     per-vector state don't pay a self-join to re-attach it.
     """
+    if dim % n_subspaces:
+        raise ValueError(
+            f"dim={dim} not divisible by n_subspaces={n_subspaces}: the trailing "
+            f"{dim % n_subspaces} dimensions would be silently dropped from every code"
+        )
     sub = dim // n_subspaces
     bits = max(1, (n_centroids - 1).bit_length())
     df = corpus.select(

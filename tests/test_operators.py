@@ -962,3 +962,15 @@ def test_minhash_dedup_delta_matches_full_rebuild(spark, sf_dir):
             expected.add((y, x, j))
     assert expected, "fixture must contain pairs touching the new shard"
     assert got == expected
+
+
+def test_pq_rejects_indivisible_subspaces(spark, sf_dir):
+    """dim % n_subspaces != 0 must raise (the trailing dims would silently
+    vanish from every code otherwise)."""
+    import pytest as _pytest
+
+    from syscol_spark.operators.similarity import pq_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codes(emb, dim=60, n_subspaces=8)
