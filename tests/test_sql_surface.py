@@ -81,3 +81,67 @@ def test_ewma_matches_python_recurrence(spark, sf_dir):
             assert got[r["event_id"]] == s, (r["event_id"], got[r["event_id"]], s)
             checked += 1
     assert checked == len(got) > 0
+
+
+def test_hash_bucket_cross_engine_fuzz(spark):
+    """The md5 sampling kernel must agree with its DuckDB SQL twin on
+    arbitrary unicode keys (not just fixture values) — membership of every
+    deterministic sample rides on this."""
+    import random
+
+    import duckdb
+
+    from syscol_spark.operators.sampling import hash_bucket, hash_bucket_sql
+
+    rng = random.Random(42)
+
+    def ch():
+        c = rng.randint(32, 0x10FFF)
+        return chr(c) if not 0xD800 <= c <= 0xDFFF else "A"
+
+    keys = [""] + ["".join(ch() for _ in range(rng.randint(1, 40))) for _ in range(600)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = [r["b"] for r in df.select(hash_bucket("k", seed=7).alias("b")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    exp = [r[0] for r in con.sql(f"SELECT {hash_bucket_sql('k', seed=7)} FROM t").fetchall()]
+    assert got == exp
+
+
+def test_srp_band_keys_cross_engine_fuzz(spark):
+    """SRP band keys (±1-plane sign bits) must be identical across engines
+    on random vectors — the candidate set of every SRP query rides on the
+    sign bits, and the exactness argument (same exact addends, any order)
+    must hold off-fixture too."""
+    import duckdb
+    import numpy as np
+
+    from syscol_spark.operators.similarity import (
+        srp_band_sql_keys,
+        srp_keys_from_sums,
+        srp_plane_sums,
+    )
+
+    dim = 64
+    vecs = [np.random.RandomState(i).uniform(-1, 1, dim).astype("float32") for i in range(300)]
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    keys_cols = srp_keys_from_sums(F.col("_s"), n_bands=8, band_bits=4)
+    srows = (
+        vdf.withColumn("_s", srp_plane_sums("embedding", dim, 32))
+        .select("vec_id", *[c.alias(f"b{i}") for i, c in enumerate(keys_cols)])
+        .orderBy("vec_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO v VALUES (?, ?)", [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    sel = ", ".join(f"{e} AS b{i}" for i, e in enumerate(srp_band_sql_keys(dim, n_bands=8, band_bits=4)))
+    drows = con.sql(f"SELECT vec_id, {sel} FROM v ORDER BY vec_id").fetchall()
+    for sr, dr in zip(srows, drows):
+        assert [sr[f"b{i}"] for i in range(8)] == list(dr[1:])
