@@ -145,3 +145,56 @@ def test_srp_band_keys_cross_engine_fuzz(spark):
     drows = con.sql(f"SELECT vec_id, {sel} FROM v ORDER BY vec_id").fetchall()
     for sr, dr in zip(srows, drows):
         assert [sr[f"b{i}"] for i in range(8)] == list(dr[1:])
+
+
+def test_minhash_portable_signatures_cross_engine_fuzz(spark):
+    """Full portable-kernel MinHash signatures (whitespace shingling + md5
+    hashing + universal-hash minima) must match the DuckDB oracle SQL on
+    random multilingual/whitespace-edge docs — the q_minhash_lsh oracle's
+    entire candidate set rides on signature equality."""
+    import random
+
+    import duckdb
+
+    from syscol_spark.operators.dedup import minhash_signatures
+
+    rng = random.Random(7)
+    P, N = 2147483647, 16
+
+    def word():
+        pools = ["abcdefgh", "äöüßéñç", "日本語の言葉", "!@#$%^&*()", "0123456789"]
+        pool = pools[rng.randrange(len(pools))]
+        return "".join(rng.choice(pool) for _ in range(rng.randint(1, 6)))
+
+    def doc():
+        n = rng.randint(0, 12)
+        return rng.choice([" ", "  ", "\t", "\n"]).join(word() for _ in range(n)) + rng.choice(["", " "])
+
+    docs = [(i, doc()) for i in range(150)] + [(150, ""), (151, "   "), (152, "one"), (153, "a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = {
+        r["id"]: list(r["signature"])
+        for r in minhash_signatures(df, "text", "doc_id", n_hashes=N, shingle_n=3, kernel="portable").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    sig_cols = ",".join(f"MIN(({2*i+1} * h + {i*40503+1}) % {P}) AS s{i}" for i in range(N))
+    du = {
+        r[0]: list(r[1:])
+        for r in con.sql(f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN array_length(toks) >= 3
+                       THEN list_transform(range(1, array_length(toks) - 1),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS shset
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+            ), hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {P} AS h
+              FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
+            )
+            SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id
+        """).fetchall()
+    }
+    assert sp == du
