@@ -495,3 +495,36 @@ def test_round6_mirror_matches_spark_round(spark):
     got = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
     for v, g in zip(vals, got):
         assert _round6_like_spark(v) == g, (v, _round6_like_spark(v), g)
+
+
+def test_streaming_semantic_dedup_watermark_evicts_members(spark, tmp_path):
+    """Cluster members behind the watermark leave state: a near-identical
+    vector arriving AFTER the horizon passed its twin must be KEPT, while
+    its same-batch twin is still dropped (positive control)."""
+    from syscol_spark.streaming.analytics import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    t0 = 1_700_000_000_000_000
+    m30 = 30 * 60 * 1_000_000
+    v = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    f0 = [(1, v, t0)]
+    f1 = [(2, [0.0, 1.0, 0.0, 0.0], t0 + m30)]  # other cluster; advances watermark
+    f2 = [(4, near, t0 + m30 + 1_000_000), (5, near, t0 + m30 + 2_000_000)]
+    src = str(tmp_path / "vecs")
+    for k, rows in enumerate([f0, f1, f2]):
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, ts_us long").withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
+        ).drop("ts_us").coalesce(1).write.parquet(f"{src}/f{k}")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>, event_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_semantic_dedup(stream, cents, min_cosine=0.9, watermark="1 minute")
+    rows = _run_to_memory(out, "sem_evict", output_mode="append", min_rows=4, timeout=60)
+    keep = {r["vec_id"]: r["keep"] for r in rows}
+    assert keep[1] is True
+    assert keep[4] is True, "vec 1 was behind the watermark — must not drop vec 4"
+    assert keep[5] is False, "same-batch lower-id twin must still drop vec 5"
