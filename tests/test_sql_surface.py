@@ -198,3 +198,46 @@ def test_minhash_portable_signatures_cross_engine_fuzz(spark):
         """).fetchall()
     }
     assert sp == du
+
+
+def test_simhash_portable_fingerprints_cross_engine_fuzz(spark):
+    """Portable SimHash fingerprints (distinct whitespace tokens, md5-60bit
+    hash, per-bit ±1 sums) must match the DuckDB kernel on random
+    multilingual docs — the q_simhash candidate set and Hamming distances
+    ride on the fingerprints agreeing off-fixture."""
+    import random
+
+    import duckdb
+
+    from syscol_spark.operators.dedup import simhash
+
+    rng = random.Random(13)
+
+    def word():
+        pool = rng.choice(["abcdefgh", "äöüßéñç", "中文词汇测试", "0123456789!?"])
+        return "".join(rng.choice(pool) for _ in range(rng.randint(1, 6)))
+
+    docs = [(i, " ".join(word() for _ in range(rng.randint(1, 15)))) for i in range(200)]
+    docs += [(200, "solo",), (201, "a a a a",)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = {r["id"]: r["simhash"] for r in simhash(df, "text", "doc_id", n_bits=60, kernel="portable").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS b{b}" for b in range(60)
+    )
+    fp = " | ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+    du = {
+        r[0]: r[1]
+        for r in con.sql(f"""
+            WITH hashed AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM (SELECT doc_id,
+                           unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+                    FROM documents)
+            ), bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+            SELECT doc_id, CAST({fp} AS BIGINT) FROM bits
+        """).fetchall()
+    }
+    assert sp == du
