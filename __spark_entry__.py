@@ -39,9 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # `python scripts/parity.py <name>`.)
 
 
-def _history() -> tuple[set[str], dict[str, int]]:
-    """(recorded, last_green): names seen in any prior round's record, and
-    for each passing name the LATEST round number with an err-free row."""
+def _history() -> tuple[set[str], dict[str, int], dict[int, str]]:
+    """(recorded, last_green, record_file): names seen in any prior round's
+    record, for each passing name the LATEST round number with an err-free
+    row, and for each round the record file's ACTUAL basename (the files on
+    disk are zero-padded — CORRECTNESS_r06.json — so reconstructing the name
+    from the int silently misses them; round 6's drift tier was a no-op
+    because of exactly that)."""
     import glob
     import json
     import os
@@ -50,9 +54,11 @@ def _history() -> tuple[set[str], dict[str, int]]:
     here = os.path.dirname(os.path.abspath(__file__))
     recorded: set[str] = set()
     last_green: dict[str, int] = {}
+    record_file: dict[int, str] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
+        record_file[rnd] = os.path.basename(path)
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -64,13 +70,70 @@ def _history() -> tuple[set[str], dict[str, int]]:
             recorded.add(name)
             if isinstance(row, dict) and not row.get("err"):
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    return recorded, last_green
+    return recorded, last_green, record_file
 
 
-def _drifted(cat: dict, last_green: dict[str, int]) -> set[str]:
-    """Names whose builder's source module changed since the commit that
-    recorded their last green round. Best-effort: any git/inspect failure
-    degrades to 'not drifted' rather than breaking the driver contract."""
+def _first_party_closure(src: str, here: str, _cache: dict | None = None) -> set[str]:
+    """Transitive set of repo-relative syscol_spark/*.py paths reachable from
+    ``src`` via static imports (ast scan — no execution). Drift keyed only on
+    the plan wrapper's own module missed operator rewrites: a query whose
+    wrapper lives in plans/northstar.py delegates to operators/dedup.py, and
+    an edit there must mark it drifted too."""
+    import ast
+    import os
+
+    if _cache is None:
+        _cache = {}
+    rel = os.path.relpath(os.path.abspath(src), here)
+    if rel in _cache:
+        return _cache[rel]
+    out = {rel}
+    _cache[rel] = out  # pre-seed to cut import cycles
+    try:
+        with open(os.path.join(here, rel)) as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return out
+    pkg_parts = rel.split(os.sep)[:-1]  # package dirs of this module
+
+    def _module_paths(modname: str):
+        parts = modname.split(".")
+        for cand in (
+            os.path.join(*parts) + ".py",
+            os.path.join(*parts, "__init__.py"),
+        ):
+            if os.path.exists(os.path.join(here, cand)):
+                yield cand
+
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            names.update(a.name for a in node.names)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:  # relative: resolve against this module's package
+                base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                prefix = ".".join(base)
+                mod = f"{prefix}.{node.module}" if node.module else prefix
+            else:
+                mod = node.module or ""
+            if mod:
+                names.add(mod)
+                # `from pkg.mod import name` where name is itself a module
+                names.update(f"{mod}.{a.name}" for a in node.names)
+    for modname in names:
+        if not modname.startswith("syscol_spark"):
+            continue
+        for cand in _module_paths(modname):
+            out.update(_first_party_closure(os.path.join(here, cand), here, _cache))
+    return out
+
+
+def _drifted(cat: dict, last_green: dict[str, int], record_file: dict[int, str]) -> set[str]:
+    """Names whose builder module — or any first-party module it transitively
+    imports — changed since the commit that recorded their last green round.
+    An unresolvable record commit counts as drifted (unknown freshness must
+    be re-verified, not trusted). Best-effort: any git/inspect failure
+    degrades to 'drifted' for that name rather than breaking the contract."""
     import inspect
     import os
     import subprocess
@@ -83,7 +146,8 @@ def _drifted(cat: dict, last_green: dict[str, int]) -> set[str]:
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout
 
-    changed_since: dict[int, set[str]] = {}
+    changed_since: dict[int, set[str] | None] = {}
+    closure_cache: dict = {}
     out: set[str] = set()
     for name, fn in cat.items():
         rnd = last_green.get(name)
@@ -91,29 +155,46 @@ def _drifted(cat: dict, last_green: dict[str, int]) -> set[str]:
             continue
         try:
             if rnd not in changed_since:
-                rec = _git("log", "-n1", "--format=%H", "--", f"CORRECTNESS_r{rnd}.json").strip()
+                rec_name = record_file.get(rnd)
+                rec = (
+                    _git("log", "-n1", "--format=%H", "--", rec_name).strip()
+                    if rec_name
+                    else ""
+                )
                 if not rec:
-                    changed_since[rnd] = set()
+                    changed_since[rnd] = None  # unknown → treat as drifted
                 else:
                     # diff vs the working tree (not HEAD) so uncommitted
                     # builder edits count as drift too
                     diff = _git("diff", "--name-only", rec)
                     changed_since[rnd] = {ln.strip() for ln in diff.splitlines() if ln.strip()}
-            src = inspect.getsourcefile(inspect.unwrap(fn))
-            rel = os.path.relpath(os.path.abspath(src), here)
-            if rel in changed_since[rnd]:
+            changed = changed_since[rnd]
+            if changed is None:
                 out.add(name)
-        except Exception:  # noqa: BLE001 - prioritization is best-effort
-            continue
+                continue
+            src = inspect.getsourcefile(inspect.unwrap(fn))
+            deps = _first_party_closure(src, here, closure_cache)
+            if deps & changed:
+                out.add(name)
+        except Exception:  # noqa: BLE001 - unknown freshness → re-verify
+            out.add(name)
     return out
 
 
 def _prioritized(cat: dict) -> dict:
-    recorded, last_green = _history()
-    drift = _drifted(cat, last_green)
+    recorded, last_green, record_file = _history()
+    drift = _drifted(cat, last_green, record_file)
     never_recorded = {n: f for n, f in cat.items() if n not in recorded}
     errored = {n: f for n, f in cat.items() if n in recorded and n not in last_green}
-    drifted = {n: f for n, f in cat.items() if n in last_green and n in drift}
+    # stalest-first inside the drift tier: with more drifted names than the
+    # driver's 50 record slots, the slots must land on the OLDEST greens
+    drifted = {
+        n: cat[n]
+        for n in sorted(
+            (n for n in cat if n in last_green and n in drift),
+            key=lambda n: (last_green[n], list(cat).index(n)),
+        )
+    }
     rest = {n: f for n, f in cat.items() if n in last_green and n not in drift}
     return {**never_recorded, **errored, **drifted, **rest}
 

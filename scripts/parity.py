@@ -5,7 +5,12 @@ sorts columns by name, sorts rows, and compares values (exact for
 ints/strings, tiny epsilon for floats to absorb rounding-boundary noise the
 driver's hash would also see — treat any eps hit as a red flag).
 
-Usage: python scripts/parity.py [sf_dir] [query ...]
+Usage: python scripts/parity.py [sf_dir] [query ...] [--json PATH]
+
+``--json PATH`` additionally writes a machine-readable per-query artifact
+{name: {status, seconds, rows}} stamped with the git SHA and UTC time —
+committed as PARITY_RUN.json each round so every catalog query has an
+auditable fresh green independent of the driver's 50 CORRECTNESS slots.
 """
 
 from __future__ import annotations
@@ -50,12 +55,27 @@ def values_equal(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.001"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.001"
+    only = [a for a in argv if "/" not in a]
     _ensure_loaded()
     spark = get_session("parity")
     con = duck_connection(sf_dir)
     failures = 0
+    results: dict[str, dict] = {}
+
+    def record(name: str, status: str, t0: float, rows: int = -1) -> None:
+        results[name] = {
+            "status": status,
+            "seconds": round(time.time() - t0, 2),
+            "rows": rows,
+        }
+
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
@@ -66,10 +86,12 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            record(name, f"spark_error: {type(e).__name__}", t0)
             failures += 1
             continue
         if spec.oracle is None:
             print(f"ok*   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            record(name, "rows_only", t0, len(srows))
             continue
         try:
             rel = con.sql(spec.oracle)
@@ -77,17 +99,20 @@ def main() -> int:
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            record(name, f"oracle_error: {type(e).__name__}", t0)
             failures += 1
             continue
         scols_l = [c.lower() for c in scols]
         if sorted(scols_l) != sorted(ocols):
             print(f"FAIL  {name}: column mismatch spark={sorted(scols_l)} oracle={sorted(ocols)}")
+            record(name, "column_mismatch", t0)
             failures += 1
             continue
         sn = normalize(srows, scols_l)
         on = normalize(orows, ocols)
         if len(sn) != len(on):
             print(f"FAIL  {name}: row count spark={len(sn)} oracle={len(on)}")
+            record(name, "rowcount_mismatch", t0)
             failures += 1
             continue
         bad = None
@@ -97,11 +122,42 @@ def main() -> int:
                 break
         if bad:
             print(f"FAIL  {name}: value mismatch at row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+            record(name, "value_mismatch", t0)
             failures += 1
         else:
             print(f"ok    {name}: {len(sn)} rows match ({time.time()-t0:.1f}s)")
+            record(name, "match", t0, len(sn))
     print(f"\n{'FAILURES: ' + str(failures) if failures else 'ALL GREEN'}")
+    if json_path:
+        _write_artifact(json_path, sf_dir, results, failures)
     return 1 if failures else 0
+
+
+def _write_artifact(path: str, sf_dir: str, results: dict, failures: int) -> None:
+    import datetime
+    import json
+    import subprocess
+
+    sha = subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    dirty = bool(subprocess.run(
+        ["git", "-C", "/root/repo", "status", "--porcelain"],
+        capture_output=True, text=True,
+    ).stdout.strip())
+    artifact = {
+        "sf_dir": sf_dir,
+        "git_sha": sha,
+        "git_dirty": dirty,
+        "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+        "n_queries": len(results),
+        "n_failures": failures,
+        "queries": results,
+    }
+    with open(path, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
