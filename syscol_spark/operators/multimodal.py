@@ -191,23 +191,37 @@ def sample_frames(assets: DataFrame, *, every_n_bytes: int = 256, max_frames: in
     mapInPandas contract — N output rows per input row."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        every = every_n_bytes
         for pdf in it:
+            if not len(pdf):  # empty Arrow batch: np.repeat below would raise
+                continue
             raws = [bytes(b) for b in pdf["blob"]]
             # frames per row, vectorized: min(max_frames, max(1, len//every))
             lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
-            counts = np.minimum(max_frames, np.maximum(1, lens // every_n_bytes))
+            counts = np.minimum(max_frames, np.maximum(1, lens // every))
+            total = int(counts.sum())
             ids = np.repeat(pdf["asset_id"].to_numpy(), counts)
             # frame_idx = 0..count-1 within each row: global arange minus the
             # repeated start offset of each row's frame block
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            idxs = (np.arange(int(counts.sum())) - np.repeat(starts, counts)).astype(np.int32)
-            # bytes slicing has no vectorized form; this flat comprehension
-            # is O(output bytes) C-level copies, not a per-byte Python loop
-            blobs = [
-                raw[i * every_n_bytes : (i + 1) * every_n_bytes]
-                for raw, c in zip(raws, counts)
-                for i in range(c)
-            ]
-            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_blob": blobs})
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            idxs = (np.arange(total) - np.repeat(starts, counts)).astype(np.int32)
+            # One flat buffer + ONE 2D fancy-index gather extracts every
+            # full-width frame in the batch; V-dtype (not S — S trims
+            # trailing NULs) views the gather as exact fixed-width bytes.
+            # No per-frame Python: the only row-level fallback is blobs
+            # shorter than one frame, which emit their raw bytes untouched.
+            buf = np.frombuffer(b"".join(raws), dtype=np.uint8)
+            row_off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            frame_off = np.repeat(row_off, counts) + idxs.astype(np.int64) * every
+            full = np.repeat(lens >= every, counts)
+            blobs = np.empty(total, dtype=object)
+            if full.any():
+                gathered = buf[frame_off[full, None] + np.arange(every)]
+                blobs[full] = np.ascontiguousarray(gathered).view(f"V{every}").ravel().tolist()
+            if not full.all():
+                blobs[~full] = [raws[r] for r in np.flatnonzero(lens < every)]
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_blob": list(blobs)}
+            )
 
     return assets.mapInPandas(batches, schema=_FRAMES_SCHEMA)
