@@ -193,6 +193,19 @@ def matrix_dots(vec: Column | str, matrix: list[list[float]]) -> Column:
     return _dots(F.col(vec) if isinstance(vec, str) else vec)
 
 
+def _stride_predicate(df: DataFrame, id_col: str, stride: int):
+    """Deterministic 1-in-``stride`` training sample. Numeric ids keep the
+    oracle-mirrorable ``id % stride == 0`` (dense ids → uniform; the catalog
+    oracles reproduce it as WHERE id % stride = 0). Non-numeric ids (string
+    doc UUIDs) stride on a stable hash instead — same uniformity and
+    determinism, just not CTE-mirrored (no catalog query strides on them)."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        return F.col(id_col) % stride == 0
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     *,
@@ -226,7 +239,7 @@ def kmeans_centroids(
     df.sample, whose RNG is engine-private."""
     train = corpus.select(id_col, vec_col)
     if train_stride > 1:
-        train = train.filter(F.col(id_col) % train_stride == 0)
+        train = train.filter(_stride_predicate(train, id_col, train_stride))
     # Driver-local fast path: a coarse quantizer's training set is small BY
     # DESIGN (that's what the stride sample is for — ~1000 points/centroid),
     # so when it fits the bound, pull it once and run Lloyd's in numpy:
@@ -757,7 +770,7 @@ def _pq_codebooks(
     sub = dim // n_subspaces
     train = df.select("id", "vec")
     if train_stride > 1:
-        train = train.filter(F.col("id") % train_stride == 0)
+        train = train.filter(_stride_predicate(train, "id", train_stride))
     if train.limit(_LOCAL_TRAIN_LIMIT + 1).count() <= _LOCAL_TRAIN_LIMIT:
         rows = train.collect()
         return [
@@ -842,6 +855,25 @@ def pq_codes(
     )
 
 
+def _tables_schema(queries: DataFrame, id_col: str, *, list_id: bool = False,
+                   vec: bool = False):
+    """Broadcast-side schema for ADC serving, with query_id typed from the
+    caller's frame (queries.schema[id_col]) instead of a hard-coded long —
+    string doc ids (UUID corpora) serve through the same plan."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    fields = [StructField("query_id", queries.schema[id_col].dataType)]
+    if list_id:
+        fields.append(StructField("list_id", IntegerType()))
+    if vec:
+        fields.append(StructField("q_vec", ArrayType(DoubleType())))
+    else:
+        fields.append(StructField("tables", ArrayType(ArrayType(DoubleType()))))
+    return StructType(fields)
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -903,12 +935,12 @@ def pq_adc_topk(
         ]
         table_rows.append((r["qid"], tables))
     spark = corpus.sparkSession
-    # query ids are materialized as LONG here (and in ivf_pq_topk): string
-    # doc ids would need the schema derived from queries.schema[id_col] —
-    # asserted early so a string-id caller fails here, not in an Arrow cast
-    assert isinstance(qrows[0]["qid"], int) if qrows else True, "query ids must be integral"
+    # query-id type is derived from the caller's frame (real corpora key on
+    # string doc UUIDs as often as integers — the reference's own SlaveID is
+    # a string, syscol/metrics_reporter.go:33-40), so the broadcast
+    # distance-table schema follows whatever the id column actually is
     tables_df = spark.createDataFrame(
-        table_rows, "query_id long, tables array<array<double>>"
+        table_rows, _tables_schema(queries, id_col)
     )
     dist = None
     for s in range(n_subspaces):
@@ -1162,7 +1194,7 @@ def ivfpq_serve(
                 ]
                 table_rows.append((r["qid"], lid, tables))
         tables_df = spark.createDataFrame(
-            table_rows, "query_id long, list_id int, tables array<array<double>>"
+            table_rows, _tables_schema(queries, id_col, list_id=True)
         )
         joined = codes.join(broadcast(tables_df), "list_id")
     else:
@@ -1194,7 +1226,7 @@ def ivfpq_serve(
             ]
             table_rows.append((r["qid"], tables))
         tables_df = spark.createDataFrame(
-            table_rows, "query_id long, tables array<array<double>>"
+            table_rows, _tables_schema(queries, id_col)
         )
         joined = codes.join(broadcast(qp), "list_id").join(broadcast(tables_df), "query_id")
     dist = None
@@ -1218,7 +1250,7 @@ def ivfpq_serve(
         )
         qvec_df = spark.createDataFrame(
             [(r["qid"], [float(x) for x in r["qvec"]]) for r in qrows],
-            "query_id long, q_vec array<double>",
+            _tables_schema(queries, id_col, vec=True),
         )
         rescored = (
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))

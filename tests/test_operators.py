@@ -754,6 +754,65 @@ def test_ann_ivfpq_residual_refine_recall(spark, sf_dir):
     assert r_res >= 0.5
 
 
+def test_adc_serving_supports_string_doc_ids(spark, sf_dir):
+    """ADC-family serving must accept string doc ids (real corpora key on
+    UUIDs; the reference's envelope SlaveID is a string —
+    syscol/metrics_reporter.go:33-40): the broadcast distance-table schema
+    is derived from queries.schema[id_col], not hard-coded long. Results
+    must be the integer-id results under the id relabeling (deterministic
+    seeded quantizers)."""
+    from syscol_spark.operators.similarity import ivf_pq_topk, pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(400)
+    sid = emb.select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    queries_i = emb.filter(F.col("vec_id") < 5)
+    queries_s = sid.filter(F.col("vec_id") < "doc-00005")
+
+    def relabel(rows):
+        return {(f"doc-{r['query_id']:05d}", f"doc-{r['neighbor_id']:05d}", r["rk"])
+                for r in rows}
+
+    # stride=1 everywhere: numeric ids stride on id%n, string ids on a hash,
+    # so only the stride-free configuration trains identical quantizers
+    adc_i = pq_adc_topk(emb, queries_i, dim=64, n_subspaces=8, n_centroids=16,
+                        max_iter=2, train_stride=1, k=5).collect()
+    adc_s = pq_adc_topk(sid, queries_s, dim=64, n_subspaces=8, n_centroids=16,
+                        max_iter=2, train_stride=1, k=5).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rk"]) for r in adc_s} == relabel(adc_i)
+
+    common = dict(dim=64, n_lists=8, nprobe=3, coarse_iter=2, coarse_stride=1,
+                  n_subspaces=8, pq_centroids=16, pq_iter=2, pq_stride=1, k=5,
+                  residual=True, refine=20)
+    ivf_i = ivf_pq_topk(emb, queries_i, **common).collect()
+    ivf_s = ivf_pq_topk(sid, queries_s, **common).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rk"]) for r in ivf_s} == relabel(ivf_i)
+
+
+def test_ann_production_shape_recall(spark, sf_dir):
+    """Production-shape quality claim, measured not extrapolated: the
+    catalog queries pin pq_centroids=16 to keep the unrolled-CTE oracle
+    tractable, so this pytest-only sweep runs the 100 TB recipe's actual
+    knobs — residual IVFADC+R at k=256 codebooks / nprobe=8 / refine=50 —
+    and asserts recall@5 >= 0.8 against exact brute force."""
+    from syscol_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    got = ivf_pq_topk(
+        emb, queries, dim=64, n_lists=16, nprobe=8, coarse_iter=3,
+        coarse_stride=4, n_subspaces=8, pq_centroids=256, pq_iter=3,
+        pq_stride=1, k=5, residual=True, refine=50,
+    ).collect()
+    r = len({(x["query_id"], x["neighbor_id"]) for x in got} & exact) / len(exact)
+    print(f"\nivfpq production-shape recall@5 (k=256, nprobe=8, refine=50): {r:.2f}")
+    assert r >= 0.8
+
+
 def test_ivfpq_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     """The persisted index must serve BIT-IDENTICALLY to the in-memory one
     (build-once / serve-many lifecycle): save to parquet, load, serve with
