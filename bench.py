@@ -110,8 +110,7 @@ def main() -> None:
     t_start = time.time() - total
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    solo_min: dict[str, float] = dict(timings)
-    reps_done: dict[str, int] = {n: 1 for n in timings}
+    rep_times: dict[str, list[float]] = {n: [t] for n, t in timings.items()}
     by_cost_order = sorted(timings, key=lambda n: -timings[n])
     for rep in range(1, n_reps):
         for name in by_cost_order:
@@ -123,12 +122,13 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception:  # noqa: BLE001 - already recorded in pass 1
                 continue
-            solo_min[name] = round(min(solo_min[name], time.time() - t0), 3)
-            reps_done[name] += 1
+            rep_times[name].append(round(time.time() - t0, 3))
             _release_cached(spark)
         else:
             continue
         break
+    solo_min = {n: round(min(ts), 3) for n, ts in rep_times.items()}
+    reps_done = {n: len(ts) for n, ts in rep_times.items()}
     fully_repped = sum(1 for v in reps_done.values() if v >= n_reps)
     print(
         f"# min-of-{n_reps}: {fully_repped}/{len(timings)} queries fully repped "
@@ -153,12 +153,23 @@ def main() -> None:
     # `total_best_known` / `queries`; the box has externally noisy windows
     # (433 s vs 162 s sweeps with zero changes), so the shared-sweep total
     # is weather, not signal.
+    # min AND median per query: the min is the best-known (cross-round
+    # comparable) number; the median exposes the measured per-query jitter
+    # so round-over-round deltas can be read against it instead of the
+    # prose ±5%/±20% rule (round-6 verdict ask #7).
+    import statistics
+
+    queries_spread = {
+        n: {"min": solo_min[n], "median": round(statistics.median(ts), 3)}
+        for n, ts in rep_times.items()
+    }
     full = {
         "metric": "catalog_total_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "timing": f"queries = min of {n_reps} serial reps (budget-bounded)",
         "queries": solo_min,
+        "queries_spread": queries_spread,
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
@@ -168,6 +179,9 @@ def main() -> None:
         "reps_done": reps_done,
         "queries_single_pass": timings,
         "total_best_known": round(sum(solo_min.values()), 3),
+        "total_median": round(
+            sum(v["median"] for v in queries_spread.values()), 3
+        ),
     }
     # Complete per-query artifact for the judge (the stdout line below is
     # size-capped and may omit the fastest queries).
@@ -184,6 +198,7 @@ def main() -> None:
     line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
     line.pop("reps_done", None)
     line.pop("queries_single_pass", None)
+    line.pop("queries_spread", None)  # full per-query {min, median}: BENCH_FULL.json
     line["full_results"] = "BENCH_FULL.json"
     by_cost = sorted(solo_min, key=lambda n: -solo_min[n])
     for keep in range(len(by_cost), -1, -1):
