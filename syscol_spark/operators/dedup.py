@@ -432,6 +432,55 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", *, 
     )
 
 
+def keep_best_representative(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: Column,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Terminal dedup step of a training-data pipeline: from ``docs``, keep
+    exactly ONE representative per near-dup cluster — the member with the
+    highest ``quality`` (ties to the lowest id, so selection is
+    deterministic) — plus every unclustered document untouched. The usual
+    "drop duplicates" loses information; real pipelines keep the BEST copy
+    (dedup then select, e.g. Lee et al. ACL'22 keep-one policy).
+
+    ``clusters`` is (id, cluster, cluster_size) from ``dedup_clusters``.
+
+    Plan shape at 100 TB: clusters holds only near-dup members (a small
+    fraction of the corpus), so the per-cluster window runs on that slice
+    after one shuffle on cluster id; the unclustered majority flows through
+    a single left-anti join on ``id_col`` (AQE broadcasts the cluster-id
+    side when it is small enough) — no window, no second shuffle over the
+    full corpus.
+
+    Output: (doc_id, cluster, cluster_size, quality); unclustered docs get
+    cluster = their own id and cluster_size = 1.
+    """
+    scored = docs.select(F.col(id_col), quality.alias("quality"))
+    members = clusters.select(
+        F.col("id").alias(id_col), "cluster", "cluster_size"
+    ).join(scored, id_col)
+    w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), F.col(id_col))
+    best = (
+        members.select("*", F.row_number().over(w).alias("__rk"))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    singles = (
+        scored.join(
+            clusters.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        ).select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            "quality",
+        )
+    )
+    return best.select(id_col, "cluster", "cluster_size", "quality").unionAll(singles)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str,

@@ -343,6 +343,68 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+# --- dedup terminal step: keep the best copy per near-dup cluster -----------
+@register(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN array_length(toks) >= 3
+               THEN list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS shset
+      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+            / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ), labeled AS (
+      SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
+    ), sized AS (
+      SELECT labeled.id, labeled.cluster, CAST(cnt AS BIGINT) AS cluster_size
+      FROM labeled JOIN (SELECT cluster AS c2, COUNT(*) AS cnt FROM labeled GROUP BY 1) s
+        ON labeled.cluster = s.c2
+    ), q AS (
+      SELECT doc_id,
+             ROUND(0.5 * least(CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) / 64.0, 1.0)
+                 + 0.4 * least(4.0 * CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                          tok -> tok IN ({_STOPS_SQL}))) AS BIGINT)
+                               / greatest(CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1), 1.0)
+                 + 0.1 * (1 - least(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                                    / length(text) * 10, 1.0)), 6) AS quality
+      FROM documents
+    ), best AS (
+      SELECT id AS doc_id, cluster, cluster_size, quality FROM (
+        SELECT sized.*, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY quality DESC, id) AS rk
+        FROM sized JOIN q ON q.doc_id = sized.id) WHERE rk = 1
+    ), singles AS (
+      SELECT d.doc_id, d.doc_id AS cluster, CAST(1 AS BIGINT) AS cluster_size, q.quality
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT id FROM labeled)
+    )
+    SELECT * FROM best UNION ALL SELECT * FROM singles
+    """,
+    description="dedup keep-one policy: highest-quality doc per near-dup cluster + all singletons",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import dedup_clusters, keep_best_representative
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", shingle_n=3, min_jaccard=0.5)
+    clusters = dedup_clusters(pairs)
+    return keep_best_representative(docs, clusters, quality_score("text"))
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 # Oracle technique: the engine runs the PORTABLE hash kernel (md5-60bit mod
 # 2^31-1, functions.text.token_int — the kernel q_doc_fingerprint already
