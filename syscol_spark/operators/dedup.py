@@ -481,6 +481,72 @@ def keep_best_representative(
     return best.select(id_col, "cluster", "cluster_size", "quality").unionAll(singles)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    window: int = 5,
+    max_doc_freq: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): hash every k-token gram, slide a window of
+    ``window`` consecutive gram hashes, select each window's MINIMUM hash.
+    The selected set is position-robust (insertions shift positions but the
+    local minima survive), and any shared substring of >= k+window-1 tokens
+    is GUARANTEED to share a fingerprint — the detection floor that plain
+    stride sampling lacks.
+
+    Pipeline: gram hashes and window minima are one codegen pass per doc
+    (transform over sequence, no explode until the fingerprints are
+    selected); candidate pairs come from a fingerprint equi-join — never
+    all-pairs. Fingerprints appearing in more than ``max_doc_freq`` docs are
+    dropped before the join (boilerplate grams are useless evidence and are
+    exactly the skewed keys that would blow up the self-join at 100 TB).
+
+    Hash kernel: md5-60bit mod 2^31-1 (functions.text.token_int), the
+    portable kernel q_doc_fingerprint already hash-verified cross-engine.
+
+    Output: (id_a, id_b, shared_fp) for pairs sharing >= ``min_shared``
+    selected fingerprints, id_a < id_b.
+    """
+    from syscol_spark.functions.text import _bind_once, token_int, tokens
+
+    def gram_hashes(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        grams = F.when(F.size(toks) >= k, grams).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+        return F.transform(grams, token_int)
+
+    def window_minima(hs: Column) -> Column:
+        pos = F.sequence(F.lit(1), F.greatest(F.size(hs) - window + 1, F.lit(1)))
+        return F.array_distinct(F.transform(pos, lambda p: F.array_min(F.slice(hs, p, window))))
+
+    fps = df.select(
+        F.col(id_col),
+        F.explode(
+            _bind_once(_bind_once(tokens(content_col), gram_hashes), window_minima)
+        ).alias("fp"),
+    )
+    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= max_doc_freq
+    )
+    kept = fps.join(keep.select("fp"), "fp")
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str,

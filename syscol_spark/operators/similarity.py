@@ -53,6 +53,88 @@ def brute_force_topk(
     )
 
 
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR'98): greedily select ``k`` results that balance query relevance
+    against redundancy with what's already selected —
+    ``argmax lam*sim(q,d) - (1-lam)*max_{s in S} sim(d,s)``. The retrieval
+    op a RAG/training-data pipeline runs when plain top-k returns k copies
+    of the same document.
+
+    Plan shape: one exact top-``shortlist`` pass (brute_force_topk — swap in
+    any ANN index for the shortlist at scale; the MMR stage is agnostic),
+    one pairwise-cosine self-join WITHIN each query's shortlist (shortlist²
+    rows per query, never corpus-proportional), then k-1 bounded rounds of
+    join+groupBy+window over that pair table. Everything stays distributed;
+    per-round lineage is truncated with localCheckpoint.
+
+    Determinism: all cosines round to 6dp before the MMR arithmetic, ties
+    break on candidate id — so the greedy trajectory is reproducible
+    bit-for-bit in the SQL oracle (q_mmr_diverse unrolls the k-step loop).
+
+    Output: (query_id, neighbor_id, simq, step 1..k) — step is selection
+    order, not similarity rank.
+    """
+    short = brute_force_topk(corpus, queries, vec_col=vec_col, id_col=id_col, k=shortlist)
+    sv = short.select(
+        "query_id", F.col("neighbor_id").alias("cand_id"), F.col("cosine").alias("simq")
+    ).localCheckpoint()
+    vecs = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__v"))
+    pv = sv.join(vecs, "cand_id")
+    pairs = (
+        pv.select("query_id", F.col("cand_id"), F.col("__v").alias("__va"))
+        .join(
+            pv.select(
+                "query_id", F.col("cand_id").alias("sel_id"), F.col("__v").alias("__vb")
+            ),
+            "query_id",
+        )
+        .filter(F.col("cand_id") != F.col("sel_id"))
+        .select(
+            "query_id", "cand_id", "sel_id",
+            F.round(cosine_similarity("__va", "__vb"), 6).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("simq").desc(), F.col("cand_id"))
+    selected = (
+        sv.select("*", F.row_number().over(w1).alias("__rk"))
+        .filter(F.col("__rk") == 1)
+        .select("query_id", "cand_id", "simq", F.lit(1).cast("long").alias("step"))
+        .localCheckpoint()
+    )
+    for t in range(2, k + 1):
+        cand = (
+            sv.join(selected.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti")
+            .join(
+                selected.select("query_id", F.col("cand_id").alias("sel_id")), "query_id"
+            )
+            .join(pairs, ["query_id", "cand_id", "sel_id"])
+            .groupBy("query_id", "cand_id", "simq")
+            .agg(F.max("sim").alias("__pen"))
+        )
+        score = F.lit(lam) * F.col("simq") - F.lit(1.0 - lam) * F.col("__pen")
+        wt = Window.partitionBy("query_id").orderBy(score.desc(), F.col("cand_id"))
+        pick = (
+            cand.select("*", F.row_number().over(wt).alias("__rk"))
+            .filter(F.col("__rk") == 1)
+            .select("query_id", "cand_id", "simq", F.lit(t).cast("long").alias("step"))
+        )
+        selected = selected.unionAll(pick).localCheckpoint()
+    return selected.select(
+        "query_id", F.col("cand_id").alias("neighbor_id"), "simq", "step"
+    )
+
+
 def _srp_plane(dim: int, plane: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random hyperplane: unit-free gaussian-ish values
     from a splitmix-style integer hash. Pure python at plan time."""

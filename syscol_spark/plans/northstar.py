@@ -22,6 +22,7 @@ from syscol_spark.functions.text import (
     stopword_hits,
     token_count,
     tokens,
+    word_shingles,
 )
 from syscol_spark.operators.dedup import (
     exact_dedup,
@@ -462,6 +463,113 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MinHash estimator calibration -------------------------------------------
+@register(
+    "q_lsh_error",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN array_length(toks) >= 3
+               THEN list_distinct(list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+               ELSE [array_to_string(toks, ' ')] END AS shset
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_P} AS h
+      FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
+    ), sig AS (
+      SELECT doc_id,
+         {_MH_SIG_COLS}
+      FROM hashed GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({_MH_MATCHES}) / {_MH_N}.0 AS est
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_MH_BAND_EQ})
+    ), ex AS (
+      SELECT c.est,
+             CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+               / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))) AS exact
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+    )
+    SELECT CAST(floor(est * 10) AS BIGINT) AS bucket,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(floor(1000000.0 * exact) AS BIGINT)) AS BIGINT) AS sum_exact_micro,
+           CAST(SUM(CAST(floor(1000000.0 * abs(est - exact)) AS BIGINT)) AS BIGINT) AS sum_err_micro
+    FROM ex GROUP BY 1
+    """,
+    description="MinHash estimator calibration: |est - exact Jaccard| per estimate decile over LSH candidates",
+)
+def q_lsh_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: joins the LSH candidate pairs back to the exact
+    shingle-set Jaccard and aggregates the estimator error per estimate
+    decile — the calibration curve that justifies (n_hashes, bands, rows)
+    for a 100 TB dedup run. One extra equi-join per side against the
+    shingle table; error sums are floor-micros (exact longs), so the oracle
+    compare is bit-exact despite double averages."""
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", n_hashes=_MH_N, shingle_n=3, kernel="portable"
+    )
+    cands = minhash_lsh_candidates(
+        sigs.localCheckpoint(), n_bands=_MH_BANDS, rows_per_band=_MH_ROWS, portable_buckets=True
+    )
+    sh = docs.select(F.col("doc_id"), word_shingles("text", 3).alias("shset"))
+    joined = (
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), F.col("shset").alias("sha")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shset").alias("shb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    exact = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (
+        joined.select(
+            F.floor(F.col("est_jaccard") * 10).cast("long").alias("bucket"),
+            F.floor(F.lit(1_000_000.0) * exact).cast("long").alias("__ex"),
+            F.floor(F.lit(1_000_000.0) * F.abs(F.col("est_jaccard") - exact)).cast("long").alias("__err"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("__ex").alias("sum_exact_micro"),
+            F.sum("__err").alias("sum_err_micro"),
+        )
+    )
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+@register(
+    "q_winnow",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4
+          THEN list_transform(range(1, len(toks) - 4 + 2),
+                              i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+          ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t),
+    h AS (SELECT doc_id,
+                 list_transform(grams, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+          FROM g),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(hs) - 5 + 1, 1) + 1),
+                               p -> list_min(list_slice(hs, p, p + 4)))) AS fps
+          FROM h),
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    keep AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50),
+    ff AS (SELECT f.doc_id, f.fp FROM f JOIN keep ON f.fp = keep.fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+    FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    description="winnowing (MOSS) fingerprints: window-min of k-gram hashes, shared-fingerprint pairs",
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), "text", "doc_id", k=4, window=5, max_doc_freq=50, min_shared=2
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 # Portable 60-bit kernel (md5-60bit) + pigeonhole banding: 4 bands x 15 bits,
 # provably complete at Hamming <= 3. Every step (token hash, bit sums, band
@@ -586,6 +694,70 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --- MMR diversified top-k ----------------------------------------------------
+# Oracle technique: the greedy loop is bounded (k steps), so it unrolls into
+# k chained CTEs — selected_t = selected_{t-1} + argmax(lam*simq-(1-lam)*pen).
+# All cosines round to 6dp BEFORE the MMR arithmetic and ties break on
+# candidate id, so the greedy trajectory is bit-reproducible across engines
+# (the lam/(1-lam) literals are repr'd doubles — identical IEEE operands).
+def _mmr_sql(k: int = 5, shortlist: int = 20, lam: float = 0.7, nq: int = 10) -> str:
+    cos_q = ("ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+             "CAST(c.embedding AS DOUBLE[])), 6)")
+    parts = [f"""
+    WITH short AS MATERIALIZED (
+      SELECT query_id, cand_id, simq FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos_q} AS simq,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos_q} DESC, c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id < {nq} AND c.vec_id <> q.vec_id)
+      WHERE rk <= {shortlist}
+    ), pairs AS MATERIALIZED (
+      SELECT a.query_id, a.cand_id, b.cand_id AS sel_id,
+             ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+      FROM short a JOIN short b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+      JOIN embeddings ea ON ea.vec_id = a.cand_id
+      JOIN embeddings eb ON eb.vec_id = b.cand_id
+    ), sel1 AS (
+      SELECT query_id, cand_id, simq, CAST(1 AS BIGINT) AS step FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY simq DESC, cand_id) AS rk FROM short) WHERE rk = 1
+    ), selected1 AS MATERIALIZED (SELECT * FROM sel1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""", cand{t} AS (
+      SELECT s.query_id, s.cand_id, s.simq, MAX(p.sim) AS pen
+      FROM short s
+      JOIN selected{t-1} x ON x.query_id = s.query_id
+      JOIN pairs p ON p.query_id = s.query_id AND p.cand_id = s.cand_id
+                  AND p.sel_id = x.cand_id
+      LEFT JOIN selected{t-1} y ON y.query_id = s.query_id AND y.cand_id = s.cand_id
+      WHERE y.cand_id IS NULL
+      GROUP BY 1, 2, 3
+    ), sel{t} AS (
+      SELECT query_id, cand_id, simq, CAST({t} AS BIGINT) AS step FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY CAST({lam!r} AS DOUBLE) * simq - CAST({1 - lam!r} AS DOUBLE) * pen DESC,
+                   cand_id) AS rk
+        FROM cand{t}) WHERE rk = 1
+    ), selected{t} AS MATERIALIZED (SELECT * FROM selected{t-1} UNION ALL SELECT * FROM sel{t})""")
+    parts.append(
+        f"\n    SELECT query_id, cand_id AS neighbor_id, simq, step FROM selected{k}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_mmr_diverse",
+    _mmr_sql(k=5, shortlist=20, lam=0.7, nq=10),
+    description="MMR diversified top-k: greedy relevance-vs-redundancy selection over an exact shortlist (unrolled-CTE oracle)",
+)
+def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import mmr_topk
+
+    emb = _emb(spark, sf_dir)
+    return mmr_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=20, lam=0.7)
 
 
 # --- SRP-LSH approximate top-k ----------------------------------------------
