@@ -231,6 +231,23 @@ def main() -> None:
         dt = time.time() - t0
         print(f"contain {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
 
+    # Winnowing probe: the token bijection makes every copy's gram hashes
+    # distinct from every other copy's, so selected fingerprints never
+    # collide cross-copy and true pair output stays per-copy (linear). The
+    # measured curve is the fingerprint explode + doc-freq filter +
+    # equi-join — the max_doc_freq cap is what keeps hot fingerprints from
+    # turning the self-join quadratic.
+    from syscol_spark.operators.dedup import winnow_fingerprints
+
+    for k in (1, 4, 16):
+        corpus = inflate(base, k)
+        t0 = time.time()
+        n_pairs = winnow_fingerprints(
+            corpus, "text", "doc_id", k=4, window=5, max_doc_freq=50, min_shared=2
+        ).count()
+        dt = time.time() - t0
+        print(f"winnow {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
+
 
 if __name__ == "__main__":
     main()
