@@ -144,6 +144,19 @@ def redact_pii(col: Column | str, repl: str = PII_REPL) -> Column:
     return F.regexp_replace(F.regexp_replace(c, EMAIL_RE, repl), PHONE_RE, repl)
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for normalization-aware dedup:
+    lowercase -> strip PUNCT_CLASS -> collapse runs of whitespace to one
+    space -> trim. The step ORDER is part of the contract (punctuation is
+    stripped before whitespace collapse so ``"a ."`` folds to ``"a"``, not
+    ``"a "``); the DuckDB oracle mirrors it operation for operation.
+    Pure codegen'd expression — scan-rate on a 100 TB corpus, and the
+    canonical form feeds straight into the one-shuffle md5 hash-groupBy of
+    exact_dedup (operators/dedup.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), PUNCT_CLASS, ""), r"\s+", " "))
+
+
 def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:
     """Deterministic heuristic quality score in [0, 1]:
     rewards reasonable length, stopword presence and low punctuation noise.

@@ -86,6 +86,61 @@ def exact_dedup_delta(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking at token granularity: cut AFTER every token
+    whose deterministic 60-bit hash ≡ mod−1 (mod ``mod``), so expected chunk
+    length is ``mod`` tokens and — the CDC property — chunk boundaries
+    depend only on LOCAL content. Insert a token anywhere and only the one
+    chunk containing the edit changes its hash; every other chunk of the
+    document still deduplicates against the rest of the corpus (the
+    shift-resilience fixed-width blocks lack; rsync/LBFS lineage).
+
+    Output: (id_col, chunk_id, chunk_hash, n_tokens) — feed chunk_hash into
+    the same one-shuffle hash-groupBy as exact_dedup for corpus-wide
+    chunk-level dup statistics.
+
+    Scale shape: posexplode (~n_tokens × rows), ONE shuffle on the doc id
+    for the running-cut-count window, and the chunk-reassembly groupBy
+    reuses that exact partitioning (same key) — Exchange appears once in
+    the plan. Per-doc state only; no global order, no driver state.
+    chunk_text is assembled via array_sort(collect_list(struct(pos, tok)))
+    because groupBy collect order is not deterministic under shuffle.
+    """
+    from syscol_spark.functions.text import token_int, tokens
+
+    tok = (
+        df.select(F.col(id_col).alias("__id"), F.posexplode(tokens(content_col)).alias("pos", "token"))
+        .filter(F.col("token") != "")
+        .withColumn("cut", (F.pmod(token_int(F.col("token")), F.lit(mod)) == mod - 1).cast("int"))
+    )
+    prior = (
+        Window.partitionBy("__id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tok.withColumn("chunk_id", F.coalesce(F.sum("cut").over(prior), F.lit(0)).cast("long"))
+        .groupBy("__id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                        lambda s: s["token"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(F.col("__id").alias(id_col), "chunk_id", "chunk_hash", "n_tokens")
+    )
+
+
 def salted_block_pairs(df: DataFrame, n_salts: int = 32) -> DataFrame:
     """Self-join a blocked frame into unordered pairs (a.id < b.id) with the
     block key SALTED for parallelism.

@@ -89,6 +89,57 @@ def weighted_mixture(
     return df.filter(hash_bucket(key_col, seed) < rate_ppm)
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    cluster_col: str,
+    key_col: str,
+    cap: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Cluster-balanced down-sampling: keep each row with probability
+    ``min(1, cap / cluster_size)`` so every cluster contributes at most
+    ~``cap`` rows in expectation — the cluster-rebalance step of
+    SemDeDup-style curation (prune over-represented semantic clusters
+    without touching rare ones). ``cap=None`` balances to the MEAN
+    cluster size, derived on-plan (no driver count, so the same plan
+    serves any corpus size).
+
+    Rates are derived on-plan: one small aggregate (k rows, one per
+    cluster) broadcast back onto the corpus, then the same deterministic
+    md5-ppm filter as hash_sample. Deliberately NOT a per-cluster
+    row_number window (stratified_sample): a window shuffles the full
+    corpus on the cluster key and a hot cluster lands on one task, while
+    this shape is a tiny agg + a map-side join + a codegen'd filter —
+    skew-immune at 100 TB. The trade is exact-n vs expected-n; rebalance
+    wants rates, not exact counts.
+
+    Adds ``cluster_n`` (cluster size) and ``keep_ppm`` (applied rate) to
+    the surviving rows so the sampling manifest is auditable downstream.
+    """
+    counts = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("cluster_n"))
+    if cap is None:
+        mean = counts.agg(
+            F.ceil(F.sum("cluster_n").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("__cap")
+        )
+        counts = counts.crossJoin(F.broadcast(mean))
+        cap_col = F.col("__cap")
+    else:
+        if cap <= 0:
+            raise ValueError("cap must be positive")
+        cap_col = F.lit(cap).cast("long")
+    rate = F.least(
+        F.lit(MILLION).cast("long"),
+        F.floor((F.lit(MILLION) * cap_col) / F.col("cluster_n")).cast("long"),
+    )
+    counts = counts.withColumn("keep_ppm", rate).drop("__cap")
+    return (
+        df.join(F.broadcast(counts), cluster_col)
+        .filter(hash_bucket(key_col, seed) < F.col("keep_ppm"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     group_col: str,

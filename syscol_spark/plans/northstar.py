@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from syscol_spark.functions.text import (
     DEFAULT_STOPWORDS,
+    FINGERPRINT_P,
     PUNCT_CLASS,
+    normalize_text,
     punct_ratio,
     quality_score,
     stopword_hits,
@@ -2204,3 +2206,280 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = sigs.filter(F.col("id") % 5 == 0)
     old = sigs.filter(F.col("id") % 5 != 0)
     return minhash_dedup_delta(new, old, portable_buckets=True)
+
+
+# --- normalization-aware exact dedup ------------------------------------------
+# The testdata corpus has zero byte-identical duplicates, so the query PLANTS
+# messy twins (UPPERCASE + doubled spaces + trailing " .") for doc_id % 10 = 0
+# via UNION ALL — the q_pii_redact planting technique — and shows raw-hash
+# dedup missing all of them while normalize_text recovers every one. Step
+# order of the normalization (lower -> strip punct -> collapse ws -> trim) is
+# the contract; the oracle mirrors it operation for operation.
+@register(
+    "q_norm_dedup",
+    f"""
+    WITH messy AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source,
+             replace(upper(text), ' ', '  ') || ' .' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ), g AS (
+      SELECT source,
+             md5(text) AS h_raw,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '{PUNCT_CLASS}', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS h_norm
+      FROM messy
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h_raw) AS BIGINT) AS uniq_raw,
+           CAST(COUNT(DISTINCT h_norm) AS BIGINT) AS uniq_norm,
+           CAST(COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_norm) AS BIGINT) AS recovered
+    FROM g GROUP BY source
+    """,
+    description="normalization-aware exact dedup: casefold/punct-strip/ws-collapse canonical form recovers planted messy twins raw hashing misses",
+)
+def q_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    twins = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(F.regexp_replace(F.upper("text"), " ", "  "), F.lit(" .")).alias("text"),
+    )
+    g = d.unionByName(twins).select(
+        "source",
+        F.md5("text").alias("h_raw"),
+        F.md5(normalize_text("text")).alias("h_norm"),
+    )
+    # Cascaded plain aggregations, NOT one multi-distinct agg: two
+    # countDistinct in one agg triggers Spark's Expand rewrite (every input
+    # row replicated per distinct clause — the q_profile trap the plan audit
+    # forbids). h_raw determines h_norm (both are functions of text), so
+    # rolling raw-groups up through norm-groups gives the exact same
+    # distinct counts with partial aggregation all the way.
+    raw_groups = g.groupBy("source", "h_raw", "h_norm").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm_groups = raw_groups.groupBy("source", "h_norm").agg(
+        F.sum("n").alias("n"), F.count(F.lit(1)).alias("n_raw")
+    )
+    return norm_groups.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("n_raw").alias("uniq_raw"),
+        F.count(F.lit(1)).alias("uniq_norm"),
+        (F.sum("n_raw") - F.count(F.lit(1))).alias("recovered"),
+    )
+
+
+# --- rule-by-rule quality filter (Gopher/C4 attribution) ----------------------
+# The production shape of LLM-data quality filtering is per-RULE drop
+# attribution (FineWeb/Dolma publish exactly this table), not one composite
+# score (q_text_quality). Violations for the content rules are PLANTED
+# deterministically (doc_id % 17 -> " lorem ipsum", % 13 -> " { }") because the
+# synthetic corpus is punctuation-free word salad; the structural rules
+# (length band, mean-token-length band, stopword floor) are non-degenerate on
+# the raw data (0.72 / 0.5 / 0.78 selectivity at sf0.01). Pure codegen'd
+# expressions — one scan, one tiny groupBy.
+@register(
+    "q_gopher_rules",
+    f"""
+    WITH m AS (
+      SELECT lang,
+             text || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum'
+                          WHEN doc_id % 13 = 0 THEN ' {{ }}'
+                          ELSE '' END AS t
+      FROM documents
+    ), f AS (
+      SELECT lang,
+             array_length(string_split_regex(trim(t), '\\s+')) AS nt,
+             CAST(length(regexp_replace(trim(t), '\\s+', '', 'g')) AS DOUBLE)
+               / array_length(string_split_regex(trim(t), '\\s+')) AS ml,
+             len(list_filter(string_split_regex(trim(t), '\\s+'),
+                             tok -> tok IN ({_STOPS_SQL}))) AS stop_hits,
+             NOT contains(t, 'lorem ipsum') AS r_lorem,
+             NOT contains(t, '{{') AS r_brace
+      FROM m
+    ), r AS (
+      SELECT lang,
+             (nt BETWEEN 20 AND 80) AS r_nwords,
+             (ml >= 3.0 AND ml <= 4.5) AS r_meanlen,
+             (stop_hits >= 2) AS r_stop,
+             r_lorem, r_brace
+      FROM f
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_nwords THEN 1 ELSE 0 END) AS BIGINT) AS n_nwords,
+           CAST(SUM(CASE WHEN r_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS n_meanlen,
+           CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+           CAST(SUM(CASE WHEN r_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+           CAST(SUM(CASE WHEN r_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+           CAST(SUM(CASE WHEN r_nwords AND r_meanlen AND r_stop AND r_lorem AND r_brace
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM r GROUP BY lang
+    """,
+    description="Gopher/C4-style quality filter with per-rule drop attribution: length band, mean-token-length band, stopword floor, lorem-ipsum and brace content rules",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" lorem ipsum"))
+        .when(F.col("doc_id") % 13 == 0, F.lit(" { }"))
+        .otherwise(F.lit("")),
+    )
+    nt = token_count(t)
+    ml = F.length(F.regexp_replace(F.trim(t), r"\s+", "")).cast("double") / nt
+    rules = d.select(
+        "lang",
+        nt.between(20, 80).alias("r_nwords"),
+        ((ml >= 3.0) & (ml <= 4.5)).alias("r_meanlen"),
+        (stopword_hits(t) >= 2).alias("r_stop"),
+        (~t.contains("lorem ipsum")).alias("r_lorem"),
+        (~t.contains("{")).alias("r_brace"),
+    )
+    flags = ["r_nwords", "r_meanlen", "r_stop", "r_lorem", "r_brace"]
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(F.when(F.col(c), 1).otherwise(0)).alias("n_" + c[2:]) for c in flags
+    ]
+    pass_all = F.col(flags[0])
+    for c in flags[1:]:
+        pass_all = pass_all & F.col(c)
+    return rules.groupBy("lang").agg(
+        *aggs, F.sum(F.when(pass_all, 1).otherwise(0)).alias("n_pass_all")
+    )
+
+
+# --- content-defined chunking dedup -------------------------------------------
+# Chunk boundaries from LOCAL content (cut after tokens whose 60-bit md5 hash
+# = mod-1 (mod 16)), so an edit anywhere re-hashes exactly ONE chunk and every
+# other chunk still dedups corpus-wide — the shift-resilience fixed windows
+# lack (rsync/LBFS lineage, applied at token granularity for text). The tiny
+# 30-word testdata vocabulary makes cross-doc chunk collisions common, which
+# is exactly what the dup statistics measure.
+@register(
+    "q_cdc_chunks",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN (('0x' || substr(md5(token), 1, 15))::BIGINT % {FINGERPRINT_P}) % 16 = 15
+                  THEN 1 ELSE 0 END AS cut
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents)
+      WHERE token <> ''
+    ), ch AS (
+      SELECT doc_id, token, pos,
+             COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM tok
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM ch GROUP BY doc_id, chunk_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT c.chunk_hash) AS BIGINT) AS n_uniq_chunks,
+           CAST(floor(1000000.0 * (COUNT(*) - COUNT(DISTINCT c.chunk_hash)) / COUNT(*)) AS BIGINT)
+             AS dup_micro,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
+    FROM chunks c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    description="content-defined chunking (token-level CDC, expected chunk = 16 tokens): corpus-wide duplicate-chunk statistics per source",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import cdc_chunks
+
+    d = _docs(spark, sf_dir)
+    chunks = cdc_chunks(d, "text", "doc_id", mod=16)
+    return (
+        chunks.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_uniq_chunks"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.count(F.lit(1)) - F.countDistinct("chunk_hash"))
+                / F.count(F.lit(1))
+            ).cast("long").alias("dup_micro"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+# --- cluster-balanced sampling ------------------------------------------------
+# The cluster-rebalance step of SemDeDup-style curation: quantize the corpus
+# (same deterministic k-means as IVF — one unrolled-CTE chain in the oracle),
+# then down-sample every cluster to the MEAN cluster size with the md5-ppm
+# filter, so over-represented semantic regions shrink and rare ones survive
+# intact. Rates derive on-plan (k-row aggregate, broadcast back); no windows
+# over the corpus, so a hot cluster never lands on one task.
+def _cluster_balance_oracle(*, k: int, iters: int, dim: int, train_stride: int) -> str:
+    ctes = _kmeans_serve_ctes(k=k, iters=iters, dim=dim, train_stride=train_stride)
+    from syscol_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("s.vec_id")
+    ctes.append(
+        "counts AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM serve GROUP BY cluster)"
+    )
+    ctes.append(
+        "capc AS (SELECT CAST(ceil(CAST(SUM(n_vecs) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cap FROM counts)"
+    )
+    ctes.append(
+        "rates AS (SELECT cluster, n_vecs, "
+        "LEAST(1000000, CAST(floor((1000000 * cap) / n_vecs) AS BIGINT)) AS keep_ppm "
+        "FROM counts, capc)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT r.cluster, r.n_vecs, r.keep_ppm,
+           CAST(SUM(CASE WHEN {bucket} < r.keep_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM serve s JOIN rates r USING (cluster)
+    GROUP BY r.cluster, r.n_vecs, r.keep_ppm
+    """
+    )
+
+
+@register(
+    "q_cluster_balance",
+    _cluster_balance_oracle(k=8, iters=3, dim=64, train_stride=4),
+    description="cluster-balanced sampling: k-means quantize, then md5-ppm down-sample each cluster to the mean cluster size (SemDeDup rebalance step)",
+)
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.sampling import MILLION, hash_bucket
+    from syscol_spark.operators.similarity import _assign_nearest, kmeans_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, k=8, max_iter=3, train_stride=4)
+    assigned = _assign_nearest(emb, "embedding", cents).select(
+        F.col("__cluster").alias("cluster"), "vec_id"
+    )
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    cap = counts.agg(
+        F.ceil(F.sum("n_vecs").cast("double") / F.count(F.lit(1))).cast("long").alias("cap")
+    )
+    rates = counts.crossJoin(F.broadcast(cap)).select(
+        "cluster",
+        "n_vecs",
+        F.least(
+            F.lit(MILLION).cast("long"),
+            F.floor((F.lit(MILLION) * F.col("cap")) / F.col("n_vecs")).cast("long"),
+        ).alias("keep_ppm"),
+    )
+    return (
+        assigned.join(F.broadcast(rates), "cluster")
+        .groupBy("cluster", "n_vecs", "keep_ppm")
+        .agg(
+            F.sum(F.when(hash_bucket("vec_id") < F.col("keep_ppm"), 1).otherwise(0)).alias(
+                "n_kept"
+            )
+        )
+    )

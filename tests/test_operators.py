@@ -1033,3 +1033,49 @@ def test_pq_rejects_indivisible_subspaces(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with _pytest.raises(ValueError, match="not divisible"):
         pq_codes(emb, dim=60, n_subspaces=8)
+
+
+def test_cdc_chunks_boundaries_are_content_defined(spark):
+    """The CDC property: editing ONE token re-hashes only the chunk containing
+    the edit — every other chunk hash of the document survives verbatim."""
+    from syscol_spark.operators.dedup import cdc_chunks
+
+    base = "alpha beta gamma delta " * 12  # ~48 tokens, several chunks
+    edited = base.replace("gamma", "GAMMA", 1)  # one token, first occurrence
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df, "text", "doc_id", mod=4).collect()
+    h1 = sorted((r["chunk_id"], r["chunk_hash"]) for r in out if r["doc_id"] == 1)
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    assert len(h1) >= 3, "test doc must split into several chunks"
+    # every chunk except the edited one (and possibly its merge-neighbor,
+    # if the edit removed a cut token) must dedup across the two docs
+    surviving = sum(1 for _, h in h1 if h in h2)
+    assert surviving >= len(h1) - 2, (len(h1), surviving)
+    # chunks tile the doc exactly: token counts add back up
+    n_base = len(base.split())
+    assert sum(r["n_tokens"] for r in out if r["doc_id"] == 1) == n_base
+    # determinism
+    again = cdc_chunks(df, "text", "doc_id", mod=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_normalize_text_canonical_form(spark):
+    from syscol_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            ("THE  Quick   brown fox .", "the quick brown fox"),
+            ("  already clean  ", "already clean"),
+            ("punct,;: only!?", "punct only"),
+        ],
+        "raw string, want string",
+    )
+    got = df.select(normalize_text("raw").alias("norm"), "want").collect()
+    for r in got:
+        assert r["norm"] == r["want"], r
+    # idempotence: normalizing a normal form is the identity
+    twice = df.select(normalize_text(normalize_text("raw")).alias("a"),
+                      normalize_text("raw").alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in twice)

@@ -105,3 +105,33 @@ def test_redact_pii_planted(spark):
     got = [r["r"] for r in df.select(redact_pii("t").alias("r")).collect()]
     assert got[0] == "write [PII] or call [PII] today"
     assert got[1] == "no pii here"
+
+
+def test_cluster_balanced_sample_rates_and_manifest(spark, sf_dir):
+    from syscol_spark.operators.sampling import cluster_balanced_sample, hash_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # label is a ready-made (imbalanced-enough) cluster column for the test
+    kept = cluster_balanced_sample(emb, "label", "vec_id", cap=None)
+    rows = kept.select("label", "vec_id", "cluster_n", "keep_ppm").collect()
+    assert rows, "mean-cap balance must keep something"
+    sizes = {r["label"]: c for r, c in
+             ((r, r["cluster_n"]) for r in rows)}
+    n = emb.count()
+    cap = -(-n // len(emb.select("label").distinct().collect()))  # ceil(mean)
+    for r in rows:
+        expect = min(1_000_000, (1_000_000 * cap) // r["cluster_n"])
+        assert r["keep_ppm"] == expect, (r["label"], r["keep_ppm"], expect)
+    # determinism: the kept set is a pure function of (key, seed, rates)
+    again = {x["vec_id"] for x in cluster_balanced_sample(emb, "label", "vec_id").select("vec_id").collect()}
+    assert {r["vec_id"] for r in rows} == again
+    # explicit small cap suppresses large clusters harder than small ones
+    capped = cluster_balanced_sample(emb, "label", "vec_id", cap=3)
+    per = {r["label"]: r["n"] for r in capped.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    # expectation is ~3 per cluster; allow generous slack, forbid blowups
+    assert all(v <= 12 for v in per.values()), per
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(emb, "label", "vec_id", cap=0)
