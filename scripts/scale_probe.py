@@ -248,6 +248,35 @@ def main() -> None:
         dt = time.time() - t0
         print(f"winnow {k:>2}x  docs={k * base.count():>6}  pairs={n_pairs:>8}  wall={dt:6.2f}s")
 
+    # CDC chunking probe: explode + per-doc window + reassembly groupBy is
+    # linear in total tokens by construction; the probe pins that down (the
+    # trap to catch would be the window shuffle degrading under doc-count
+    # growth). Copy-suffixed tokens hash differently per copy, so chunk
+    # boundaries differ across copies and chunk-dedup output stays
+    # per-copy, like a real corpus.
+    from syscol_spark.operators.dedup import cdc_chunks
+
+    for k in (1, 4, 16):
+        corpus = inflate(base, k)
+        t0 = time.time()
+        n_chunks = cdc_chunks(corpus, "text", "doc_id", mod=16).count()
+        dt = time.time() - t0
+        print(f"cdc    {k:>2}x  docs={k * base.count():>6}  chunks={n_chunks:>8}  wall={dt:6.2f}s")
+
+    # BPE induction probe: the copy-suffix bijection inflates the VOCABULARY
+    # k x (the dimension that matters — every post-shuffle step of the
+    # trainer works on the word-freq table, never the corpus), so this
+    # measures merge-step cost against vocab growth. 8 merges, as in the
+    # catalog query.
+    from syscol_spark.operators.bpe import learn_bpe_merges
+
+    for k in (1, 4, 16):
+        corpus = inflate(base, k)
+        t0 = time.time()
+        n_merges = learn_bpe_merges(corpus, "text", n_merges=8).count()
+        dt = time.time() - t0
+        print(f"bpe    {k:>2}x  docs={k * base.count():>6}  merges={n_merges:>8}  wall={dt:6.2f}s")
+
 
 if __name__ == "__main__":
     main()

@@ -2483,3 +2483,123 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- Zipf slope of the token frequency distribution ---------------------------
+# The corpus-health diagnostic next to q_vocab_growth / q_heavy_hitters: OLS
+# of ln(freq) on ln(rank) over the top-100 tokens ≈ the Zipf exponent
+# (natural text ~ −1; templated/spammy corpora diverge). The top-k is taken
+# with a distributed TakeOrdered limit FIRST (freq desc, token asc — total
+# order), and only the 100 survivors enter the single-partition ranking
+# window — the full vocabulary is never globally sorted. ln() cross-engine
+# is already load-bearing in q_tfidf; the 6-dp ROUND absorbs summation-order
+# ulps.
+@register(
+    "q_zipf_slope",
+    """
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+      ORDER BY freq DESC, token
+      LIMIT 100
+    ), xy AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope,
+           ROUND((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) * SUM(x)) / COUNT(*), 6)
+             AS intercept
+    FROM xy
+    """,
+    description="Zipf exponent fit: OLS of ln(freq) on ln(rank) over the top-100 tokens (distributed top-k before any global sort)",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    freq = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    xy = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return xy.agg(
+        n.alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / n, 6).alias("intercept"),
+    )
+
+
+# --- BPE vocabulary induction -------------------------------------------------
+# Tokenizer training as distributed DataFrame ops (operators/bpe.py): word
+# frequency table (one corpus shuffle), then per merge step an integer
+# pair-count argmax + one literal replace. The oracle unrolls the EXACT
+# loop into a CTE chain (the kmeans/PageRank oracle technique) — integer
+# counts and a (count desc, pair asc) total order make every step
+# bit-deterministic, no float anywhere.
+def _bpe_oracle_sql(n_merges: int) -> str:
+    ctes = [
+        "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
+        "'|' || regexp_replace(word, '(.)', '\\1|', 'g') AS repr "
+        "FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) "
+        "WHERE word <> '' GROUP BY word)"
+    ]
+    for t in range(1, n_merges + 1):
+        prev = f"w{t - 1}"
+        ctes.append(
+            f"p{t} AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+            "SELECT freq, unnest(list_transform(range(1, len(syms)), "
+            "i -> '|' || syms[i] || '|' || syms[i + 1] || '|')) AS pair FROM ("
+            "SELECT freq, list_filter(string_split(repr, '|'), x -> x <> '') AS syms "
+            f"FROM {prev})) GROUP BY pair)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT {t} AS step, pair, cnt FROM p{t} "
+            "ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT w.word, w.freq, "
+            "replace(w.repr, m.pair, '|' || replace(trim(m.pair, '|'), '|', '') || '|') AS repr "
+            f"FROM {prev} w, m{t} m)"
+        )
+    steps = " UNION ALL ".join(f"SELECT step, pair, cnt FROM m{t}" for t in range(1, n_merges + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(step AS INTEGER) AS step,
+           string_split(trim(pair, '|'), '|')[1] AS left_sym,
+           string_split(trim(pair, '|'), '|')[2] AS right_sym,
+           replace(trim(pair, '|'), '|', '') AS merged,
+           cnt AS freq
+    FROM ({steps})
+    """
+    )
+
+
+@register(
+    "q_bpe_vocab",
+    _bpe_oracle_sql(8),
+    description="BPE vocabulary induction: first 8 learned merges (pair, merged symbol, weighted count) — unrolled-CTE oracle of the exact sequential algorithm",
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_docs(spark, sf_dir), "text", n_merges=8)

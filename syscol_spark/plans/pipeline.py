@@ -530,3 +530,58 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# --- temperature-scaled mixture weights ---------------------------------------
+# The multilingual/multi-source rebalancing rule (sampling with temperature
+# T: w_i ∝ n_i^(1/T)): flatten the source distribution so head domains stop
+# drowning tail domains without inverting the order. 1/T = 0.5 is computed
+# as sqrt(), which IEEE-754 guarantees exactly rounded in BOTH engines — no
+# libm pow() cross-engine ulp risk at the rounding boundary. Everything
+# derives on-plan (two tiny aggregates); output is the per-source sampling
+# manifest: raw share, temperature share, and the achieved up/down ratio.
+@register(
+    "q_mix_temperature",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(array_length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS tot_temp
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
+           ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / tot_temp, 6) AS temp_share,
+           ROUND((sqrt(CAST(n_tokens AS DOUBLE)) / tot_temp)
+                 / (CAST(n_tokens AS DOUBLE) / tot_tokens), 6) AS boost
+    FROM per, tot
+    """,
+    description="temperature-scaled mixture weights (T=2): per-source raw vs flattened token share and the resulting up/down-sampling boost",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tot_temp"),
+    )
+    raw_share = F.col("n_tokens").cast("double") / F.col("tot_tokens")
+    temp_share = F.sqrt(F.col("n_tokens").cast("double")) / F.col("tot_temp")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / raw_share, 6).alias("boost"),
+    )

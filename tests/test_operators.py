@@ -1079,3 +1079,82 @@ def test_normalize_text_canonical_form(spark):
     twice = df.select(normalize_text(normalize_text("raw")).alias("a"),
                       normalize_text("raw").alias("b")).collect()
     assert all(r["a"] == r["b"] for r in twice)
+
+
+def test_bpe_overlapping_pairs_merge_left_to_right(spark):
+    """BPE applies a merge left-to-right non-overlapping: in 'aaa' the pair
+    (a,a) merges the FIRST two a's only — the string-replace representation
+    must reproduce exactly that."""
+    from syscol_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([("aaa aaa",)], "text string")
+    out = learn_bpe_merges(df, "text", n_merges=2).collect()
+    # step 1: (a,a) seen twice per word (positions 1-2 and 2-3) x 2 words
+    assert (out[0]["left_sym"], out[0]["right_sym"], out[0]["freq"]) == ("a", "a", 4)
+    # after merging: each word is |aa|a| -> step 2 merges (aa, a), once per word
+    assert (out[1]["left_sym"], out[1]["right_sym"], out[1]["freq"]) == ("aa", "a", 2)
+    assert out[1]["merged"] == "aaa"
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """Cross-check the distributed trainer against a tiny in-memory
+    reference BPE (dict-of-tuples, the textbook algorithm)."""
+    from syscol_spark.operators.bpe import learn_bpe_merges
+
+    corpus = ["low low low lower lowest", "new newer newest low"]
+
+    def ref_bpe(texts, n):
+        from collections import Counter
+
+        freq = Counter(w for t in texts for w in t.split())
+        words = {w: tuple(w) for w in freq}
+        merges = []
+        for step in range(1, n + 1):
+            pairs = Counter()
+            for w, syms in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += freq[w]
+            if not pairs:
+                break
+            # (count desc, pair-key asc) — the engine orders on the
+            # '|a|b|' string, which for these alphabetic symbols matches
+            # tuple ordering
+            best = min(pairs.items(), key=lambda kv: (-kv[1], f"|{kv[0][0]}|{kv[0][1]}|"))
+            (a, b), cnt = best
+            merges.append((step, a, b, a + b, cnt))
+            out = {}
+            for w, syms in words.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                out[w] = tuple(new)
+            words = out
+        return merges
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["freq"])
+        for r in learn_bpe_merges(df, "text", n_merges=6).collect()
+    ]
+    assert got == ref_bpe(corpus, 6), got
+
+
+def test_bpe_apply_reconstructs_words(spark):
+    """Applying learned merges tokenizes; concatenating the symbols of a
+    word gives back the word (BPE is lossless segmentation)."""
+    from syscol_spark.operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    df = spark.createDataFrame([("banana bandana",)], "text string")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe_merges(df, "text", n_merges=4).collect()
+    ]
+    out = apply_bpe_merges(df, "text", merges).select("bpe_syms").collect()[0]["bpe_syms"]
+    assert "".join(out) == "bananabandana"
+    # merges actually fired: fewer symbols than characters
+    assert len(out) < len("bananabandana")
