@@ -2603,3 +2603,166 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.bpe import learn_bpe_merges
 
     return learn_bpe_merges(_docs(spark, sf_dir), "text", n_merges=8)
+
+
+# --- DSIR-style importance weighting ------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023) with
+# hashed unigram features: learn per-bucket smoothed log-probability ratios
+# target-vs-raw ON-PLAN (two aggregates + a 256-row broadcast join), score
+# every doc with its mean token log-ratio, gate on dw > 0. The target
+# domain is planted (doc_id % 7 docs get ' spark query engine' appended)
+# because the synthetic corpus has NO real distribution shift between
+# langs/sources (probed: stopword rate 0.0630 vs 0.0637) — planting gives
+# the estimator a real signal to find, same technique as q_pii_redact.
+# ln() is the q_tfidf-trusted libm call; dw sums are per-doc (~54 terms),
+# so cross-engine summation-order ulps are ~1e-14 against dw magnitudes
+# ~1e-2 — the dw > 0 gate is stable.
+@register(
+    "q_dsir_weights",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, (doc_id % 7 = 0) AS is_target,
+             text || CASE WHEN doc_id % 7 = 0 THEN ' spark query engine' ELSE '' END AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, is_target,
+             (('0x' || substr(md5(tk), 1, 15))::BIGINT % {FINGERPRINT_P}) % 256 AS b
+      FROM (SELECT doc_id, is_target,
+                   unnest(string_split_regex(trim(t), '\\s+')) AS tk FROM aug)
+      WHERE tk <> ''
+    ), tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tok WHERE is_target GROUP BY b
+    ), rawc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY b
+    ), tots AS (
+      SELECT (SELECT SUM(ct) FROM tgt) AS tt, (SELECT SUM(cr) FROM rawc) AS tr
+    ), lr AS (
+      SELECT rawc.b,
+             ln((COALESCE(ct, 0) + 1.0) / (tt + 256.0)) - ln((cr + 1.0) / (tr + 256.0)) AS w
+      FROM rawc LEFT JOIN tgt USING (b), tots
+    ), docw AS (
+      SELECT doc_id, any_value(is_target) AS is_target, SUM(w) / COUNT(*) AS dw
+      FROM tok JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT is_target, (dw > 0) AS keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(dw), 6) AS avg_w
+    FROM docw GROUP BY is_target, (dw > 0)
+    """,
+    description="DSIR importance weighting: hashed-unigram smoothed log-ratio of planted target domain vs raw, per-doc mean score + keep gate",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.functions.text import token_int
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 7 == 0).alias("is_target"),
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" spark query engine")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    tok = (
+        aug.select("doc_id", "is_target", F.explode(tokens("t")).alias("tk"))
+        .filter(F.col("tk") != "")
+        .select("doc_id", "is_target", F.pmod(token_int(F.col("tk")), F.lit(256)).alias("b"))
+    )
+    tgt = tok.filter("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rawc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tots = rawc.crossJoin(tgt.agg(F.sum("ct").alias("tt"))).groupBy("tt").agg(
+        F.sum("cr").alias("tr")
+    )
+    lr = (
+        rawc.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + 256.0))
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + 256.0))
+            ).alias("w"),
+        )
+    )
+    docw = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("is_target")).alias("is_target"),
+            (F.sum("w") / F.count(F.lit(1))).alias("dw"),
+        )
+    )
+    return docw.groupBy("is_target", (F.col("dw") > 0).alias("keep")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dw"), 6).alias("avg_w"),
+    )
+
+
+# --- hybrid text x embedding near-dup -----------------------------------------
+# Composition the curation stack runs in production: cheap text-side LSH
+# proposes candidate pairs, the embedding side CONFIRMS them semantically —
+# two independent signals, one verdict column. Candidates come from the
+# portable MinHash kernel (q_minhash_lsh's exact oracle), confirmation is
+# 6-dp cosine against the embeddings table joined by id; the embedding join
+# touches only candidate pairs, never the corpus squared.
+@register(
+    "q_hybrid_neardup",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN array_length(toks) >= 3
+               THEN list_transform(range(1, array_length(toks) - 1),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+               ELSE [array_to_string(toks, ' ')] END AS shset
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {_MH_P} AS h
+      FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
+    ), sig AS (
+      SELECT doc_id,
+         {_MH_SIG_COLS}
+      FROM hashed GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(({_MH_MATCHES}) / {_MH_N}.0, 6) AS est_jaccard
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_MH_BAND_EQ})
+    )
+    SELECT id_a, id_b, est_jaccard,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS cosine,
+           (ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35)
+             AS confirmed
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    """,
+    description="hybrid near-dup: MinHash-LSH text candidates confirmed by embedding cosine (two independent signals, join touches candidates only)",
+)
+def q_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.functions.vectors import cosine_similarity
+    from syscol_spark.operators.dedup import minhash_lsh_candidates
+
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), "text", "doc_id", n_hashes=_MH_N, shingle_n=3, kernel="portable"
+    )
+    pairs = minhash_lsh_candidates(
+        sigs.localCheckpoint(), n_bands=_MH_BANDS, rows_per_band=_MH_ROWS, portable_buckets=True
+    )
+    emb = _emb(spark, sf_dir)
+    return (
+        pairs.join(
+            emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")), "id_a"
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(cosine_similarity("__va", "__vb"), 6).alias("cosine"),
+            (F.round(cosine_similarity("__va", "__vb"), 6) >= 0.35).alias("confirmed"),
+        )
+    )
