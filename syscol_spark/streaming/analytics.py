@@ -721,3 +721,101 @@ def streaming_topk_per_group(stream: DataFrame, *, k: int = 3, api: str = "auto"
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_MG_STATE = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("decrements", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+_MG_OUT = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("item", StringType()),
+        StructField("lower", LongType()),
+        StructField("upper", LongType()),
+        StructField("shard_n", LongType()),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    item_col: str,
+    *,
+    capacity: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Ingest-time heavy hitters with BOUNDED state: the streaming twin of
+    operators/sketch.py::heavy_hitters (batch Misra-Gries + recount).
+
+    Items hash-partition across ``n_shards`` state keys; each shard keeps a
+    Misra-Gries summary of AT MOST ``capacity`` counters no matter how many
+    distinct items flow through it — the property that makes this safe on
+    an unbounded keyspace, where the exact stateful word count the built-in
+    aggs give would grow state linearly with distinct items. Because every
+    occurrence of one item lands on the same shard, per-shard MG guarantees
+    apply globally: any item with true shard frequency > shard_n/capacity
+    is guaranteed present, and each emitted counter brackets the item's
+    true count as [lower, lower + decrements] = [lower, upper].
+
+    Each trigger re-emits the shard's full current summary (update mode) —
+    downstream takes the latest snapshot per shard, unions shards, and
+    optionally recounts candidates exactly (the batch operator's recount
+    join) for exact-top-k serving.
+    """
+    if capacity <= 0 or n_shards <= 0:
+        raise ValueError("capacity and n_shards must be positive")
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            items, counts, decrements, n_seen = state.get
+            summary = dict(zip(items, counts))
+        else:
+            summary, decrements, n_seen = {}, 0, 0
+        for pdf in pdfs:
+            for it in pdf["item"]:
+                n_seen += 1
+                if it in summary:
+                    summary[it] += 1
+                elif len(summary) < capacity:
+                    summary[it] = 1
+                else:
+                    # MG decrement step: all counters down 1, drop zeros.
+                    # Every surviving counter now undercounts by <= one
+                    # more — tracked in `decrements` for the upper bound.
+                    decrements += 1
+                    summary = {k: c - 1 for k, c in summary.items() if c > 1}
+        state.update(
+            (list(summary.keys()), list(summary.values()), decrements, n_seen)
+        )
+        its = sorted(summary)
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(its),
+                "item": its,
+                "lower": [summary[i] for i in its],
+                "upper": [summary[i] + decrements for i in its],
+                "shard_n": [n_seen] * len(its),
+            }
+        )
+
+    prepared = stream.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    return prepared.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=_MG_OUT,
+        stateStructType=_MG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

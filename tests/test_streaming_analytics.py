@@ -528,3 +528,73 @@ def test_streaming_semantic_dedup_watermark_evicts_members(spark, tmp_path):
     assert keep[1] is True
     assert keep[4] is True, "vec 1 was behind the watermark — must not drop vec 4"
     assert keep[5] is False, "same-batch lower-id twin must still drop vec 5"
+
+
+def test_streaming_heavy_hitters_mg_guarantees(spark, tmp_path):
+    """Cross-batch Misra-Gries guarantees, checked against exact truth on a
+    skewed stream split over three triggers: (1) every item whose true
+    SHARD frequency exceeds shard_n/capacity appears in the final summary;
+    (2) every emitted counter brackets the item's true count in
+    [lower, upper]; (3) per-shard state never exceeds `capacity` items."""
+    import collections
+
+    from syscol_spark.streaming.analytics import streaming_heavy_hitters
+
+    # Zipf-ish skew over 200 distinct items, 4000 events, deterministic
+    rows = []
+    seq = 0
+    for rank in range(1, 201):
+        freq = max(1, 400 // rank)
+        for _ in range(freq):
+            rows.append((seq, f"item{rank:03d}"))
+            seq += 1
+    truth = collections.Counter(it for _, it in rows)
+    df = spark.createDataFrame(rows, "seq long, item string")
+    src = str(tmp_path / "hh")
+    for k in range(3):
+        df.filter(F.col("seq") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    stream = (
+        spark.readStream.schema("seq long, item string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    capacity, n_shards = 16, 4
+    out = streaming_heavy_hitters(stream, "item", capacity=capacity, n_shards=n_shards)
+    q = (
+        out.writeStream.format("memory").queryName("hh").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    all_rows = spark.sql("SELECT * FROM hh").collect()
+    assert all_rows
+    # update mode re-emits per trigger: keep the final (max shard_n) snapshot
+    final_n = {}
+    for r in all_rows:
+        final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["shard_n"])
+    final = {
+        (r["shard"], r["item"]): (r["lower"], r["upper"])
+        for r in all_rows
+        if r["shard_n"] == final_n[r["shard"]]
+    }
+
+    # reconstruct each item's shard exactly as the operator does
+    shard_of = {
+        r["item"]: r["shard"]
+        for r in df.select(
+            F.col("item"),
+            F.pmod(F.xxhash64(F.col("item")), F.lit(n_shards)).cast("int").alias("shard"),
+        ).collect()
+    }
+    shard_n = collections.Counter(shard_of[it] for _, it in rows)
+    for (shard, item), (lo, hi) in final.items():
+        assert lo <= truth[item] <= hi, (item, lo, truth[item], hi)
+    per_shard = collections.Counter(s for (s, _i) in final)
+    assert all(v <= 16 for v in per_shard.values()), per_shard
+    for item, cnt in truth.items():
+        s = shard_of[item]
+        if cnt * 16 > shard_n[s]:
+            assert (s, item) in final, (item, cnt, shard_n[s])
