@@ -2554,7 +2554,7 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loop into a CTE chain (the kmeans/PageRank oracle technique) — integer
 # counts and a (count desc, pair asc) total order make every step
 # bit-deterministic, no float anywhere.
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_ctes(n_merges: int) -> list[str]:
     ctes = [
         "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
         "'|' || regexp_replace(word, '(.)', '\\1|', 'g') AS repr "
@@ -2579,10 +2579,14 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             "replace(w.repr, m.pair, '|' || replace(trim(m.pair, '|'), '|', '') || '|') AS repr "
             f"FROM {prev} w, m{t} m)"
         )
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
     steps = " UNION ALL ".join(f"SELECT step, pair, cnt FROM m{t}" for t in range(1, n_merges + 1))
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_bpe_ctes(n_merges))
         + f"""
     SELECT CAST(step AS INTEGER) AS step,
            string_split(trim(pair, '|'), '|')[1] AS left_sym,
@@ -2765,4 +2769,62 @@ def q_hybrid_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity("__va", "__vb"), 6).alias("cosine"),
             (F.round(cosine_similarity("__va", "__vb"), 6) >= 0.35).alias("confirmed"),
         )
+    )
+
+
+# --- BPE tokenization (apply the learned vocabulary) --------------------------
+# The terminal step of the tokenizer story: apply the 8 learned merges
+# corpus-wide and report the token-budget numbers a pretraining pipeline
+# actually plans with (chars vs BPE symbols per source). Spark applies the
+# merge table via apply_bpe_merges (one replace chain inside a per-token
+# transform — the corpus is touched once); the oracle reuses the SAME
+# unrolled training CTEs and reads the post-merge word table w8, joining it
+# to the exploded corpus. All integers.
+@register(
+    "q_bpe_tokenize",
+    "WITH "
+    + ",\n    ".join(_bpe_ctes(8))
+    + """,
+    doctok AS (
+      SELECT doc_id, source, tk
+      FROM (SELECT doc_id, source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tk
+            FROM documents)
+      WHERE tk <> ''
+    ), j AS (
+      SELECT d.source,
+             length(d.tk) AS chrs,
+             len(list_filter(string_split(w.repr, '|'), x -> x <> '')) AS syms
+      FROM doctok d JOIN w8 w ON w.word = d.tk
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(chrs) AS BIGINT) AS n_chars,
+           CAST(SUM(syms) AS BIGINT) AS n_symbols,
+           CAST(floor(1000000.0 * SUM(syms) / SUM(chrs)) AS BIGINT) AS sym_per_char_micro
+    FROM j GROUP BY source
+    """,
+    description="BPE tokenization with the learned 8-merge vocabulary: per-source chars vs symbols token budget (shared unrolled training oracle)",
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    d = _docs(spark, sf_dir)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in learn_bpe_merges(d, "text", n_merges=8).collect()
+    ]
+    tok = apply_bpe_merges(d, "text", merges).select(
+        "source",
+        F.size("bpe_syms").alias("syms"),
+        F.size(F.filter(tokens("text"), lambda x: x != "")).alias("n_words"),
+        F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).alias("chrs"),
+    )
+    return tok.groupBy("source").agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("chrs").alias("n_chars"),
+        F.sum("syms").alias("n_symbols"),
+        F.floor(F.lit(1_000_000.0) * F.sum("syms") / F.sum("chrs"))
+        .cast("long")
+        .alias("sym_per_char_micro"),
     )
