@@ -240,3 +240,39 @@ def test_lm_model_aggregate_is_broadcast(spark, sf_dir, queries):
     plan = _plan(queries["q_lm_perplexity"].builder(spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cdc_chunks_reassembly_reuses_window_partitioning(spark, sf_dir):
+    """cdc_chunks' chunk-reassembly groupBy(__id, chunk_id) must ride the
+    running-cut-count window's hash(__id) partitioning (subset-of-clustering
+    rule) — exactly ONE Exchange in the operator's plan. A second exchange
+    here would double-shuffle the exploded token table, the operator's
+    biggest intermediate."""
+    from syscol_spark.operators.dedup import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cdc_chunks(docs, "text", "doc_id", mod=16))
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected 1 exchange (window), saw {n_exchanges}:\n{plan}"
+
+
+def test_bpe_trainer_corpus_touched_once(spark, sf_dir):
+    """Every BPE merge step must plan against the word-frequency table, not
+    re-scan the corpus: the per-step pair-count job contains exactly the
+    word-table aggregation exchanges, and the doc scan appears once per
+    job (Spark re-reads lineage per action; the invariant is no JOIN back
+    to the corpus and no explode of full text in later steps)."""
+    from syscol_spark.operators.bpe import _pair_keys, word_freq_table
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = word_freq_table(docs, "text")
+    plan = _plan(
+        words.select(F.explode(_pair_keys(F.col("word"))).alias("p"), "freq")
+        .groupBy("p")
+        .agg(F.sum("freq"))
+    )
+    # one scan of documents feeding one word-table aggregation — no joins
+    # (each scan node lists exactly one Location: line in the detail section)
+    assert plan.count("Location:") == 1, plan
+    assert "Join" not in plan, plan
