@@ -241,3 +241,121 @@ def test_simhash_portable_fingerprints_cross_engine_fuzz(spark):
         """).fetchall()
     }
     assert sp == du
+
+
+def test_normalize_text_cross_engine_fuzz(spark):
+    """normalize_text must agree with its DuckDB twin (the q_norm_dedup
+    oracle expression) beyond fixture data: random ASCII with messy case,
+    punctuation runs and mixed whitespace. ASCII-only by design — non-ASCII
+    casefolding is engine-specific (Java toLowerCase vs utf8proc), and the
+    corpus contract for this kernel is ASCII text."""
+    import random
+
+    import duckdb
+
+    from syscol_spark.functions.text import normalize_text
+
+    rng = random.Random(7)
+    alphabet = "abcXYZ09.,!?;: \t\n  "
+    texts = [""] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 80))) for _ in range(500)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["n"] for r in df.select(normalize_text("t").alias("n")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    exp = [
+        r[0]
+        for r in con.sql(
+            r"""SELECT trim(regexp_replace(regexp_replace(lower(t), '[.,!?;:]', '', 'g'),
+                                           '\s+', ' ', 'g')) FROM t"""
+        ).fetchall()
+    ]
+    assert got == exp
+
+
+def test_cdc_chunks_cross_engine_fuzz(spark):
+    """The CDC chunk table (boundaries AND chunk hashes) must match the
+    q_cdc_chunks oracle kernel on random corpora — boundary placement rides
+    on the md5 token-int kernel, chunk identity on deterministic
+    reassembly order."""
+    import random
+
+    import duckdb
+
+    from syscol_spark.functions.text import FINGERPRINT_P
+    from syscol_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(11)
+    vocab = ["".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 6))) for _ in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 120))) for _ in range(200)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_hash"], r["n_tokens"])
+        for r in cdc_chunks(df, "text", "doc_id", mod=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+    exp = sorted(
+        map(
+            tuple,
+            con.sql(
+                rf"""
+        WITH tok AS (
+          SELECT doc_id, pos, token,
+                 CASE WHEN (('0x' || substr(md5(token), 1, 15))::BIGINT % {FINGERPRINT_P}) % 8 = 7
+                      THEN 1 ELSE 0 END AS cut
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS token,
+                       generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+                FROM documents)
+          WHERE token <> ''
+        ), ch AS (
+          SELECT doc_id, token, pos,
+                 COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+          FROM tok
+        )
+        SELECT doc_id, chunk_id, md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM ch GROUP BY doc_id, chunk_id
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_bpe_merges_cross_engine_fuzz(spark):
+    """learn_bpe_merges must reproduce the unrolled-CTE oracle's merge table
+    on random corpora — pair argmax ordering, overlap semantics and the
+    replace-application step all have to agree step by step, off-fixture."""
+    import random
+
+    import duckdb
+
+    from syscol_spark.operators.bpe import learn_bpe_merges
+    from syscol_spark.plans.northstar import _bpe_oracle_sql
+
+    for seed in (3, 17, 29):
+        rng = random.Random(seed)
+        vocab = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 5))) for _ in range(12)
+        ]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))) for _ in range(60)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["freq"])
+            for r in learn_bpe_merges(df, "text", n_merges=5).collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+        exp = sorted(map(tuple, con.sql(_bpe_oracle_sql(5)).fetchall()))
+        assert sorted(got) == exp, (seed, got, exp)
