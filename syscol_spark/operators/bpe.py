@@ -81,7 +81,17 @@ def learn_bpe_merges(df: DataFrame, content_col: str, *, n_merges: int = 8) -> D
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     spark = df.sparkSession
-    words = word_freq_table(df, content_col).withColumn("repr", _char_repr("word"))
+    # Materialize the word-frequency table EAGERLY: each merge step is its
+    # own Spark action, and without the checkpoint every step would re-run
+    # the corpus scan + shuffle from lineage (n_merges corpus scans instead
+    # of one — the "write signatures first" lesson from q_minhash_lsh). The
+    # checkpoint also resets lineage so step t's plan is t replaces deep
+    # over a vocab-sized table, not t replays of the corpus.
+    words = (
+        word_freq_table(df, content_col)
+        .withColumn("repr", _char_repr("word"))
+        .localCheckpoint()
+    )
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         best = (
