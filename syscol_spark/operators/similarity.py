@@ -1177,6 +1177,58 @@ def build_ivfpq_index(
     return codes, meta
 
 
+def ivfpq_append(
+    new_vectors: DataFrame,
+    meta: dict,
+    *,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Incremental index maintenance: encode NEW vectors with a frozen
+    index's quantizers (coarse centroids + PQ codebooks from ``meta``) and
+    return code rows in exactly build_ivfpq_index's schema — union them
+    onto the persisted codes table and the index has grown without
+    retraining or re-encoding the corpus. This is the daily-ingest
+    operation every production IVF deployment runs (retraining is a rare
+    offline event; appends are constant), and the missing third member of
+    the index lifecycle next to build/save/load.
+
+    Encoding is one scan of the new shard: centroid assignment and
+    codebook lookup are plan-time literals, no join to the existing codes.
+    By construction, append(shard, meta) on the SHARD the index was built
+    from reproduces the build's own code rows bit-for-bit, and
+    append(full) == build_codes ∪ append(new) — asserted in
+    test_ivfpq_append_matches_full_encode. Quality caveat (standard for
+    frozen-quantizer appends): new vectors from a drifted distribution
+    quantize with the OLD codebooks; monitor per-list residual error and
+    retrain offline when it degrades.
+    """
+    idc = id_col or meta["id_col"]
+    df = new_vectors.select(F.col(idc).alias("id"), F.col(vec_col).alias("vec"))
+    coarse = meta["coarse"]
+    assigned = _assign_nearest(df, "vec", coarse).select(
+        "id", "vec", F.col("__cluster").alias("list_id")
+    )
+    if meta["residual"]:
+        cmat = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in coarse])
+        enc_src = assigned.select(
+            "id",
+            F.zip_with(
+                F.col("vec"),
+                F.element_at(cmat, F.col("list_id") + 1),
+                lambda a, b: a.cast("double") - b,
+            ).alias("vec"),
+            "list_id",
+        )
+    else:
+        enc_src = assigned
+    return pq_codes(
+        enc_src, vec_col="vec", id_col="id", dim=meta["dim"],
+        n_subspaces=meta["n_subspaces"], n_centroids=meta["n_centroids"],
+        codebooks=meta["codebooks"], passthrough=("list_id",),
+    ).withColumnRenamed("id", idc)
+
+
 def save_ivfpq_index(codes: DataFrame, meta: dict, path: str) -> None:
     """Persist the index as lake tables: codes parquet + a long-format
     centroid table (kind, subspace, cluster, i, val) + a one-row params

@@ -1158,3 +1158,43 @@ def test_bpe_apply_reconstructs_words(spark):
     assert "".join(out) == "bananabandana"
     # merges actually fired: fewer symbols than characters
     assert len(out) < len("bananabandana")
+
+
+def test_ivfpq_append_matches_full_encode(spark, sf_dir):
+    """Incremental index maintenance: codes appended with the FROZEN
+    quantizers must reproduce exactly what encoding the full corpus with
+    those quantizers yields — build(old) ∪ append(new) == append(full) —
+    and the grown index must serve queries identically to that
+    full-encode index."""
+    from syscol_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_append,
+        ivfpq_serve,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    params = dict(dim=64, n_lists=8, coarse_iter=2, coarse_stride=4,
+                  n_subspaces=8, pq_centroids=16, pq_iter=2, pq_stride=4, residual=True)
+    codes_old, meta = build_ivfpq_index(old, **params)
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+    # the build's own shard re-encodes bit-for-bit under the frozen quantizers
+    assert rows(ivfpq_append(old, meta)) == rows(codes_old)
+    grown = rows(codes_old) | rows(ivfpq_append(new, meta))
+    full = rows(ivfpq_append(emb, meta))
+    assert grown == full and len(full) == emb.count()
+
+    # serving over the grown index == serving over the full-encode index
+    queries = emb.filter(F.col("vec_id") < 8)
+    grown_codes = codes_old.unionByName(ivfpq_append(new, meta))
+    a = {tuple(r) for r in ivfpq_serve(grown_codes, meta, queries, nprobe=4, k=5).collect()}
+    b = {
+        tuple(r)
+        for r in ivfpq_serve(ivfpq_append(emb, meta), meta, queries, nprobe=4, k=5).collect()
+    }
+    assert a == b and a
