@@ -2828,3 +2828,88 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sym_per_char_micro"),
     )
+
+
+# --- incremental CDC chunk dedup (new shard vs persisted chunk digests) -------
+# The daily-ingest member of the CDC family (convention: doc_id % 5 = 0 is
+# the new shard, as in q_dedup_delta): chunk the NEW docs, probe each chunk
+# hash against the corpus chunk-digest table a full cdc_chunks run
+# persists, and flag docs whose content is mostly already-known chunks.
+# Because boundaries are content-defined, a new doc that recombines known
+# paragraphs still hits the digest table chunk-for-chunk — the case
+# doc-level exact dedup misses entirely. Cost: chunk the new shard + one
+# semi-join-shaped left join on the digest; the corpus is never re-chunked.
+@register(
+    "q_cdc_delta",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN (('0x' || substr(md5(token), 1, 15))::BIGINT % {FINGERPRINT_P}) % 16 = 15
+                  THEN 1 ELSE 0 END AS cut
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents)
+      WHERE token <> ''
+    ), ch AS (
+      SELECT doc_id, token, pos,
+             COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM tok
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM ch GROUP BY doc_id, chunk_id
+    ), corpus_digests AS (
+      SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 5 <> 0
+    ), probe AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seen,
+             CAST(SUM(CASE WHEN d.chunk_hash IS NOT NULL THEN c.n_tokens ELSE 0 END) AS BIGINT)
+               AS seen_tokens,
+             CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
+      FROM chunks c LEFT JOIN corpus_digests d USING (chunk_hash)
+      WHERE c.doc_id % 5 = 0
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_chunks, n_seen,
+           CAST(floor(1000000.0 * seen_tokens / n_tokens) AS BIGINT) AS seen_micro,
+           (2 * seen_tokens < n_tokens) AS keep
+    FROM probe
+    """,
+    description="incremental CDC dedup: new-shard chunks probed against the persisted corpus chunk-digest table; keep docs with <50% already-known tokens",
+)
+def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import cdc_chunks
+
+    d = _docs(spark, sf_dir)
+    chunks = cdc_chunks(d, "text", "doc_id", mod=16)
+    digests = (
+        chunks.filter(F.col("doc_id") % 5 != 0).select("chunk_hash").distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    probe = (
+        chunks.filter(F.col("doc_id") % 5 == 0)
+        .join(digests, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__seen"), 1).otherwise(0)).alias("n_seen"),
+            F.sum(F.when(F.col("__seen"), F.col("n_tokens")).otherwise(0)).alias(
+                "seen_tokens"
+            ),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    return probe.select(
+        "doc_id",
+        "n_chunks",
+        "n_seen",
+        F.floor(F.lit(1_000_000.0) * F.col("seen_tokens") / F.col("n_tokens"))
+        .cast("long")
+        .alias("seen_micro"),
+        (2 * F.col("seen_tokens") < F.col("n_tokens")).alias("keep"),
+    )
