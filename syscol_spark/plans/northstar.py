@@ -2886,7 +2886,11 @@ def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.dedup import cdc_chunks
 
     d = _docs(spark, sf_dir)
-    chunks = cdc_chunks(d, "text", "doc_id", mod=16)
+    # materialize the chunk table once: digests and probe are two branches
+    # of one plan, and without the checkpoint the explode+window chunking
+    # would run twice (the q_dedup_delta "write signatures first" lesson —
+    # at lake scale corpus_digests IS a persisted table)
+    chunks = cdc_chunks(d, "text", "doc_id", mod=16).localCheckpoint()
     digests = (
         chunks.filter(F.col("doc_id") % 5 != 0).select("chunk_hash").distinct()
         .withColumn("__seen", F.lit(True))
