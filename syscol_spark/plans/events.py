@@ -955,3 +955,65 @@ def q_ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(clip * 1000000.0).cast("long")).cast("long").alias("sum_clip_micro"),
         )
     )
+
+
+# --- SLO burn rate (multi-window alert) --------------------------------------
+# The SRE-workbook multiwindow burn-rate alert over the event stream: error
+# ratio vs a 25% error budget on a short (1 h) and a long (6 h) window,
+# alert only when BOTH burn rates exceed 1.2 — the standard construction
+# that suppresses both blips (short-only) and stale pages (long-only).
+# Integer counts + one division per window, 6-dp rounded before the
+# threshold compare on both engines. Window alignment: Spark's F.window
+# aligns to epoch multiples, mirrored as epoch_us integer division.
+@register(
+    "q_ev_burn_rate",
+    """
+    WITH h AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS h_start,
+             CAST(COUNT(*) AS BIGINT) AS n_1h,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_1h
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT (epoch_us(ts) // 21600000000) * 21600 AS s_start,
+             CAST(COUNT(*) AS BIGINT) AS n_6h,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_6h
+      FROM events GROUP BY 1
+    )
+    SELECT h.h_start, n_1h, err_1h,
+           ROUND((CAST(err_1h AS DOUBLE) / n_1h) / 0.25, 6) AS burn_1h,
+           n_6h, err_6h,
+           ROUND((CAST(err_6h AS DOUBLE) / n_6h) / 0.25, 6) AS burn_6h,
+           (ROUND((CAST(err_1h AS DOUBLE) / n_1h) / 0.25, 6) > 1.2
+            AND ROUND((CAST(err_6h AS DOUBLE) / n_6h) / 0.25, 6) > 1.2) AS alert
+    FROM h JOIN s ON (h.h_start // 21600) * 21600 = s.s_start
+    """,
+    description="SLO multiwindow burn-rate alert (SRE workbook): 1h and 6h error-budget burn, alert when both exceed 1.2x",
+)
+def q_ev_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    h = (
+        ev.groupBy(F.window("ts_utc", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_1h"), err.alias("err_1h"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("h_start"), "n_1h", "err_1h")
+    )
+    s = (
+        ev.groupBy(F.window("ts_utc", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_6h"), err.alias("err_6h"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("s_start"), "n_6h", "err_6h")
+    )
+    burn_1h = F.round((F.col("err_1h").cast("double") / F.col("n_1h")) / 0.25, 6)
+    burn_6h = F.round((F.col("err_6h").cast("double") / F.col("n_6h")) / 0.25, 6)
+    return (
+        h.join(s, (F.col("h_start") - F.pmod(F.col("h_start"), 21600)) == F.col("s_start"))
+        .select(
+            "h_start",
+            "n_1h",
+            "err_1h",
+            burn_1h.alias("burn_1h"),
+            "n_6h",
+            "err_6h",
+            burn_6h.alias("burn_6h"),
+            ((burn_1h > 1.2) & (burn_6h > 1.2)).alias("alert"),
+        )
+    )
