@@ -585,3 +585,121 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(temp_share, 6).alias("temp_share"),
         F.round(temp_share / raw_share, 6).alias("boost"),
     )
+
+
+# --- end-to-end curation pipeline (capstone composition) ---------------------
+# The whole pretraining curation DAG as ONE declarative plan — what "a user
+# of the reference could run their entire pipeline here" means concretely:
+# quality gate -> length gate -> normalization-aware dedup canonical ->
+# PII-clean gate -> sequence packing of the survivors, with per-stage
+# survivor counts and the final pack/token budget per language. Every stage
+# is the already-oracle-checked kernel (quality_score, token_count,
+# normalize_text, email/phone counts, pack_sequences); the composition cost
+# is one md5-window for the canonical gate and one per-lang packing window
+# over survivors — Catalyst pipelines all five gates into the same scan.
+@register(
+    "q_pipeline_e2e",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+             ROUND(0.5 * least(array_length(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0)
+                 + 0.4 * least(4.0 * len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                     tok -> tok IN ({_STOPS_SQL})))
+                               / greatest(array_length(string_split_regex(trim(text), '\\s+')), 1), 1.0)
+                 + 0.1 * (1 - least((length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')))
+                                    / CAST(length(text) AS DOUBLE) * 10, 1.0)), 6) AS q,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '{_PUNCT}', '', 'g'),
+                                                    '\\s+', ' ', 'g')))) AS canon_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', 0))
+               + len(regexp_extract_all(text, '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b', 0)) AS pii,
+             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS BIGINT) AS bpe_nt
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, bpe_nt,
+             (q >= 0.5) AS g_quality,
+             (q >= 0.5 AND nt BETWEEN 20 AND 80) AS g_len,
+             (q >= 0.5 AND nt BETWEEN 20 AND 80 AND doc_id = canon_id) AS g_canon,
+             (q >= 0.5 AND nt BETWEEN 20 AND 80 AND doc_id = canon_id AND pii = 0) AS g_clean
+      FROM t
+    ), surv AS (
+      SELECT lang, doc_id, bpe_nt,
+             CAST(COALESCE(SUM(bpe_nt) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM g WHERE g_clean
+    ), packs AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(bpe_nt) AS BIGINT) AS total_tokens,
+             CAST(MAX((off + greatest(bpe_nt, 1) - 1) // 512) + 1 AS BIGINT) AS n_packs,
+             CAST(SUM(CASE WHEN (off + greatest(bpe_nt, 1) - 1) // 512 > off // 512
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+      FROM surv GROUP BY lang
+    )
+    SELECT g.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+           CAST(SUM(CASE WHEN g_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canon,
+           CAST(SUM(CASE WHEN g_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           any_value(p.total_tokens) AS total_tokens,
+           any_value(p.n_packs) AS n_packs,
+           any_value(p.n_straddlers) AS n_straddlers
+    FROM g JOIN packs p ON g.lang = p.lang
+    GROUP BY g.lang
+    """,
+    description="end-to-end curation pipeline in one plan: quality/length/norm-dedup/PII gates with per-stage survivors, then 512-token packing of the kept set per language",
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from syscol_spark.functions.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5(normalize_text("text")))
+    nt = token_count("text")
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        bpe_token_count("text").alias("bpe_nt"),
+        (quality_score("text") >= 0.5).alias("g_quality"),
+        nt.between(20, 80).alias("g_len"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canon"),
+        ((email_count("text") + phone_count("text")) == 0).alias("is_clean"),
+    ).select(
+        "doc_id",
+        "lang",
+        "bpe_nt",
+        "g_quality",
+        (F.col("g_quality") & F.col("g_len")).alias("g_len"),
+        (F.col("g_quality") & F.col("g_len") & F.col("is_canon")).alias("g_canon"),
+        (F.col("g_quality") & F.col("g_len") & F.col("is_canon") & F.col("is_clean")).alias(
+            "g_clean"
+        ),
+    )
+    kept = staged.filter("g_clean").select("lang", "doc_id", "bpe_nt")
+    packed = pack_sequences(
+        kept, group_col="lang", id_col="doc_id", n_tokens=F.col("bpe_nt"), budget=_PACK_BUDGET
+    )
+    packs = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.max("last_pack") + 1).alias("n_packs"),
+        F.sum(F.when(F.col("n_splits") > 0, 1).otherwise(0)).alias("n_straddlers"),
+    )
+    return (
+        staged.join(F.broadcast(packs), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("g_quality"), 1).otherwise(0)).alias("n_quality"),
+            F.sum(F.when(F.col("g_len"), 1).otherwise(0)).alias("n_len"),
+            F.sum(F.when(F.col("g_canon"), 1).otherwise(0)).alias("n_canon"),
+            F.sum(F.when(F.col("g_clean"), 1).otherwise(0)).alias("n_clean"),
+            F.any_value(F.col("total_tokens")).alias("total_tokens"),
+            F.any_value(F.col("n_packs")).alias("n_packs"),
+            F.any_value(F.col("n_straddlers")).alias("n_straddlers"),
+        )
+    )
