@@ -1198,3 +1198,13 @@ def test_ivfpq_append_matches_full_encode(spark, sf_dir):
         for r in ivfpq_serve(ivfpq_append(emb, meta), meta, queries, nprobe=4, k=5).collect()
     }
     assert a == b and a
+
+
+def test_bpe_apply_with_no_merges_yields_characters(spark):
+    """Applying an empty merge list is character-level tokenization — the
+    degenerate-but-legal base case of the BPE lifecycle."""
+    from syscol_spark.operators.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame([("ab c",)], "text string")
+    out = apply_bpe_merges(df, "text", []).select("bpe_syms").collect()[0]["bpe_syms"]
+    assert out == ["a", "b", "c"]

@@ -135,3 +135,20 @@ def test_cluster_balanced_sample_rates_and_manifest(spark, sf_dir):
 
     with pytest.raises(ValueError):
         cluster_balanced_sample(emb, "label", "vec_id", cap=0)
+
+
+def test_cluster_balanced_sample_cap_monotone_nesting(spark, sf_dir):
+    """Lowering the cap must select a SUBSET of the higher-cap sample
+    (keep_ppm is monotone in cap and the md5 bucket is fixed) — the same
+    threshold-nesting contract hash_sample guarantees, which lets a
+    pipeline tighten rebalance pressure without resampling everything."""
+    from syscol_spark.operators.sampling import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = {
+        cap: {r["vec_id"] for r in
+              cluster_balanced_sample(emb, "label", "vec_id", cap=cap).select("vec_id").collect()}
+        for cap in (5, 20, 80)
+    }
+    assert kept[5] <= kept[20] <= kept[80]
+    assert len(kept[5]) < len(kept[80])
