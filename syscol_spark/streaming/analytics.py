@@ -819,3 +819,34 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_norm_dedup(
+    docs: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-time normalization-aware exact dedup: the streaming twin of
+    q_norm_dedup's batch kernel. Each arriving doc is canonicalized with
+    normalize_text (lower → strip punct → collapse ws → trim — the SAME
+    shared expression as the batch query, so the two cannot drift) and only
+    the FIRST doc per canonical digest within the watermark horizon
+    survives. Built-in watermarked dropDuplicates does all the state work —
+    digest state ages out with the watermark, so state is O(distinct
+    canonical docs per horizon), independent of stream length.
+
+    First-wins (arrival order) rather than batch's min-id-wins: across
+    micro-batch boundaries Spark keeps whichever digest holder it saw
+    first. The parity test feeds docs in id order so the two policies
+    coincide and the kept set matches the batch canonical set exactly.
+    """
+    from syscol_spark.functions.text import normalize_text
+
+    s = docs.withColumn("norm_hash", F.md5(normalize_text(content_col))).withWatermark(
+        "event_time", watermark
+    )
+    if hasattr(s, "dropDuplicatesWithinWatermark"):
+        return s.dropDuplicatesWithinWatermark(["norm_hash"])
+    return s.dropDuplicates(["norm_hash", "event_time"])

@@ -598,3 +598,54 @@ def test_streaming_heavy_hitters_mg_guarantees(spark, tmp_path):
         s = shard_of[item]
         if cnt * 16 > shard_n[s]:
             assert (s, item) in final, (item, cnt, shard_n[s])
+
+
+def test_streaming_norm_dedup_matches_batch_canonicals(spark, sf_dir, tmp_path):
+    """The streamed keep set must be exactly the batch q_norm_dedup
+    canonical set (one survivor per normalized digest) when docs arrive in
+    id order — including messy twins planted in a LATER micro-batch than
+    their originals, which only cross-batch digest state can drop."""
+    from syscol_spark.functions.text import normalize_text
+    from syscol_spark.streaming.analytics import streaming_norm_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.regexp_replace(F.upper("text"), " ", "  "), F.lit(" .")).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    expected = {
+        r["doc_id"]
+        for r in corpus.groupBy(F.md5(normalize_text("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+
+    timed = corpus.withColumn(
+        "event_time",
+        F.timestamp_micros(1_700_000_000_000_000 + F.col("doc_id") * 1_000),
+    )
+    src = str(tmp_path / "docs")
+    # originals in batches 0-1, ALL twins in batch 2 (doc_id >= 1M)
+    timed.filter((F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 2 == 0)).coalesce(1).write.parquet(f"{src}/f0")
+    timed.filter((F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 2 == 1)).coalesce(1).write.parquet(f"{src}/f1")
+    timed.filter(F.col("doc_id") >= 1_000_000).coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_norm_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("norm_dedup").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM norm_dedup").collect()}
+    assert got == expected
+    # and the planted twins were dropped: none of the 1M-offset ids survive
+    assert not any(i >= 1_000_000 for i in got)
