@@ -703,3 +703,64 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("n_straddlers")).alias("n_straddlers"),
         )
     )
+
+
+# --- length-bucketed batching efficiency --------------------------------------
+# The dynamic-batching diagnostic a training pipeline runs before choosing
+# bucket boundaries: group docs into length buckets (caps 32/64/128 BPE
+# tokens), measure the padding waste of batching each bucket at its cap,
+# and compare against the single-cap baseline (everything padded to 128).
+# Padding waste = fraction of batch slots that are pad tokens — the number
+# length bucketing exists to shrink. All integers; one scan, one tiny agg.
+@register(
+    "q_batch_padding",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS BIGINT) AS nt
+      FROM documents
+    ), b AS (
+      SELECT lang, nt,
+             CASE WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64 ELSE 128 END AS cap
+      FROM t
+    )
+    SELECT lang, CAST(cap AS BIGINT) AS cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(nt) AS BIGINT) AS max_tokens,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           CAST(floor(1000000.0 * (COUNT(*) * cap - SUM(nt)) / (COUNT(*) * cap)) AS BIGINT)
+             AS waste_micro,
+           CAST(floor(1000000.0 * (COUNT(*) * 128 - SUM(nt)) / (COUNT(*) * 128.0)) AS BIGINT)
+             AS waste_single_cap_micro
+    FROM b GROUP BY lang, cap
+    """,
+    description="length-bucketed batching efficiency: padding waste per (lang, bucket cap) vs the single-cap baseline",
+)
+def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    nt = bpe_token_count("text")
+    b = d.select(
+        "lang",
+        nt.alias("nt"),
+        F.when(nt <= 32, 32).when(nt <= 64, 64).otherwise(128).alias("cap"),
+    )
+    n = F.count(F.lit(1))
+    return b.groupBy("lang", "cap").agg(
+        n.alias("n_docs"),
+        F.max("nt").alias("max_tokens"),
+        F.sum("nt").alias("sum_tokens"),
+        F.floor(F.lit(1_000_000.0) * (n * F.col("cap") - F.sum("nt")) / (n * F.col("cap")))
+        .cast("long")
+        .alias("waste_micro"),
+        F.floor(F.lit(1_000_000.0) * (n * 128 - F.sum("nt")) / (n * F.lit(128.0)))
+        .cast("long")
+        .alias("waste_single_cap_micro"),
+    ).select(
+        "lang",
+        F.col("cap").cast("long").alias("cap"),
+        "n_docs",
+        "max_tokens",
+        "sum_tokens",
+        "waste_micro",
+        "waste_single_cap_micro",
+    )
