@@ -1229,6 +1229,45 @@ def ivfpq_append(
     ).withColumnRenamed("id", idc)
 
 
+def ivfpq_residual_stats(
+    vectors: DataFrame,
+    meta: dict,
+    *,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Index-staleness monitor — the concrete form of ivfpq_append's
+    "monitor per-list residual error" contract: assign a shard to the
+    frozen coarse quantizer and report, per inverted list, how far its
+    vectors sit from their centroid (mean/max L2 residual norm). Run it on
+    each appended shard and compare against the build-time baseline: a
+    drifted ingest distribution shows up as rising residual norms (and
+    often mass concentrating in few lists) BEFORE recall degrades in
+    serving — the retrain trigger. One scan; centroids are plan-time
+    literals; output is n_lists rows.
+    """
+    idc = id_col or meta["id_col"]
+    df = vectors.select(F.col(idc).alias("id"), F.col(vec_col).alias("vec"))
+    coarse = meta["coarse"]
+    assigned = _assign_nearest(df, "vec", coarse).select(
+        "vec", F.col("__cluster").alias("list_id")
+    )
+    cmat = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in coarse])
+    res = F.zip_with(
+        F.col("vec"), F.element_at(cmat, F.col("list_id") + 1), lambda a, b: a.cast("double") - b
+    )
+    norm = F.sqrt(F.aggregate(res, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        assigned.select("list_id", norm.alias("residual_norm"))
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("residual_norm"), 6).alias("mean_residual"),
+            F.round(F.max("residual_norm"), 6).alias("max_residual"),
+        )
+    )
+
+
 def save_ivfpq_index(codes: DataFrame, meta: dict, path: str) -> None:
     """Persist the index as lake tables: codes parquet + a long-format
     centroid table (kind, subspace, cluster, i, val) + a one-row params

@@ -1208,3 +1208,32 @@ def test_bpe_apply_with_no_merges_yields_characters(spark):
     df = spark.createDataFrame([("ab c",)], "text string")
     out = apply_bpe_merges(df, "text", []).select("bpe_syms").collect()[0]["bpe_syms"]
     assert out == ["a", "b", "c"]
+
+
+def test_ivfpq_residual_stats_detects_drift(spark, sf_dir):
+    """The staleness monitor must read higher on a drifted shard than on
+    the build distribution: residual norms against the frozen coarse
+    centroids rise when appended vectors no longer come from the trained
+    distribution — the retrain trigger ivfpq_append documents."""
+    from syscol_spark.operators.similarity import build_ivfpq_index, ivfpq_residual_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _codes, meta = build_ivfpq_index(
+        emb, dim=64, n_lists=8, coarse_iter=2, coarse_stride=4,
+        n_subspaces=8, pq_centroids=16, pq_iter=1, pq_stride=4,
+    )
+    base = ivfpq_residual_stats(emb, meta).collect()
+    assert base and sum(r["n_vectors"] for r in base) == emb.count()
+    base_mean = sum(r["mean_residual"] * r["n_vectors"] for r in base) / sum(
+        r["n_vectors"] for r in base
+    )
+
+    # drifted shard: shift every coordinate by a constant offset
+    drifted = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(2.0)).alias("embedding")
+    )
+    moved = ivfpq_residual_stats(drifted, meta).collect()
+    moved_mean = sum(r["mean_residual"] * r["n_vectors"] for r in moved) / sum(
+        r["n_vectors"] for r in moved
+    )
+    assert moved_mean > base_mean * 2, (base_mean, moved_mean)
