@@ -536,6 +536,41 @@ def keep_best_representative(
     return best.select(id_col, "cluster", "cluster_size", "quality").unionAll(singles)
 
 
+def winnow_fp_table(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """The (id, fp) fingerprint table of winnow_fingerprints — split out so
+    the batch pairing op and the incremental delta op share one kernel, and
+    because at lake scale this table IS the persisted index artifact a
+    winnowing deployment writes (fingerprint extraction is the expensive
+    pass; pairing is a join over this table)."""
+    from syscol_spark.functions.text import _bind_once, token_int, tokens
+
+    def gram_hashes(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        grams = F.when(F.size(toks) >= k, grams).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+        return F.transform(grams, token_int)
+
+    def window_minima(hs: Column) -> Column:
+        pos = F.sequence(F.lit(1), F.greatest(F.size(hs) - window + 1, F.lit(1)))
+        return F.array_distinct(F.transform(pos, lambda p: F.array_min(F.slice(hs, p, window))))
+
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            _bind_once(_bind_once(tokens(content_col), gram_hashes), window_minima)
+        ).alias("fp"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     content_col: str,
@@ -567,26 +602,7 @@ def winnow_fingerprints(
     Output: (id_a, id_b, shared_fp) for pairs sharing >= ``min_shared``
     selected fingerprints, id_a < id_b.
     """
-    from syscol_spark.functions.text import _bind_once, token_int, tokens
-
-    def gram_hashes(toks: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-        grams = F.when(F.size(toks) >= k, grams).otherwise(
-            F.array(F.concat_ws(" ", toks))
-        )
-        return F.transform(grams, token_int)
-
-    def window_minima(hs: Column) -> Column:
-        pos = F.sequence(F.lit(1), F.greatest(F.size(hs) - window + 1, F.lit(1)))
-        return F.array_distinct(F.transform(pos, lambda p: F.array_min(F.slice(hs, p, window))))
-
-    fps = df.select(
-        F.col(id_col),
-        F.explode(
-            _bind_once(_bind_once(tokens(content_col), gram_hashes), window_minima)
-        ).alias("fp"),
-    )
+    fps = winnow_fp_table(df, content_col, id_col, k=k, window=window)
     keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") <= max_doc_freq
     )
@@ -597,6 +613,58 @@ def winnow_fingerprints(
         a.join(b, ["fp"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
+def winnow_dedup_delta(
+    new_fps: DataFrame,
+    corpus_fps: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_doc_freq: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Incremental winnowing dedup: pair a NEW shard's fingerprint table
+    against the persisted corpus fingerprint table — the winnowing member
+    of the daily-ingest family (exact / MinHash / semantic / CDC / now
+    MOSS). Inputs are (id, fp) tables from winnow_fp_table; at 100 TB the
+    corpus side is the index a full winnowing run persisted, and only the
+    new shard pays fingerprint extraction.
+
+    Doc-frequency capping matches the batch op's semantics over the
+    COMBINED corpus (corpus df + new df ≤ max_doc_freq) — in production the
+    corpus per-fp doc counts are a persisted k-row-per-fp stat, so the cap
+    costs one aggregate on the new shard plus a join, never a corpus
+    rescan. Output: new-new pairs once (id_a < id_b) plus new-old pairs in
+    the (new, old) direction — minhash_dedup_delta's direction contract.
+    """
+    nf = new_fps.select(F.col(id_col).alias("id"), "fp")
+    of = corpus_fps.select(F.col(id_col).alias("id"), "fp")
+    df_new = nf.groupBy("fp").agg(F.count(F.lit(1)).alias("__dn"))
+    df_old = of.groupBy("fp").agg(F.count(F.lit(1)).alias("__do"))
+    keep = (
+        df_new.join(df_old, "fp", "full")
+        .select(
+            "fp",
+            (F.coalesce(F.col("__dn"), F.lit(0)) + F.coalesce(F.col("__do"), F.lit(0))).alias(
+                "__df"
+            ),
+        )
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("fp")
+    )
+    kn = nf.join(keep, "fp")
+    ko = of.join(keep, "fp")
+    a = kn.select(F.col("id").alias("id_a"), "fp")
+    pairs = a.join(
+        kn.select(F.col("id").alias("id_b"), "fp"), "fp"
+    ).filter(F.col("id_a") < F.col("id_b")).unionByName(
+        a.join(ko.select(F.col("id").alias("id_b"), "fp"), "fp")
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
     )

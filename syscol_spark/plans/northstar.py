@@ -2917,3 +2917,53 @@ def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seen_micro"),
         (2 * F.col("seen_tokens") < F.col("n_tokens")).alias("keep"),
     )
+
+
+# --- incremental winnowing dedup ----------------------------------------------
+# The MOSS member of the daily-ingest delta family (doc_id % 5 = 0 is the
+# new shard, as in q_dedup_delta/q_cdc_delta): new-shard fingerprints pair
+# against the persisted corpus fingerprint table; doc-frequency capping is
+# computed over the COMBINED corpus exactly as the batch op would, so the
+# delta's pair set is the batch pair set restricted to pairs touching the
+# new shard.
+@register(
+    "q_winnow_delta",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4
+          THEN list_transform(range(1, len(toks) - 4 + 2),
+                              i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+          ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t),
+    h AS (SELECT doc_id,
+                 list_transform(grams, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+          FROM g),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(hs) - 5 + 1, 1) + 1),
+                               p -> list_min(list_slice(hs, p, p + 4)))) AS fps
+          FROM h),
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    keep AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50),
+    ff AS (SELECT f.doc_id, f.fp FROM f JOIN keep ON f.fp = keep.fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+    FROM ff a JOIN ff b
+      ON a.fp = b.fp
+     AND a.doc_id % 5 = 0
+     AND ((b.doc_id % 5 <> 0) OR a.doc_id < b.doc_id)
+     AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    description="incremental winnowing dedup: new-shard fingerprints vs the persisted corpus fingerprint table, combined doc-frequency cap",
+)
+def q_winnow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import winnow_dedup_delta, winnow_fp_table
+
+    fps = winnow_fp_table(_docs(spark, sf_dir), "text", "doc_id", k=4, window=5)
+    # materialize once: new and old are two filters of one extraction pass
+    # (at lake scale this table is the persisted winnowing index)
+    fps = fps.localCheckpoint()
+    new = fps.filter(F.col("doc_id") % 5 == 0)
+    old = fps.filter(F.col("doc_id") % 5 != 0)
+    return winnow_dedup_delta(new, old, max_doc_freq=50, min_shared=2)

@@ -1237,3 +1237,36 @@ def test_ivfpq_residual_stats_detects_drift(spark, sf_dir):
         r["n_vectors"] for r in moved
     )
     assert moved_mean > base_mean * 2, (base_mean, moved_mean)
+
+
+def test_winnow_dedup_delta_matches_full_rebuild(spark, sf_dir):
+    """The delta pair set must equal the full batch winnowing rebuild
+    restricted to pairs touching the new shard (normalized to unordered
+    pairs) — same contract as the MinHash and semantic delta twins."""
+    from syscol_spark.operators.dedup import (
+        winnow_dedup_delta,
+        winnow_fingerprints,
+        winnow_fp_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = winnow_fingerprints(
+        docs, "text", "doc_id", k=4, window=5, max_doc_freq=50, min_shared=2
+    ).collect()
+    expected = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["shared_fp"])
+        for r in full
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    }
+    fps = winnow_fp_table(docs, "text", "doc_id", k=4, window=5).localCheckpoint()
+    got_rows = winnow_dedup_delta(
+        fps.filter(F.col("doc_id") % 5 == 0),
+        fps.filter(F.col("doc_id") % 5 != 0),
+        max_doc_freq=50,
+        min_shared=2,
+    ).collect()
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["shared_fp"])
+        for r in got_rows
+    }
+    assert got == expected and expected
