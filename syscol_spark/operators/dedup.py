@@ -105,39 +105,57 @@ def cdc_chunks(
     the same one-shuffle hash-groupBy as exact_dedup for corpus-wide
     chunk-level dup statistics.
 
-    Scale shape: posexplode (~n_tokens × rows), ONE shuffle on the doc id
-    for the running-cut-count window, and the chunk-reassembly groupBy
-    reuses that exact partitioning (same key) — Exchange appears once in
-    the plan. Per-doc state only; no global order, no driver state.
-    chunk_text is assembled via array_sort(collect_list(struct(pos, tok)))
-    because groupBy collect order is not deterministic under shuffle.
+    Scale shape: chunking is a ROW-LOCAL fold — a single F.aggregate pass
+    with a struct accumulator builds each doc's chunk list inside codegen,
+    then one posexplode emits the chunk rows. ZERO shuffles in extraction
+    (asserted by plan test): the original explode + per-doc-window shape
+    shuffled the full exploded token table on doc id just to compute a
+    running cut count that is a per-row fold anyway. Chunk semantics are
+    identical (chunk_id = running count of preceding cuts ≡ position of
+    the chunk in document order; cross-engine fuzz vs the SQL-window
+    oracle stays green).
     """
-    from syscol_spark.functions.text import token_int, tokens
+    from syscol_spark.functions.text import _bind_once, token_int, tokens
 
-    tok = (
-        df.select(F.col(id_col).alias("__id"), F.posexplode(tokens(content_col)).alias("pos", "token"))
-        .filter(F.col("token") != "")
-        .withColumn("cut", (F.pmod(token_int(F.col("token")), F.lit(mod)) == mod - 1).cast("int"))
-    )
-    prior = (
-        Window.partitionBy("__id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        tok.withColumn("chunk_id", F.coalesce(F.sum("cut").over(prior), F.lit(0)).cast("long"))
-        .groupBy("__id", "chunk_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                        lambda s: s["token"],
-                    ),
-                )
-            ).alias("chunk_hash"),
-            F.count(F.lit(1)).alias("n_tokens"),
+    def chunks_of(toks: Column) -> Column:
+        clean = F.filter(toks, lambda t: t != "")
+        start = F.struct(
+            F.array().cast("array<string>").alias("done"),
+            F.array().cast("array<string>").alias("cur"),
         )
-        .select(F.col("__id").alias(id_col), "chunk_id", "chunk_hash", "n_tokens")
+
+        def step(acc: Column, t: Column) -> Column:
+            cur = F.concat(acc["cur"], F.array(t))
+            is_cut = F.pmod(token_int(t), F.lit(mod)) == mod - 1
+            return F.struct(
+                F.when(is_cut, F.concat(acc["done"], F.array(F.concat_ws(" ", cur))))
+                .otherwise(acc["done"])
+                .alias("done"),
+                F.when(is_cut, F.array().cast("array<string>")).otherwise(cur).alias("cur"),
+            )
+
+        def finish(acc: Column) -> Column:
+            # an open partial chunk after the last token closes the list
+            return F.when(
+                F.size(acc["cur"]) > 0,
+                F.concat(acc["done"], F.array(F.concat_ws(" ", acc["cur"]))),
+            ).otherwise(acc["done"])
+
+        return F.aggregate(clean, start, step, finish)
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(_bind_once(tokens(content_col), chunks_of)).alias(
+                "chunk_id", "chunk"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.md5("chunk").alias("chunk_hash"),
+            (F.size(F.split(F.col("chunk"), " ", -1))).cast("long").alias("n_tokens"),
+        )
     )
 
 

@@ -242,18 +242,18 @@ def test_lm_model_aggregate_is_broadcast(spark, sf_dir, queries):
     assert "BatchEvalPython" not in plan
 
 
-def test_cdc_chunks_reassembly_reuses_window_partitioning(spark, sf_dir):
-    """cdc_chunks' chunk-reassembly groupBy(__id, chunk_id) must ride the
-    running-cut-count window's hash(__id) partitioning (subset-of-clustering
-    rule) — exactly ONE Exchange in the operator's plan. A second exchange
-    here would double-shuffle the exploded token table, the operator's
-    biggest intermediate."""
+def test_cdc_chunks_extraction_is_shuffle_free(spark, sf_dir):
+    """cdc_chunks is a row-local fold + posexplode: ZERO Exchanges and no
+    Window in the operator's plan. (The first version exploded tokens and
+    shuffled them on doc id for a running-cut-count window — a per-row fold
+    dressed up as a distributed operation.)"""
     from syscol_spark.operators.dedup import cdc_chunks
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(cdc_chunks(docs, "text", "doc_id", mod=16))
     n_exchanges = plan.count(") Exchange")
-    assert n_exchanges == 1, f"expected 1 exchange (window), saw {n_exchanges}:\n{plan}"
+    assert n_exchanges == 0, f"expected shuffle-free extraction, saw {n_exchanges}:\n{plan}"
+    assert ") Window" not in plan, plan
 
 
 def test_bpe_trainer_corpus_touched_once(spark, sf_dir):
