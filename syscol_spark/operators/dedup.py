@@ -105,43 +105,44 @@ def cdc_chunks(
     the same one-shuffle hash-groupBy as exact_dedup for corpus-wide
     chunk-level dup statistics.
 
-    Scale shape: chunking is a ROW-LOCAL fold — a single F.aggregate pass
-    with a struct accumulator builds each doc's chunk list inside codegen,
-    then one posexplode emits the chunk rows. ZERO shuffles in extraction
-    (asserted by plan test): the original explode + per-doc-window shape
-    shuffled the full exploded token table on doc id just to compute a
-    running cut count that is a per-row fold anyway. Chunk semantics are
-    identical (chunk_id = running count of preceding cuts ≡ position of
-    the chunk in document order; cross-engine fuzz vs the SQL-window
-    oracle stays green).
+    Scale shape: chunking is ROW-LOCAL — cut positions come from one
+    filtered index scan (one hash per token), then each chunk is a single
+    slice + join of the token array, so every token is hashed once and
+    copied once. One posexplode emits the chunk rows; ZERO shuffles in
+    extraction (asserted by plan test). The original explode +
+    per-doc-window shape shuffled the full exploded token table on doc id
+    just to compute a running cut count that is a per-row computation
+    anyway. Chunk semantics are identical (chunk_id = running count of
+    preceding cuts ≡ position of the chunk in document order; cross-engine
+    fuzz vs the SQL-window oracle stays green).
     """
     from syscol_spark.functions.text import _bind_once, token_int, tokens
 
     def chunks_of(toks: Column) -> Column:
-        clean = F.filter(toks, lambda t: t != "")
-        start = F.struct(
-            F.array().cast("array<string>").alias("done"),
-            F.array().cast("array<string>").alias("cur"),
-        )
-
-        def step(acc: Column, t: Column) -> Column:
-            cur = F.concat(acc["cur"], F.array(t))
-            is_cut = F.pmod(token_int(t), F.lit(mod)) == mod - 1
-            return F.struct(
-                F.when(is_cut, F.concat(acc["done"], F.array(F.concat_ws(" ", cur))))
-                .otherwise(acc["done"])
-                .alias("done"),
-                F.when(is_cut, F.array().cast("array<string>")).otherwise(cur).alias("cur"),
+        def slices_of(clean: Column) -> Column:
+            n = F.size(clean)
+            # 1-based positions whose token closes a chunk, plus n if the
+            # final chunk is left open (avoiding a duplicate when the last
+            # token is itself a cut)
+            cuts = F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: F.pmod(token_int(F.element_at(clean, i)), F.lit(mod)) == mod - 1,
+            )
+            bounds = F.when(F.size(cuts) == 0, F.array(n)).otherwise(
+                # element_at only evaluated on the non-empty branch (ANSI-safe)
+                F.when(F.element_at(cuts, -1) != n, F.concat(cuts, F.array(n))).otherwise(cuts)
+            )
+            lows = F.concat(F.array(F.lit(0)), F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))))
+            return F.zip_with(
+                lows,
+                bounds,
+                lambda lo, hi: F.concat_ws(" ", F.slice(clean, lo + 1, hi - lo)),
             )
 
-        def finish(acc: Column) -> Column:
-            # an open partial chunk after the last token closes the list
-            return F.when(
-                F.size(acc["cur"]) > 0,
-                F.concat(acc["done"], F.array(F.concat_ws(" ", acc["cur"]))),
-            ).otherwise(acc["done"])
-
-        return F.aggregate(clean, start, step, finish)
+        empty_guard = F.filter(toks, lambda t: t != "")
+        return F.when(F.size(empty_guard) > 0, _bind_once(empty_guard, slices_of)).otherwise(
+            F.array().cast("array<string>")
+        )
 
     return (
         df.select(
