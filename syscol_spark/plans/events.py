@@ -1017,3 +1017,66 @@ def q_ev_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((burn_1h > 1.2) & (burn_6h > 1.2)).alias("alert"),
         )
     )
+
+
+# --- capped-duration sessionization -------------------------------------------
+# The GA-style session rule Spark's native session_window cannot express:
+# inactivity-gap sessions (10 min) are additionally SPLIT at fixed
+# max-duration offsets (4 min here, sized to the fixture's 9.8-min max
+# session) from each session's first event. Pure window arithmetic — the
+# split boundary is an integer div of the offset from the session anchor,
+# so no iteration is needed and every window shares the user_id
+# partitioning (one shuffle). Exact integer microseconds end-to-end.
+@register(
+    "q_ev_session_capped",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, ts_us, value,
+             SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 600000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM o
+    ), a AS (
+      SELECT user_id, ts_us, value, sess,
+             MIN(ts_us) OVER (PARTITION BY user_id, sess) AS anchor_us,
+             (ts_us - MIN(ts_us) OVER (PARTITION BY user_id, sess)) // 240000000 AS sub
+      FROM s
+    )
+    SELECT user_id,
+           CAST(anchor_us AS BIGINT) AS session_start_us,
+           CAST(sub AS BIGINT) AS sub_session,
+           CAST(MIN(ts_us) AS BIGINT) AS sub_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+    FROM a GROUP BY user_id, anchor_us, sub
+    """,
+    description="capped-duration sessionization: 10-min inactivity sessions split at fixed 4-min offsets from the session anchor (the rule native session_window lacks)",
+)
+def q_ev_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts_us", "value")
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w_ord)
+    brk = F.when(prev.isNull() | (F.col("ts_us") - prev >= 600_000_000), 1).otherwise(0)
+    s = ev.withColumn(
+        "sess",
+        F.sum(brk).over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w_sess = Window.partitionBy("user_id", "sess")
+    a = s.withColumn("anchor_us", F.min("ts_us").over(w_sess)).withColumn(
+        "sub", F.expr("(ts_us - anchor_us) div 240000000")
+    )
+    return a.groupBy(
+        "user_id",
+        F.col("anchor_us").alias("session_start_us"),
+        F.col("sub").alias("sub_session"),
+    ).agg(
+        F.min("ts_us").alias("sub_start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
