@@ -225,3 +225,45 @@ def sample_frames(assets: DataFrame, *, every_n_bytes: int = 256, max_frames: in
             )
 
     return assets.mapInPandas(batches, schema=_FRAMES_SCHEMA)
+
+
+def perceptual_hash(assets: DataFrame, *, dim: int = FEATURE_DIM, n_bits: int = 60) -> DataFrame:
+    """aHash-shaped perceptual fingerprint over the decoded representation:
+    bit i = (feature_i > mean of the vector) — the classic average-hash
+    construction, computed on whatever the decoder emits. With the
+    deterministic sha256 stub decoder, only byte-identical blobs collide
+    (avalanche); swap in a real pixel decoder and visually-near-duplicate
+    images land at small Hamming distances with the SAME downstream
+    plumbing (pigeonhole banding + exact Hamming verify, shared with
+    SimHash). 60 bits so every 2^i term stays positive in a signed long on
+    both engines — the q_simhash width lesson.
+
+    Output: (asset_id, modality, phash long). Bits derive from the first
+    ``n_bits`` feature dims; the mean is over the full vector. Everything
+    after the Arrow-batched feature extraction is codegen'd expressions.
+    """
+    from syscol_spark.functions.text import _bind_once
+
+    feats = extract_features(assets, dim=dim)
+    fd = F.transform(F.col("feature"), lambda x: x.cast("double"))
+
+    def fp_of(f: Column) -> Column:
+        mean = F.aggregate(f, F.lit(0.0), lambda a, x: a + x) / dim
+
+        def bits_of(m: Column) -> Column:
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(
+                    F.element_at(f, (i + 1).cast("int")) > m,
+                    # 2^i as a double is exact for i <= 59, so the cast is too
+                    F.pow(F.lit(2.0), i).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+
+        return _bind_once(mean, bits_of)
+
+    return feats.select(
+        "asset_id", "modality", _bind_once(fd, fp_of).alias("phash")
+    )

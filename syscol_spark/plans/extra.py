@@ -666,3 +666,61 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "l_partkey")
         .limit(10)
     )
+
+
+# --- multimodal near-dup via perceptual hash ----------------------------------
+# Image dedup with the aHash construction: bit i = feature_i > vector mean,
+# then the SAME pigeonhole banding + exact-Hamming verify as SimHash. The
+# sha256 stub decoder has avalanche behavior, so only byte-identical blobs
+# collide — twin assets (doc_id + 1M, same bytes) are planted to exercise
+# the pair path; a real pixel decoder drops in at extract_features and
+# visually-similar images then land at small Hamming with zero plumbing
+# changes. Oracle mirrors the stub features (shared _STUB_FEATURE_SQL), the
+# left-fold mean (list_reduce ≡ 0.0-seeded fold), the 60-bit assembly and
+# the banded join bit-for-bit.
+@register(
+    "q_multimodal_phash",
+    f"""
+    WITH assets AS (
+      SELECT doc_id AS id, lang AS block, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS id, lang AS block, text FROM documents WHERE doc_id % 10 = 0
+    ), feats AS (
+      SELECT id, block, {_STUB_FEATURE_SQL} AS f FROM assets
+    ), m AS (
+      SELECT id, block, f,
+             list_reduce(list_transform(f, x -> CAST(x AS DOUBLE)), (a, x) -> a + x) / 64.0 AS mean
+      FROM feats
+    ), fp AS (
+      SELECT id, block,
+             list_reduce(list_transform(range(0, 60),
+                 i -> CASE WHEN CAST(f[i + 1] AS DOUBLE) > mean
+                           THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+                 (a, x) -> a + x) AS phash
+      FROM m
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b
+      ON a.block = b.block AND a.id < b.id
+     AND bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+    description="multimodal near-dup: aHash perceptual fingerprint over the decoded representation, SimHash-style pigeonhole banding + exact Hamming verify (planted twin assets)",
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.dedup import simhash_band_pairs
+    from syscol_spark.operators.multimodal import documents_as_assets, perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(twins)
+    hashed = perceptual_hash(documents_as_assets(corpus))
+    blocks = corpus.select(F.col("doc_id").alias("asset_id"), F.col("lang").alias("block"))
+    fps = hashed.join(blocks, "asset_id").select(
+        F.col("asset_id").alias("id"), "block", "phash"
+    )
+    return simhash_band_pairs(
+        fps.localCheckpoint(), fp_col="phash", max_hamming=3, n_bits=60
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

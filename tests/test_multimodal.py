@@ -144,3 +144,33 @@ def test_stub_features_batch_matches_scalar_definition():
             assert len(row) == dim
 
     check()
+
+
+def test_perceptual_hash_identical_blobs_collide_distinct_dont(spark):
+    """aHash invariants on the stub decoder: byte-identical blobs get the
+    SAME fingerprint (Hamming 0), distinct blobs land far apart (sha256
+    avalanche => ~30 of 60 bits differ) — exactly the contract the banded
+    pair join relies on."""
+    import pyspark.sql.functions as F
+
+    from syscol_spark.operators.dedup import hamming64
+    from syscol_spark.operators.multimodal import perceptual_hash
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", b"same bytes", {}),
+            (2, "image", b"same bytes", {}),
+            (3, "image", b"other bytes", {}),
+        ],
+        "asset_id long, modality string, blob binary, meta map<string,string>",
+    )
+    fps = {r["asset_id"]: r["phash"] for r in perceptual_hash(assets).collect()}
+    assert fps[1] == fps[2]
+    [d] = (
+        spark.range(1)
+        .select(hamming64(F.lit(fps[1]), F.lit(fps[3])).alias("h"))
+        .collect()
+    )
+    assert d["h"] >= 10, d["h"]
+    # fingerprints stay in the signed-positive 60-bit range on every engine
+    assert all(0 <= v < (1 << 60) for v in fps.values())
