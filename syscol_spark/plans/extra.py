@@ -724,3 +724,55 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs(
         fps.localCheckpoint(), fp_col="phash", max_hamming=3, n_bits=60
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# --- frame-level dedup across assets ------------------------------------------
+# The video dedup unit of work: sample frames (the q_multimodal_frames
+# kernel), hash each frame, and measure cross-asset frame duplication — at
+# 100 TB this is how near-identical clips (re-uploads, intro/outro reuse)
+# are found without decoding full videos twice. Frame extraction is one
+# mapInPandas pass; dedup is the exact_dedup one-shuffle digest groupBy.
+@register(
+    "q_multimodal_frame_dedup",
+    """
+    WITH f AS (
+      SELECT doc_id AS asset_id, text, length(text) AS len FROM documents
+    ), g AS (
+      SELECT asset_id, text,
+             unnest(generate_series(0, least(8, greatest(1, len // 64)) - 1)) AS i
+      FROM f
+    ), fr AS (
+      SELECT asset_id, md5(substring(text, i * 64 + 1, 64)) AS frame_md5 FROM g
+    ), d AS (
+      SELECT frame_md5,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets
+      FROM fr GROUP BY frame_md5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_uniq_frames,
+           CAST(SUM(n_copies) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN n_assets > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_frames,
+           CAST(MAX(n_assets) AS BIGINT) AS max_assets_per_frame
+    FROM d
+    """,
+    description="frame-level dedup across assets: sampled-frame digests grouped corpus-wide (re-upload / shared-clip detection shape)",
+)
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.multimodal import documents_as_assets, sample_frames
+
+    assets = documents_as_assets(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=8)
+    d = (
+        frames.select("asset_id", F.md5("frame_blob").alias("frame_md5"))
+        .groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("asset_id").alias("n_assets"),
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_uniq_frames"),
+        F.sum("n_copies").alias("n_frames"),
+        F.sum(F.when(F.col("n_assets") > 1, 1).otherwise(0)).alias("n_shared_frames"),
+        F.max("n_assets").alias("max_assets_per_frame"),
+    )
