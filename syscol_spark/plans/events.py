@@ -1080,3 +1080,41 @@ def q_ev_session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+# --- SCD Type-2 history from the change stream --------------------------------
+# The other half of CDC materialization next to latest-wins compaction
+# (q_cdc_compact): slowly-changing-dimension Type 2 — every version of a
+# (user, event_type) key becomes a validity interval [valid_from, valid_to)
+# with an is_current flag, via one lead() over the key window. This is how
+# a lakehouse dimension table answers "what was the value AT time t" with a
+# plain range predicate instead of replaying the log. One shuffle on the
+# key; exact integer microseconds; summed values emitted per version row
+# keep the hash stable (value itself is exact from parquet).
+@register(
+    "q_cdc_scd2",
+    """
+    SELECT user_id, event_type,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           ts_us AS valid_from_us,
+           LEAD(ts_us) OVER w AS valid_to_us,
+           (LEAD(ts_us) OVER w IS NULL) AS is_current,
+           CAST(value AS DOUBLE) AS value
+    FROM (SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us FROM events
+          WHERE user_id % 50 = 0)
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+    """,
+    description="CDC SCD Type-2 materialization: per-key version rows with [valid_from, valid_to) intervals and is_current flag",
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+        F.lead("ts_us").over(w).isNull().alias("is_current"),
+        F.col("value").cast("double").alias("value"),
+    )
