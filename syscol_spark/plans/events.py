@@ -1118,3 +1118,75 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts_us").over(w).isNull().alias("is_current"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+# --- time-constrained conversion funnel --------------------------------------
+# The product-analytics form of q_ev_funnel: each step must happen within
+# 24 h of the previous step, not just after it — unbounded ordered funnels
+# overcount conversions on long-lived users (a click three weeks after the
+# view is not a conversion). Same first-qualifying-event semantics,
+# same semi-join shape, one extra range predicate per step.
+@register(
+    "q_ev_funnel_windowed",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > v.t_view
+        AND epoch_us(e.ts) - v.t_view <= 86400000000
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c.t_click
+        AND epoch_us(e.ts) - c.t_click <= 86400000000
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c) * 1.0 / (SELECT COUNT(*) FROM v) AS view_to_click,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM p) * 1.0 / (SELECT COUNT(*) FROM c) AS click_to_purchase
+    """,
+    description="time-constrained funnel: view -> click -> purchase with each step within 24h of the previous (the product-analytics conversion rule)",
+)
+def q_ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day_us = 86_400_000_000
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts_us") > F.col("t_view")) & (F.col("ts_us") - F.col("t_view") <= day_us))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t_click")) & (F.col("ts_us") - F.col("t_click") <= day_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_click") * 1.0 / F.col("n_view")).alias("view_to_click"),
+        (F.col("n_purchase") * 1.0 / F.col("n_click")).alias("click_to_purchase"),
+    )
