@@ -679,3 +679,56 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .filter(F.col("n_customers") >= 5)
     )
+
+
+# --- mergeable distinct-count sketches across shards --------------------------
+# The incremental form of q_approx_distinct: each shard builds a PERSISTABLE
+# HLL sketch (Datasketches binary — what a lake job writes daily), the
+# shards' sketches union WITHOUT rescanning any shard, and the merged
+# estimate is tolerance-checked against the exact count. This is the
+# mergeability contract that makes sketch tables work at 100 TB: adding a
+# day of data costs one shard scan + an O(sketch-size) union, never a
+# recount. Sketch bytes aren't portable across engines, so — exactly like
+# q_approx_distinct — the oracle checks the exact side and emits the
+# tolerance verdicts as oracle-checked booleans.
+@register(
+    "q_hll_shards",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(3 AS BIGINT) AS n_shards,
+           TRUE AS merged_within_tol,
+           TRUE AS shards_cover_exact
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="mergeable HLL sketch tables: per-shard sketches union to the corpus estimate without rescans; tolerance-checked vs exact (sketch values engine-local, verdicts oracle-checked)",
+)
+def q_hll_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "shard", F.pmod(F.col("l_orderkey"), F.lit(3))
+    )
+    # per-shard sketch table: what each daily job would persist
+    shard_sketches = li.groupBy("l_returnflag", "shard").agg(
+        F.hll_sketch_agg("l_partkey", 14).alias("sketch"),
+        F.countDistinct("l_partkey").alias("shard_exact"),
+    )
+    merged = shard_sketches.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_est"),
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("shard_exact").alias("sum_shard_exact"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        F.col("n_shards").cast("long").alias("n_shards"),
+        (
+            F.abs(F.col("merged_est") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("merged_within_tol"),
+        # shard-exact counts can only overcount the union (a part key in
+        # two shards counts twice) — sanity bound on the shard split
+        (F.col("sum_shard_exact") >= F.col("exact_parts")).alias("shards_cover_exact"),
+    )
