@@ -2967,3 +2967,58 @@ def q_winnow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = fps.filter(F.col("doc_id") % 5 == 0)
     old = fps.filter(F.col("doc_id") % 5 != 0)
     return winnow_dedup_delta(new, old, max_doc_freq=50, min_shared=2)
+
+
+# --- token-distribution entropy (templated-text detector) ---------------------
+# Shannon entropy of each doc's token distribution — the corpus-diversity
+# signal orthogonal to q_doc_repetition (which sees ADJACENT n-gram dups;
+# entropy sees global skew: a doc cycling five tokens has low entropy and
+# zero trigram dups). Emits the 20 lowest-entropy docs — the templated/spam
+# candidates a curation pass reviews first. ln() is the q_tfidf-trusted
+# libm call; per-doc sums are ~50 terms so summation-order ulps sit at
+# ~1e-15 against entropies O(1), and ordering compares the ROUNDED value on
+# both engines with a doc_id tie-break.
+@register(
+    "q_doc_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents)
+      WHERE token <> ''
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY doc_id, token
+    ), tfp AS (
+      SELECT doc_id, n, SUM(n) OVER (PARTITION BY doc_id) AS tot FROM tf
+    ), d AS (
+      SELECT doc_id,
+             CAST(MAX(tot) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             ROUND(-SUM((CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 6)
+               AS entropy
+      FROM tfp GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types, entropy
+    FROM d ORDER BY entropy, doc_id LIMIT 20
+    """,
+    description="token-distribution Shannon entropy per doc: 20 lowest-entropy (most templated) docs, the global-skew signal adjacent-n-gram repetition misses",
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("doc_id")
+    p = F.col("n").cast("double") / F.sum("n").over(tot)
+    d = tf.withColumn("__p", p).groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(-F.sum(F.col("__p") * F.log(F.col("__p"))), 6).alias("entropy"),
+    )
+    return d.orderBy("entropy", "doc_id").limit(20)
