@@ -3022,3 +3022,78 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(F.col("__p") * F.log(F.col("__p"))), 6).alias("entropy"),
     )
     return d.orderBy("entropy", "doc_id").limit(20)
+
+
+# --- collocation mining (PMI of adjacent bigrams) -----------------------------
+# The corpus-linguistics classic: pointwise mutual information of adjacent
+# token pairs against their unigram frequencies, min-count floored (Church
+# & Hanks 1990). High-PMI pairs are the multiword expressions a tokenizer
+# or phrase-aware dedup wants to treat as units. Counts are integers;
+# PMI = ln(n_ab · N_uni² / (N_bi · n_a · n_b)) computed in one ln() from an
+# exact integer ratio's numerator/denominator doubles, 6-dp rounded, with
+# a (bigram) tie-break so both engines order identically.
+@register(
+    "q_pmi_bigrams",
+    """
+    WITH tok AS (
+      SELECT doc_id, pos, token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token,
+                   generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents)
+      WHERE token <> ''
+    ), uni AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+    ), bi AS (
+      SELECT a.token AS w1, b.token AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.token, b.token
+    ), tots AS (
+      SELECT (SELECT SUM(n) FROM uni) AS n_uni, (SELECT SUM(n_ab) FROM bi) AS n_bi
+    )
+    SELECT w1, w2, n_ab,
+           ROUND(ln((CAST(n_ab AS DOUBLE) * n_uni * n_uni)
+                    / (CAST(n_bi AS DOUBLE) * ua.n * ub.n)), 6) AS pmi
+    FROM bi JOIN uni ua ON ua.token = w1 JOIN uni ub ON ub.token = w2, tots
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    description="collocation mining: top-20 adjacent bigrams by PMI (min count 5) — the multiword-expression signal for tokenizers and phrase-aware dedup",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+        .filter(F.col("token") != "")
+    )
+    # adjacent pairs WITHOUT a self-join: lead() over the in-doc order —
+    # one shuffle on doc_id instead of re-shuffling the token table twice
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("w2", F.lead("token").over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("token").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tots = uni.agg(F.sum("n").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("n_ab").alias("n_bi"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_bi").cast("double") * F.col("na") * F.col("nb"))
+        ),
+        6,
+    )
+    return (
+        bi.join(F.broadcast(uni.select(F.col("token").alias("w1"), F.col("n").alias("na"))), "w1")
+        .join(F.broadcast(uni.select(F.col("token").alias("w2"), F.col("n").alias("nb"))), "w2")
+        .crossJoin(F.broadcast(tots))
+        .filter(F.col("n_ab") >= 5)
+        .select("w1", "w2", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
