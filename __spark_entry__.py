@@ -84,17 +84,6 @@ def _first_party_closure(src: str, here: str, _cache: dict | None = None) -> set
 
     if _cache is None:
         _cache = {}
-    rel = os.path.relpath(os.path.abspath(src), here)
-    if rel in _cache:
-        return _cache[rel]
-    out = {rel}
-    _cache[rel] = out  # pre-seed to cut import cycles
-    try:
-        with open(os.path.join(here, rel)) as fh:
-            tree = ast.parse(fh.read())
-    except (OSError, SyntaxError):
-        return out
-    pkg_parts = rel.split(os.sep)[:-1]  # package dirs of this module
 
     def _module_paths(modname: str):
         parts = modname.split(".")
@@ -105,26 +94,53 @@ def _first_party_closure(src: str, here: str, _cache: dict | None = None) -> set
             if os.path.exists(os.path.join(here, cand)):
                 yield cand
 
-    names: set[str] = set()
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Import):
-            names.update(a.name for a in node.names)
-        elif isinstance(node, ast.ImportFrom):
-            if node.level:  # relative: resolve against this module's package
-                base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
-                prefix = ".".join(base)
-                mod = f"{prefix}.{node.module}" if node.module else prefix
-            else:
-                mod = node.module or ""
-            if mod:
-                names.add(mod)
-                # `from pkg.mod import name` where name is itself a module
-                names.update(f"{mod}.{a.name}" for a in node.names)
-    for modname in names:
-        if not modname.startswith("syscol_spark"):
-            continue
-        for cand in _module_paths(modname):
-            out.update(_first_party_closure(os.path.join(here, cand), here, _cache))
+    def _direct(rel: str) -> set[str]:
+        """Repo-relative paths of first-party modules ``rel`` imports
+        directly. Cached per module — cycle-safe because the cache only ever
+        holds COMPLETE direct-import sets; the transitive closure below is a
+        separate fixpoint walk (a pre-seeded recursive cache let a cyclic
+        dependent snapshot a partially-built set and permanently miss deps)."""
+        if rel in _cache:
+            return _cache[rel]
+        try:
+            with open(os.path.join(here, rel)) as fh:
+                tree = ast.parse(fh.read())
+        except (OSError, SyntaxError):
+            _cache[rel] = set()
+            return _cache[rel]
+        pkg_parts = rel.split(os.sep)[:-1]  # package dirs of this module
+        names: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                names.update(a.name for a in node.names)
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:  # relative: resolve against this pkg
+                    base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                    prefix = ".".join(base)
+                    mod = f"{prefix}.{node.module}" if node.module else prefix
+                else:
+                    mod = node.module or ""
+                if mod:
+                    names.add(mod)
+                    # `from pkg.mod import name` where name is itself a module
+                    names.update(f"{mod}.{a.name}" for a in node.names)
+        deps: set[str] = set()
+        for modname in names:
+            if not modname.startswith("syscol_spark"):
+                continue
+            deps.update(_module_paths(modname))
+        _cache[rel] = deps
+        return deps
+
+    start = os.path.relpath(os.path.abspath(src), here)
+    out = {start}
+    frontier = [start]
+    while frontier:
+        rel = frontier.pop()
+        for dep in _direct(rel):
+            if dep not in out:
+                out.add(dep)
+                frontier.append(dep)
     return out
 
 
@@ -195,7 +211,16 @@ def _prioritized(cat: dict) -> dict:
             key=lambda n: (last_green[n], list(cat).index(n)),
         )
     }
-    rest = {n: f for n, f in cat.items() if n in last_green and n not in drift}
+    # fresh tier also oldest-record-first: when nothing drifts, the driver's
+    # leftover record slots keep cycling through the names whose latest green
+    # row is oldest instead of re-recording the top of the catalog
+    rest = {
+        n: cat[n]
+        for n in sorted(
+            (n for n in cat if n in last_green and n not in drift),
+            key=lambda n: (last_green[n], list(cat).index(n)),
+        )
+    }
     return {**never_recorded, **errored, **drifted, **rest}
 
 
