@@ -10,25 +10,35 @@ distributed DataFrame ops:
    frequency (explode + sum groupBy over the vocab table), take the global
    argmax with a distributed TakeOrdered top-1 (integer counts,
    (count desc, pair asc) total order — fully deterministic), and apply the
-   merge to every word with one literal string replace.
+   merge to every word with one left-to-right fold over its symbols.
 
 The per-step driver pull is ONE row (the winning pair) — the same bounded
 trainer-side pattern as kmeans_centroids, not a data-proportional collect.
 
-Symbol sequences are carried as a delimited string ``|s1|s2|...|`` so a
-merge of (a, b) is literally ``replace(repr, '|a|b|', '|ab|')``: string
-replace scans left-to-right non-overlapping, which IS the BPE application
-order (in ``|a|a|a|`` the pair (a,a) merges the first two, leaving
-``|aa|a|`` — verified by test_bpe_overlapping_pairs_merge_left_to_right).
-The representation keeps the whole loop inside codegen'd expressions; after
-n merges a word's repr is an n-deep replace chain over the initial
-characters, still one narrow projection.
+Symbol sequences are carried as a delimited string ``|s1|s2|...|``. A merge
+of (a, b) is applied with ``F.aggregate`` folding the symbol array
+left-to-right into a fresh delimited string: when the accumulator ends with
+``|a|`` and the next symbol is ``b``, the tail is rewritten to ``|ab|``,
+else the symbol is appended. This is EXACTLY the textbook single-pass
+merge-with-skip (in ``a a a`` the pair (a,a) merges the first two, leaving
+``[aa, a]``; in ``a b a b`` both occurrences merge to ``[ab, ab]``). A
+plain non-overlapping string replace of ``|a|b|``→``|ab|`` is NOT
+equivalent: the match consumes the shared ``|`` delimiter, so consecutive
+occurrences ('abab', 'banana' under (a,n)) are missed — that bug shipped in
+rounds 6-7 and is pinned by test_bpe_consecutive_pair_words now. The fold
+stays a single codegen'd projection per merge step.
 
 Production scale note: real tokenizers run 30k+ merges; one Spark job per
-merge would be scheduler-bound. The production path batches compatible
-merges per round (apply the top-k pairwise-disjoint pairs per iteration —
-the standard parallel-BPE construction); the per-step semantics here are
-the exact sequential definition the batched variant must reproduce.
+merge would be scheduler-bound. ``learn_bpe_merges(..., batch=k)`` applies
+the standard parallel-BPE construction: per round, count pairs ONCE, select
+up to k pairs greedily by (count desc, pair asc) subject to pairwise symbol
+disjointness ({left, right, merged} of every selected pair disjoint from
+every other's), and apply them all in ONE fold pass. Disjointness makes the
+selected pairs' counts invariant under each other's application, so within
+a round the batch reproduces the sequential choice order; across rounds it
+can diverge from strict argmax-per-merge only when a merge-created pair
+(x, ab) would outrank the round's later picks — the standard, documented
+parallel-BPE approximation. ``batch=1`` is the exact sequential algorithm.
 
 Reference parity: the reference ships no tokenizer (SURVEY.md §2.11
 north-star scope); semantics follow the public BPE algorithm.
@@ -37,7 +47,7 @@ north-star scope); semantics follow the public BPE algorithm.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from syscol_spark.functions.text import tokens
 
@@ -52,15 +62,19 @@ def word_freq_table(df: DataFrame, content_col: str) -> DataFrame:
     )
 
 
-def _char_repr(word) -> F.Column:
+def _char_repr(word) -> Column:
     """'cat' -> '|c|a|t|': every single character becomes one symbol."""
     c = F.col(word) if isinstance(word, str) else word
     return F.concat(F.lit("|"), F.regexp_replace(c, "(.)", "$1|"))
 
 
-def _pair_keys(repr_col: F.Column) -> F.Column:
+def _syms(repr_col: Column) -> Column:
+    return F.filter(F.split(repr_col, r"\|"), lambda x: x != "")
+
+
+def _pair_keys(repr_col: Column) -> Column:
     """Adjacent symbol pairs of a repr, each as its own '|a|b|' merge key."""
-    syms = F.filter(F.split(repr_col, r"\|"), lambda x: x != "")
+    syms = _syms(repr_col)
     n = F.size(syms)
     left = F.slice(syms, 1, F.greatest(n - 1, F.lit(0)))
     right = F.slice(syms, 2, F.greatest(n - 1, F.lit(0)))
@@ -69,7 +83,69 @@ def _pair_keys(repr_col: F.Column) -> F.Column:
     )
 
 
-def learn_bpe_merges(df: DataFrame, content_col: str, *, n_merges: int = 8) -> DataFrame:
+def _apply_merges_fold(repr_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """One left-to-right fold applying every (left, right) merge in
+    ``merges`` (textbook merge-with-skip). With a single pair this IS the
+    sequential merge application; with several pairwise-symbol-disjoint
+    pairs at most one can match at any position, so the single pass equals
+    applying them sequentially in any order. All compared values are
+    literals — nothing re-evaluates per element beyond the accumulator."""
+
+    def step(acc: Column, s: Column) -> Column:
+        out = F.concat(acc, s, F.lit("|"))
+        for left_sym, right_sym in reversed(merges):
+            tail = f"|{left_sym}|"
+            out = F.when(
+                acc.endswith(F.lit(tail)) & (s == F.lit(right_sym)),
+                F.concat(
+                    acc.substr(F.lit(1), F.length(acc) - F.lit(len(left_sym) + 1)),
+                    F.lit(left_sym + right_sym + "|"),
+                ),
+            ).otherwise(out)
+        return out
+
+    return F.aggregate(_syms(repr_col), F.lit("|"), step)
+
+
+def _select_disjoint(pairs: list[tuple[str, int]], batch: int) -> list[tuple[str, str, int]]:
+    """Greedy top-``batch`` pairwise-symbol-disjoint pairs from a
+    (pair_key desc-by-count) ordered list. A pair (l, r) is admissible iff
+    none of {l, r, l+r} was used by an earlier pick — that invariance is
+    what lets one fold pass apply the whole batch."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for pair_key, cnt in pairs:
+        left_sym, right_sym = pair_key.strip("|").split("|", 1)
+        merged = left_sym + right_sym
+        if {left_sym, right_sym, merged} & used:
+            continue
+        used.update((left_sym, right_sym, merged))
+        out.append((left_sym, right_sym, cnt))
+        if len(out) >= batch:
+            break
+    return out
+
+
+def _round_top_pairs(words: DataFrame, batch: int) -> list[tuple[str, int]]:
+    """ONE Spark action per training round: weighted adjacent-pair counts
+    over the vocab table, top slice in (count desc, pair asc) order. Pulling
+    batch*4 rows keeps the driver transfer tiny while giving the greedy
+    disjointness filter enough candidates; module-level so tests can count
+    rounds (the probe for 'batched = fewer jobs')."""
+    rows = (
+        words.select(F.explode(_pair_keys(F.col("repr"))).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(max(batch * 4, 8))
+        .collect()
+    )
+    return [(r["pair"], int(r["cnt"])) for r in rows]
+
+
+def learn_bpe_merges(
+    df: DataFrame, content_col: str, *, n_merges: int = 8, batch: int = 1
+) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from a corpus.
 
     Returns a DataFrame (step, left_sym, right_sym, merged, freq): the merge
@@ -77,39 +153,41 @@ def learn_bpe_merges(df: DataFrame, content_col: str, *, n_merges: int = 8) -> D
     pair count at the moment the merge was chosen (integer — no float
     parity risk). Column names avoid the reserved words LEFT/RIGHT so the
     oracle SQL can use them verbatim.
+
+    ``batch=1`` (default) is the exact sequential algorithm; ``batch=k``
+    applies up to k symbol-disjoint merges per counting round (parallel
+    BPE — see module docstring), cutting Spark job count ~k-fold.
     """
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
+    if batch <= 0:
+        raise ValueError("batch must be positive")
     spark = df.sparkSession
-    # Materialize the word-frequency table EAGERLY: each merge step is its
-    # own Spark action, and without the checkpoint every step would re-run
-    # the corpus scan + shuffle from lineage (n_merges corpus scans instead
-    # of one — the "write signatures first" lesson from q_minhash_lsh). The
-    # checkpoint also resets lineage so step t's plan is t replaces deep
-    # over a vocab-sized table, not t replays of the corpus.
+    # Materialize the word-frequency table EAGERLY: each merge round is its
+    # own Spark action, and without the checkpoint every round would re-run
+    # the corpus scan + shuffle from lineage (one corpus scan per round
+    # instead of one total — the "write signatures first" lesson from
+    # q_minhash_lsh). The checkpoint also resets lineage so round t's plan
+    # is t folds deep over a vocab-sized table, not t replays of the corpus.
     words = (
         word_freq_table(df, content_col)
         .withColumn("repr", _char_repr("word"))
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        best = (
-            words.select(F.explode(_pair_keys(F.col("repr"))).alias("pair"), "freq")
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not best:  # corpus of 1-char words only: nothing left to merge
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        top = _round_top_pairs(words, want)
+        picked = _select_disjoint(top, want)
+        if not picked:  # corpus of 1-char words only: nothing left to merge
             break
-        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
-        left, right = pair.strip("|").split("|", 1)
-        merged = left + right
-        merges.append((step, left, right, merged, cnt))
+        for left_sym, right_sym, cnt in picked:
+            merges.append(
+                (len(merges) + 1, left_sym, right_sym, left_sym + right_sym, cnt)
+            )
         words = words.withColumn(
-            "repr", F.replace(F.col("repr"), F.lit(pair), F.lit(f"|{merged}|"))
+            "repr",
+            _apply_merges_fold(F.col("repr"), [(l, r) for l, r, _ in picked]),
         )
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, merged string, freq long"
@@ -118,14 +196,14 @@ def learn_bpe_merges(df: DataFrame, content_col: str, *, n_merges: int = 8) -> D
 
 def apply_bpe_merges(df: DataFrame, content_col: str, merges: list[tuple[str, str]]) -> DataFrame:
     """Tokenize ``content_col`` with a learned merge list: per word, start
-    from characters and apply every merge in order (one replace each — the
-    chain stays a single codegen'd projection). Adds ``bpe_syms``
+    from characters and apply every merge in learned order (one fold each —
+    the chain stays a single codegen'd projection). Adds ``bpe_syms``
     (array<string>) without touching other columns."""
     def word_to_syms(w):
         r = F.concat(F.lit("|"), F.regexp_replace(w, "(.)", "$1|"))
-        for left, right in merges:
-            r = F.replace(r, F.lit(f"|{left}|{right}|"), F.lit(f"|{left}{right}|"))
-        return F.filter(F.split(r, r"\|"), lambda x: x != "")
+        for left_sym, right_sym in merges:
+            r = _apply_merges_fold(r, [(left_sym, right_sym)])
+        return _syms(r)
 
     return df.withColumn(
         "bpe_syms",

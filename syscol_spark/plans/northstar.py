@@ -2550,10 +2550,13 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE vocabulary induction -------------------------------------------------
 # Tokenizer training as distributed DataFrame ops (operators/bpe.py): word
 # frequency table (one corpus shuffle), then per merge step an integer
-# pair-count argmax + one literal replace. The oracle unrolls the EXACT
-# loop into a CTE chain (the kmeans/PageRank oracle technique) — integer
-# counts and a (count desc, pair asc) total order make every step
-# bit-deterministic, no float anywhere.
+# pair-count argmax + one left-to-right fold over each word's symbols
+# (list_reduce — the textbook merge-with-skip; a plain string replace of
+# '|a|b|'→'|ab|' consumes the shared delimiter and misses consecutive
+# occurrences like 'abab'/'banana'). The oracle unrolls the EXACT loop into
+# a CTE chain (the kmeans/PageRank oracle technique) — integer counts and a
+# (count desc, pair asc) total order make every step bit-deterministic, no
+# float anywhere.
 def _bpe_ctes(n_merges: int) -> list[str]:
     ctes = [
         "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
@@ -2571,27 +2574,38 @@ def _bpe_ctes(n_merges: int) -> list[str]:
             f"FROM {prev})) GROUP BY pair)"
         )
         ctes.append(
-            f"m{t} AS (SELECT {t} AS step, pair, cnt FROM p{t} "
-            "ORDER BY cnt DESC, pair LIMIT 1)"
+            f"m{t} AS (SELECT {t} AS step, pair, cnt, "
+            "string_split(trim(pair, '|'), '|')[1] AS lsym, "
+            "string_split(trim(pair, '|'), '|')[2] AS rsym, "
+            "replace(trim(pair, '|'), '|', '') AS msym "
+            f"FROM p{t} ORDER BY cnt DESC, pair LIMIT 1)"
         )
+        # textbook left-to-right merge-with-skip: fold the symbol list into
+        # a fresh delimited repr, rewriting the tail '|l|' + next 'r' → '|lr|'
         ctes.append(
             f"w{t} AS (SELECT w.word, w.freq, "
-            "replace(w.repr, m.pair, '|' || replace(trim(m.pair, '|'), '|', '') || '|') AS repr "
+            "list_reduce("
+            "list_prepend('|', list_filter(string_split(w.repr, '|'), x -> x <> '')), "
+            "(acc, s) -> CASE WHEN s = m.rsym AND ends_with(acc, '|' || m.lsym || '|') "
+            "THEN substr(acc, 1, len(acc) - len(m.lsym) - 1) || m.msym || '|' "
+            "ELSE acc || s || '|' END) AS repr "
             f"FROM {prev} w, m{t} m)"
         )
     return ctes
 
 
 def _bpe_oracle_sql(n_merges: int) -> str:
-    steps = " UNION ALL ".join(f"SELECT step, pair, cnt FROM m{t}" for t in range(1, n_merges + 1))
+    steps = " UNION ALL ".join(
+        f"SELECT step, lsym, rsym, msym, cnt FROM m{t}" for t in range(1, n_merges + 1)
+    )
     return (
         "WITH "
         + ",\n    ".join(_bpe_ctes(n_merges))
         + f"""
     SELECT CAST(step AS INTEGER) AS step,
-           string_split(trim(pair, '|'), '|')[1] AS left_sym,
-           string_split(trim(pair, '|'), '|')[2] AS right_sym,
-           replace(trim(pair, '|'), '|', '') AS merged,
+           lsym AS left_sym,
+           rsym AS right_sym,
+           msym AS merged,
            cnt AS freq
     FROM ({steps})
     """
