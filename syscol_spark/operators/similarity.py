@@ -389,7 +389,9 @@ def _collect_query_side(queries: DataFrame, what: str) -> list:
         raise ValueError(
             f"{what}: query side exceeds _QUERY_SIDE_LIMIT={_QUERY_SIDE_LIMIT} rows; "
             "ADC serving builds driver-side distance tables per query — batch the "
-            "queries or use a join-based scorer for query sets this large"
+            "queries or use pq_adc_topk_bulk, whose distance tables stay a "
+            "DataFrame equi-joined to the codes (no driver materialization, "
+            "no query cap)"
         )
     return rows
 
@@ -1036,6 +1038,104 @@ def pq_adc_topk(
             F.col(id_col).alias("neighbor_id"),
             F.round(dist, 6).alias("adc_dist"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(
+        F.col("rk") <= k
+    )
+
+
+def matrix_sqdists(vec: Column | str, matrix: list[list[float]]) -> Column:
+    """Array of squared L2 distances |v - row_j|^2 to every row of a
+    plan-time matrix literal, via one Arrow-batched numpy broadcast —
+    the distance-table construction of pq_adc_topk computed ON-PLAN
+    instead of on the driver. The per-element arithmetic
+    ((v - row) ** 2).sum(last_axis) is the same float64 reduction the
+    driver-side numpy tables use, so the two ADC paths' tables agree
+    bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = np.array(matrix, dtype="float64")  # (n_rows, dim)
+
+    @pandas_udf("array<double>")
+    def _sqd(v: pd.Series) -> pd.Series:
+        b = np.stack(v.to_numpy()).astype("float64")  # (batch, dim)
+        d = ((b[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(list(d))
+
+    return _sqd(F.col(vec) if isinstance(vec, str) else vec)
+
+
+def pq_adc_topk_bulk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    max_iter: int = 2,
+    train_stride: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """PQ-ADC top-k for LARGE query sets — the join-based scorer the
+    broadcast path's _QUERY_SIDE_LIMIT error points at. Same semantics and
+    output columns as pq_adc_topk (6dp-rounded ADC distance, (dist asc,
+    neighbor_id asc) ties), but the per-query distance tables never touch
+    the driver: they are computed on-plan (matrix_sqdists over each query's
+    sub-vectors) and carried as a DataFrame keyed (query_id, subspace,
+    centroid), equi-joined to the long-format codes on (subspace, code).
+
+    Scale shape: tables side is |queries| * n_subspaces * n_centroids rows
+    (128 per query at 8x16) — distributed, no broadcast, no cap. The join
+    key has only n_subspaces * n_centroids distinct values; AQE skew-join
+    splits the big matches, and the per-(query, neighbor) sum is partially
+    aggregated map-side before its shuffle. Full-ADC scoring is inherently
+    |corpus| * |queries| work in the compressed domain — at production
+    scale compose with IVF pruning (ivf_pq_topk) for sublinear candidates;
+    this operator is the exhaustive-scoring path at unbounded query count.
+    """
+    sub = dim // n_subspaces
+    df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    codebooks = _pq_codebooks(
+        df, dim=dim, n_subspaces=n_subspaces, n_centroids=n_centroids,
+        max_iter=max_iter, train_stride=train_stride,
+    )
+    codes = pq_codes(
+        corpus, vec_col=vec_col, id_col=id_col, dim=dim,
+        n_subspaces=n_subspaces, n_centroids=n_centroids,
+        max_iter=max_iter, train_stride=train_stride, codebooks=codebooks,
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    for s in range(n_subspaces):
+        q = q.withColumn(
+            f"__t{s}",
+            matrix_sqdists(F.slice(F.col("__qvec"), s * sub + 1, sub), codebooks[s]),
+        )
+    tables = (
+        q.select(
+            "query_id",
+            F.posexplode(F.array(*[F.col(f"__t{s}") for s in range(n_subspaces)]))
+            .alias("__ts", "__dists"),
+        )
+        .select(
+            "query_id", "__ts", F.posexplode(F.col("__dists")).alias("__tc", "__d")
+        )
+    )
+    codes_long = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(F.array(*[F.col(f"c{s}") for s in range(n_subspaces)]))
+        .alias("__s", "__code"),
+    )
+    scored = (
+        codes_long.join(
+            tables,
+            (F.col("__s") == F.col("__ts")) & (F.col("__code") == F.col("__tc")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__d"), 6).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(

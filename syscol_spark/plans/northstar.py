@@ -1049,6 +1049,28 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The bulk ADC scorer must produce byte-identical answers to the broadcast
+# scorer — same oracle SQL, different physical plan (distance tables as a
+# DataFrame equi-joined to codes instead of a driver-built broadcast; no
+# query-count cap). Registering it against the SAME unrolled-CTE oracle
+# hash-validates the join-based path end-to-end.
+@register(
+    "q_ann_adc_bulk",
+    _pq_adc_oracle_sql(
+        n_subspaces=8, sub_dim=8, k=16, iters=2, train_stride=4, q_max=10, topk=5
+    ),
+    description="join-based bulk PQ-ADC top-k: on-plan distance tables equi-joined to codes (no driver tables, no query cap) — same oracle as q_ann_pq_adc",
+)
+def q_ann_adc_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import pq_adc_topk_bulk
+
+    emb = _emb(spark, sf_dir)
+    return pq_adc_topk_bulk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, n_subspaces=8,
+        n_centroids=16, max_iter=2, train_stride=4, k=5,
+    )
+
+
 # --- IVF+PQ composed ANN serving ---------------------------------------------
 # Composes the two validated chains: the coarse IVF chain (suffix _c) prunes
 # to each query's nprobe lists exactly as q_ann_ivf's oracle does, and the

@@ -1239,6 +1239,50 @@ def test_bpe_apply_reconstructs_words(spark):
     assert len(out) < len("bananabandana")
 
 
+def test_pq_adc_bulk_matches_broadcast_beyond_query_cap(spark, sf_dir):
+    """The join-based bulk ADC scorer must (a) accept a query set far past
+    the broadcast path's _QUERY_SIDE_LIMIT and (b) return exactly the
+    broadcast path's top-k on a 10k subset (same trained codebooks — both
+    trainers are deterministic)."""
+    from syscol_spark.operators.similarity import (
+        _QUERY_SIDE_LIMIT,
+        pq_adc_topk,
+        pq_adc_topk_bulk,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    n_base = corpus.count()
+    assert n_base == 200
+    reps = _QUERY_SIDE_LIMIT // n_base * 2 + 1  # 101 reps -> 20,200 queries
+    queries = corpus.select(
+        F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("__r"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.col("vec_id") + (F.col("__r") + 1) * 100_000).alias("vec_id"),
+        "embedding",
+        "__r",
+    )
+    assert queries.count() == reps * n_base > 2 * _QUERY_SIDE_LIMIT
+
+    params = dict(dim=64, n_subspaces=8, n_centroids=16, max_iter=2,
+                  train_stride=4, k=5)
+    bulk = pq_adc_topk_bulk(corpus, queries.drop("__r"), **params)
+
+    # broadcast path on an exactly-10k subset; bulk rows for those queries
+    # must match row-for-row (codebooks identical by deterministic training)
+    sub_reps = _QUERY_SIDE_LIMIT // n_base  # 50 reps -> 10,000 queries
+    subset = queries.filter(F.col("__r") < sub_reps).drop("__r")
+    assert subset.count() == _QUERY_SIDE_LIMIT
+    bc = pq_adc_topk(corpus, subset, **params)
+    want = {tuple(r) for r in bc.collect()}
+    cutoff = sub_reps * 100_000 + n_base  # subset ids: (r+1)*1e5+vid, r<50
+    got = {tuple(r) for r in bulk.filter(F.col("query_id") < cutoff).collect()}
+    assert got == want and len(want) == _QUERY_SIDE_LIMIT * params["k"]
+
+
 def test_ivfpq_append_matches_full_encode(spark, sf_dir):
     """Incremental index maintenance: codes appended with the FROZEN
     quantizers must reproduce exactly what encoding the full corpus with
