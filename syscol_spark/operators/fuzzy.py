@@ -15,18 +15,27 @@ form here is q-gram prefix filtering (Gravano et al., VLDB'01; Xiao et al.
    share an element within their first (k·q + 1) grams — so each string
    only indexes its (k·q+1)-gram PREFIX, and candidates come from an
    equi-join on those prefix grams.
-3. The global order used is (document frequency, gram): rarest grams first.
+3. The prefix is further SHORTENED by Ed-Join's location-based rule
+   (Xiao et al. VLDB'08 §4): scanning grams in the global order, stop as
+   soon as the selected grams contain k+1 whose min positions are pairwise
+   >= q apart — disjoint q-windows cannot share an edit, so a string
+   missing all k+1 needs > k edits. On long strings this cuts the prefix
+   from k·q+1 toward k+1 grams, shrinking candidate volume quadratically.
+4. The global order used is (document frequency, gram): rarest grams first.
    Frequency ordering is what makes the candidate set small in practice —
    common grams never enter a prefix unless a string has nothing rarer.
    The frequency table is one aggregation over the exploded grams; its
    join back is left to AQE (it broadcasts when the vocabulary is small,
    shuffles when a 100 TB corpus makes it large — both linear).
-4. Candidate generation carries only (id, length, position) — never the
-   strings — so the pair-dedup shuffle is narrow. Survivors of the length
-   filter (|len(a)-len(b)| <= k, implied by ed <= k) and the positional
-   filter (first-match overlap upper bound, PPJoin-style) rejoin the
-   string table by id (linear) and pay a BANDED Levenshtein (threshold
-   argument: O(k·n) per pair, -1 past the band).
+5. Candidate generation carries only (id, length) — never the strings —
+   so the pair-dedup shuffle is narrow. Survivors of the length filter
+   (|len(a)-len(b)| <= k, implied by ed <= k) rejoin the string table by
+   id (linear) and pay a BANDED Levenshtein (threshold argument: O(k·n)
+   per pair, -1 past the band). The PPJoin-style first-match positional
+   filter was REMOVED: it is only sound when the globally-first shared
+   gram is guaranteed inside both prefixes — true under the count bound,
+   false under location shortening (a real pair may collide only via a
+   later shared gram, where the first-match bound legitimately fails).
 
 Exactness around the bound's edges:
 - Strings whose distinct-gram count is <= k·q can satisfy ed <= k with
@@ -41,6 +50,7 @@ Exactness around the bound's edges:
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -48,12 +58,70 @@ from pyspark.sql import DataFrame, Window
 _SHORT = "\x00short"
 
 
-def _distinct_qgrams(col: F.Column, q: int) -> F.Column:
-    """Distinct character q-grams; strings shorter than q yield themselves."""
+def _distinct_qgrams_minpos(col: F.Column, q: int) -> F.Column:
+    """Distinct character q-grams with each gram's MIN occurrence position,
+    as (gram, pos) structs; strings shorter than q yield themselves at
+    pos 1. All array-side (sort + adjacent-dedup filter) — no shuffle; the
+    positions feed the location-based prefix shortening. The sorted array
+    is lambda-bound (_bind_once) so it is built once per row, not once per
+    filtered element."""
+    from syscol_spark.functions.text import _bind_once
+
     n = F.length(col)
     idx = F.sequence(F.lit(1), F.greatest(n - q + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: col.substr(i, F.lit(q)))
-    return F.array_distinct(F.when(n >= q, grams).otherwise(F.array(col)))
+    grams = F.transform(
+        idx, lambda i: F.struct(col.substr(i, F.lit(q)).alias("gram"), i.alias("pos"))
+    )
+    occ = F.when(n >= q, grams).otherwise(
+        F.array(F.struct(col.alias("gram"), F.lit(1).alias("pos")))
+    )
+    # array_sort on structs orders by (gram asc, pos asc): the first row of
+    # each gram run carries that gram's min position
+    return _bind_once(
+        F.array_sort(occ),
+        lambda srt: F.filter(
+            srt,
+            lambda x, i: (i == 0)
+            | (x["gram"] != F.element_at(srt, i)["gram"]),  # prev = 1-based i
+        ),
+    )
+
+
+def _location_cutoff_udf(max_dist: int, q: int, cap: int):
+    """Arrow-batched per-string prefix cutoff (Ed-Join location-based
+    prefix, Xiao et al. VLDB'08 §4): scanning the string's distinct grams
+    in global (df, gram) order, the prefix may STOP as soon as it contains
+    ``max_dist + 1`` grams whose min-positions are pairwise >= q apart —
+    q-disjoint gram windows cannot share an edit, so a pair missing all of
+    them needs > max_dist edits. Shrinks the prefix from kq+1 toward k+1
+    grams; candidate volume drops quadratically in that ratio. Returns the
+    rank of the completing gram, or ``cap`` when the string never
+    accumulates k+1 disjoint windows (keep the full count-bound prefix)."""
+    from pyspark.sql.functions import pandas_udf
+
+    need = max_dist + 1
+
+    @pandas_udf("int")
+    def _cut(gp: pd.Series) -> pd.Series:
+        out = []
+        for arr in gp:
+            poss: list[int] = []
+            t = cap
+            for item in arr:  # sorted by rn: struct(rn, pos)
+                poss.append(item["pos"])
+                poss.sort()
+                cnt, last = 0, -(10**9)
+                for p in poss:
+                    if p >= last + q:
+                        cnt += 1
+                        last = p
+                if cnt >= need:
+                    t = item["rn"]
+                    break
+            out.append(t)
+        return pd.Series(out, dtype="int32")
+
+    return _cut
 
 
 def edit_distance_pairs(
@@ -70,76 +138,98 @@ def edit_distance_pairs(
     """
     kq = max_dist * q
     prefix_len = kq + 1
-    strings = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__s"))
-    s = strings.withColumn("__grams", _distinct_qgrams(F.col("__s"), q)).withColumn(
-        "__len", F.length("__s")
-    )
+    # checkpointed: the (id, string) slice is read three times — gram
+    # extraction plus BOTH sides of the verify rejoin — and the caller's
+    # upstream may be an arbitrary pipeline (measured: a regex-salted 16x
+    # probe corpus recomputed 3x doubled the operator wall). One narrow
+    # two-column materialization, smaller than the gram index checkpoint.
+    strings = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__s")
+    ).localCheckpoint()
+    s = strings.withColumn(
+        "__grams", _distinct_qgrams_minpos(F.col("__s"), q)
+    ).withColumn("__len", F.length("__s"))
     # materialize the exploded grams ONCE: the posting list feeds both the
     # document-frequency aggregation and the rank join, and recomputing the
     # tokenize+explode pass for each reference (plus for the downstream
     # prefix scan) dominated the wall time (measured ~2.4x at sf0.1). At
     # lake scale this is the "write the gram index to a table first" step —
-    # same pattern as ngram_jaccard_pairs' shingle materialization.
-    ex = s.select("__id", "__len", F.explode("__grams").alias("gram")).localCheckpoint()
+    # same pattern as ngram_jaccard_pairs' shingle materialization. Each
+    # row carries the gram's min occurrence position (computed array-side,
+    # no extra shuffle) for the location-based prefix shortening.
+    ex = s.select(
+        "__id", "__len", F.explode("__grams").alias("o")
+    ).select(
+        "__id", "__len", F.col("o.gram").alias("gram"), F.col("o.pos").alias("pos")
+    ).localCheckpoint()
 
     # global gram order: rarest first, gram string as tie-break (total order)
     freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     ranked = ex.join(freq, "gram")
     w = Window.partitionBy("__id").orderBy(F.col("df").asc(), F.col("gram").asc())
-    base = (
+    counted = (
         ranked.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__id")))
         .filter(F.col("__rn") <= prefix_len)
-        .select("__id", "__len", "gram", "__rn", "__n")
+        .select("__id", "__len", "gram", "pos", "__rn", "__n")
     )
-    # sentinel rows for small gram sets (bound vacuous only small-vs-small);
-    # __rn/__n pinned so the positional filter is vacuously true for them
+    # location-based prefix shortening (exact — see _location_cutoff_udf):
+    # per string, find the rank where the prefix accumulates max_dist+1
+    # pairwise q-disjoint gram windows and cut there. The symmetric-join
+    # guarantee holds per string: order the pair by each side's LAST prefix
+    # gram in the global (df, gram) order; the earlier side's prefix grams
+    # are then absent from the other string entirely, which its own
+    # stopping rule (disjoint windows, or the kq+1 count bound) converts
+    # into ed > max_dist.
+    cuts = (
+        counted.groupBy("__id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__rn", "pos"))).alias("gp")
+        )
+        .select(
+            "__id",
+            _location_cutoff_udf(max_dist, q, prefix_len)(
+                F.col("gp").cast("array<struct<rn:int,pos:int>>")
+            ).alias("__cut"),
+        )
+    )
+    # checkpointed: the self-join reads this subtree twice and the sentinel
+    # scan a third time, and since the location cut the subtree carries a
+    # collect_list + Arrow UDF + join — no longer the cheap freq/rank
+    # recompute the earlier "NOT checkpointed on purpose" A/B measured.
+    # Re-measured at 16x inflation: ~20 s of duplicated cut work saved.
+    base = (
+        counted.join(cuts, "__id")
+        .filter(F.col("__rn") <= F.col("__cut"))
+        .select("__id", "__len", "gram", "__n")
+        .localCheckpoint()
+    )
+    # sentinel rows for small gram sets (bound vacuous only small-vs-small)
     short = (
         base.filter(F.col("__n") <= kq)
         .select("__id", "__len")
         .distinct()
-        .select(
-            "__id",
-            "__len",
-            F.lit(_SHORT).alias("gram"),
-            F.lit(1).alias("__rn"),
-            F.lit(1).alias("__n"),
-        )
+        .select("__id", "__len", F.lit(_SHORT).alias("gram"), F.lit(1).alias("__n"))
     )
-    # NOT checkpointed on purpose (measured A/B at sf0.1: 4.10 s plain vs
-    # 4.94 s with a localCheckpoint here): the self-join below does read
-    # this subtree twice, but the freq agg + rank windows are cheaper to
-    # recompute than the eager materialization barrier. Same lesson as the
-    # Ed-Join COUNT-window revert — measure before "deduplicating" subplans.
     prefix = base.unionByName(short)
 
     a = prefix.select(
-        F.col("__id").alias("id_a"),
-        F.col("__len").alias("len_a"),
-        F.col("__rn").alias("rn_a"),
-        F.col("__n").alias("n_a"),
-        "gram",
+        F.col("__id").alias("id_a"), F.col("__len").alias("len_a"), "gram"
     )
     b = prefix.select(
-        F.col("__id").alias("id_b"),
-        F.col("__len").alias("len_b"),
-        F.col("__rn").alias("rn_b"),
-        F.col("__n").alias("n_b"),
-        "gram",
+        F.col("__id").alias("id_b"), F.col("__len").alias("len_b"), "gram"
     )
-    # positional (first-match) filter: a real pair's FIRST shared gram g at
-    # ordered positions (pa, pb) bounds total overlap by 1 + min(n_a - pa,
-    # n_b - pb); real pairs need overlap >= max(n_a, n_b) - k·q, so any pair
-    # whose every collision violates the bound cannot be real.
-    positional = (
-        F.lit(1) + F.least(F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b"))
-        >= F.greatest("n_a", "n_b") - F.lit(kq)
-    )
+    # NO rank-positional (PPJoin first-match) filter here: it is only sound
+    # when the globally-first shared gram is guaranteed inside both
+    # prefixes, which the count bound (kq+1) provides but the location
+    # shortening does NOT — a real pair can collide only via a later shared
+    # gram, where the first-match overlap bound legitimately fails. The
+    # location cut prunes far harder than the positional test did, and the
+    # length filter (|len_a - len_b| <= k, implied by ed <= k) stays.
     cand = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(max_dist))
-        .filter(positional)
         .select("id_a", "id_b")
         .distinct()
     )

@@ -821,6 +821,113 @@ def streaming_heavy_hitters(
     )
 
 
+_BURN_STATE = StructType(
+    [
+        StructField("h_starts", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+    ]
+)
+_BURN_OUT = StructType(
+    [
+        StructField("h_start", LongType()),
+        StructField("n_1h", LongType()),
+        StructField("err_1h", LongType()),
+        StructField("n_6h", LongType()),
+        StructField("err_6h", LongType()),
+    ]
+)
+
+
+def streaming_burn_rate(
+    stream: DataFrame,
+    *,
+    event_time_col: str = "event_time",
+    type_col: str = "event_type",
+    error_value: str = "error",
+    budget: float = 0.25,
+    threshold: float = 1.2,
+    watermark: str = "1 hour",
+    evict_grace_ms: int = 3_600_000,
+) -> DataFrame:
+    """Continuous multiwindow SLO burn-rate alerting: the streaming twin of
+    q_ev_burn_rate (plans/events.py). The SRE-workbook construction — error
+    ratio vs the error budget on a short (1 h) and long (6 h) window, alert
+    only when BOTH burn rates exceed ``threshold`` — evaluated incrementally
+    as events arrive instead of over a finished table.
+
+    Shape: one stateful key per 6 h bucket holding its six 1 h sub-counters
+    (integers only — the burn-rate division and 6dp rounding happen in a
+    downstream Spark projection using the IDENTICAL expressions as the
+    batch query, so the two cannot drift arithmetically). Update mode
+    re-emits the bucket's refreshed rows each trigger; downstream takes the
+    latest snapshot per h_start (counts grow monotonically). State is
+    evicted via event-time timeout once the watermark passes the bucket end
+    plus ``evict_grace_ms`` — bounded by the watermark horizon, independent
+    of stream length.
+    """
+    us = F.unix_micros(F.col(event_time_col))
+    prepared = stream.withWatermark(event_time_col, watermark).select(
+        F.col(event_time_col),
+        ((us - F.pmod(us, F.lit(21_600_000_000))) / 1_000_000).cast("long").alias("s_start"),
+        ((us - F.pmod(us, F.lit(3_600_000_000))) / 1_000_000).cast("long").alias("h_start"),
+        (F.col(type_col) == error_value).cast("int").alias("is_err"),
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (s_start,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            h_starts, ns, errs = state.get
+            acc = {int(h): [int(n), int(e)] for h, n, e in zip(h_starts, ns, errs)}
+        else:
+            acc = {}
+        for pdf in pdfs:
+            for h, e in zip(pdf["h_start"], pdf["is_err"]):
+                c = acc.setdefault(int(h), [0, 0])
+                c[0] += 1
+                c[1] += int(e)
+        hs = sorted(acc)
+        state.update((hs, [acc[h][0] for h in hs], [acc[h][1] for h in hs]))
+        state.setTimeoutTimestamp((int(s_start) + 21_600) * 1000 + evict_grace_ms)
+        n6 = sum(acc[h][0] for h in hs)
+        e6 = sum(acc[h][1] for h in hs)
+        yield pd.DataFrame(
+            {
+                "h_start": hs,
+                "n_1h": [acc[h][0] for h in hs],
+                "err_1h": [acc[h][1] for h in hs],
+                "n_6h": [n6] * len(hs),
+                "err_6h": [e6] * len(hs),
+            }
+        )
+
+    counts = prepared.groupBy("s_start").applyInPandasWithState(
+        update,
+        outputStructType=_BURN_OUT,
+        stateStructType=_BURN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    # burn rates + alert in Spark expressions IDENTICAL to the batch query
+    burn_1h = F.round((F.col("err_1h").cast("double") / F.col("n_1h")) / budget, 6)
+    burn_6h = F.round((F.col("err_6h").cast("double") / F.col("n_6h")) / budget, 6)
+    return counts.select(
+        "h_start",
+        "n_1h",
+        "err_1h",
+        burn_1h.alias("burn_1h"),
+        "n_6h",
+        "err_6h",
+        burn_6h.alias("burn_6h"),
+        ((burn_1h > threshold) & (burn_6h > threshold)).alias("alert"),
+    )
+
+
 def streaming_norm_dedup(
     docs: DataFrame,
     *,
@@ -849,4 +956,9 @@ def streaming_norm_dedup(
     )
     if hasattr(s, "dropDuplicatesWithinWatermark"):
         return s.dropDuplicatesWithinWatermark(["norm_hash"])
-    return s.dropDuplicates(["norm_hash", "event_time"])
+    # Pre-3.5 fallback: keep the documented first-per-digest contract by
+    # deduping on the digest ALONE (state never ages out — unbounded over an
+    # infinite stream, the price of the missing API). Deduping on
+    # ['norm_hash', 'event_time'] instead would only drop same-timestamp
+    # twins — silently no canonical dedup at all.
+    return s.dropDuplicates(["norm_hash"])

@@ -600,6 +600,59 @@ def test_streaming_heavy_hitters_mg_guarantees(spark, tmp_path):
             assert (s, item) in final, (item, cnt, shard_n[s])
 
 
+def test_streaming_burn_rate_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed multiwindow burn-rate snapshot must converge to exactly
+    the batch q_ev_burn_rate rows (same columns, same 6dp rounding, same
+    alert flags) when the event stream is replayed in time order across
+    three micro-batches — including 6h buckets whose events straddle a
+    batch boundary, which only cross-batch state can total correctly."""
+    from syscol_spark.plans.catalog import query_catalog
+    from syscol_spark.sources.tables import load_table
+    from syscol_spark.streaming.analytics import streaming_burn_rate
+
+    expected = {
+        tuple(r) for r in query_catalog()["q_ev_burn_rate"](spark, sf_dir).collect()
+    }
+    assert expected
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts_utc").alias("event_time"), "event_type", "ts_us"
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    src = str(tmp_path / "ev")
+    ev.filter(F.col("ts_us") <= cut1).drop("ts_us").coalesce(1).write.parquet(f"{src}/f0")
+    ev.filter((F.col("ts_us") > cut1) & (F.col("ts_us") <= cut2)).drop("ts_us").coalesce(1).write.parquet(f"{src}/f1")
+    ev.filter(F.col("ts_us") > cut2).drop("ts_us").coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema("event_time timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_burn_rate(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("burn").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM burn").collect()
+    assert rows
+    # update mode re-emits a bucket's rows each trigger it receives data;
+    # counts grow monotonically, so the final snapshot per h_start is the
+    # row with the largest (n_6h, n_1h)
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["h_start"])
+        if cur is None or (r["n_6h"], r["n_1h"]) > (cur["n_6h"], cur["n_1h"]):
+            latest[r["h_start"]] = r
+    got = {tuple(r) for r in latest.values()}
+    assert got == expected
+
+
 def test_streaming_norm_dedup_matches_batch_canonicals(spark, sf_dir, tmp_path):
     """The streamed keep set must be exactly the batch q_norm_dedup
     canonical set (one survivor per normalized digest) when docs arrive in
