@@ -684,7 +684,8 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH assets AS (
       SELECT doc_id AS id, lang AS block, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS id, lang AS block, text FROM documents WHERE doc_id % 10 = 0
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS id, lang AS block, text
+      FROM documents WHERE doc_id % 10 = 0
     ), feats AS (
       SELECT id, block, {_STUB_FEATURE_SQL} AS f FROM assets
     ), m AS (
@@ -712,8 +713,15 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.multimodal import documents_as_assets, perceptual_hash
 
     docs = _t(spark, sf_dir, "documents")
-    twins = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1_000_000
+    # twin ids offset by max(doc_id)+1 ON-PLAN (1-row broadcast), never a
+    # fixed constant: a literal 1M offset collides with real ids on corpora
+    # past 1M docs, silently corrupting the planted-pair semantics
+    off = docs.agg((F.max("doc_id") + 1).alias("__off"))
+    twins = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .crossJoin(F.broadcast(off))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__off"))
+        .drop("__off")
     )
     corpus = docs.unionByName(twins)
     hashed = perceptual_hash(documents_as_assets(corpus))

@@ -2243,7 +2243,7 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH messy AS (
       SELECT doc_id, source, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, source,
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, source,
              replace(upper(text), ' ', '  ') || ' .' AS text
       FROM documents WHERE doc_id % 10 = 0
     ), g AS (
@@ -2264,10 +2264,17 @@ def q_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    twins = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        "source",
-        F.concat(F.regexp_replace(F.upper("text"), " ", "  "), F.lit(" .")).alias("text"),
+    # twin ids offset by max(doc_id)+1 on-plan (1-row broadcast) so the
+    # planting stays id-disjoint on corpora of any size
+    off = d.agg((F.max("doc_id") + 1).alias("__off"))
+    twins = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("__off")).alias("doc_id"),
+            "source",
+            F.concat(F.regexp_replace(F.upper("text"), " ", "  "), F.lit(" .")).alias("text"),
+        )
     )
     g = d.unionByName(twins).select(
         "source",

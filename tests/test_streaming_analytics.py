@@ -662,8 +662,10 @@ def test_streaming_norm_dedup_matches_batch_canonicals(spark, sf_dir, tmp_path):
     from syscol_spark.streaming.analytics import streaming_norm_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # id-disjoint twin offset derived from the corpus, not a fixed constant
+    off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     twins = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + off).alias("doc_id"),
         F.concat(F.regexp_replace(F.upper("text"), " ", "  "), F.lit(" .")).alias("text"),
     )
     corpus = docs.unionByName(twins)
@@ -679,10 +681,10 @@ def test_streaming_norm_dedup_matches_batch_canonicals(spark, sf_dir, tmp_path):
         F.timestamp_micros(1_700_000_000_000_000 + F.col("doc_id") * 1_000),
     )
     src = str(tmp_path / "docs")
-    # originals in batches 0-1, ALL twins in batch 2 (doc_id >= 1M)
-    timed.filter((F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 2 == 0)).coalesce(1).write.parquet(f"{src}/f0")
-    timed.filter((F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 2 == 1)).coalesce(1).write.parquet(f"{src}/f1")
-    timed.filter(F.col("doc_id") >= 1_000_000).coalesce(1).write.parquet(f"{src}/f2")
+    # originals in batches 0-1, ALL twins in batch 2 (doc_id >= off)
+    timed.filter((F.col("doc_id") < off) & (F.col("doc_id") % 2 == 0)).coalesce(1).write.parquet(f"{src}/f0")
+    timed.filter((F.col("doc_id") < off) & (F.col("doc_id") % 2 == 1)).coalesce(1).write.parquet(f"{src}/f1")
+    timed.filter(F.col("doc_id") >= off).coalesce(1).write.parquet(f"{src}/f2")
 
     stream = (
         spark.readStream.schema("doc_id long, text string, event_time timestamp")
@@ -700,5 +702,5 @@ def test_streaming_norm_dedup_matches_batch_canonicals(spark, sf_dir, tmp_path):
         q.stop()
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM norm_dedup").collect()}
     assert got == expected
-    # and the planted twins were dropped: none of the 1M-offset ids survive
-    assert not any(i >= 1_000_000 for i in got)
+    # and the planted twins were dropped: none of the offset ids survive
+    assert not any(i >= off for i in got)
