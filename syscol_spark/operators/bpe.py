@@ -194,6 +194,52 @@ def learn_bpe_merges(
     )
 
 
+def vocab_tokenize_longest(
+    df: DataFrame, content_col: str, vocab: list[str]
+) -> DataFrame:
+    """Greedy maximal-munch tokenization against a fixed vocabulary — the
+    WordPiece-style SERVING path (Wu et al. 2016), vs apply_bpe_merges'
+    merge-order replay: at each position take the LONGEST vocab symbol
+    matching the remaining word, falling back to one character (so every
+    single character is implicitly in-vocab and segmentation is total and
+    lossless). The two policies genuinely differ — BPE replays merge
+    history, maximal munch ignores it — which is exactly the
+    tokenizer-drift production systems must measure.
+
+    Implementation: per word, one left-to-right fold over
+    ``sequence(1, len(word))`` carrying (remaining, tokens) — each step
+    consumes >= 1 char, so word-length iterations always complete exactly
+    (no truncation case at any word length). Vocab is a plan-time literal
+    (chained membership tests, shortest to longest so the longest match
+    wins); the corpus is touched once. Adds ``vocab_syms`` array<string>.
+    """
+    lens = sorted({len(v) for v in vocab if len(v) >= 2})
+    by_len = {n: [v for v in vocab if len(v) == n] for n in lens}
+
+    def word_to_toks(w):
+        def step(acc, _i):
+            rem = acc["rem"]
+            m = F.lit(1)
+            for n in lens:  # ascending: the longest matching length wins
+                m = F.when(rem.substr(F.lit(1), F.lit(n)).isin(by_len[n]), F.lit(n)).otherwise(m)
+            advanced = F.struct(
+                rem.substr(m + 1, F.length(rem)).alias("rem"),
+                F.array_append(acc["toks"], rem.substr(F.lit(1), m)).alias("toks"),
+            )
+            return F.when(F.length(rem) == 0, acc).otherwise(advanced)
+
+        init = F.struct(
+            w.alias("rem"), F.array().cast("array<string>").alias("toks")
+        )
+        steps = F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1)))
+        return F.aggregate(steps, init, step, lambda acc: acc["toks"])
+
+    return df.withColumn(
+        "vocab_syms",
+        F.flatten(F.transform(tokens(content_col), word_to_toks)),
+    )
+
+
 def apply_bpe_merges(df: DataFrame, content_col: str, merges: list[tuple[str, str]]) -> DataFrame:
     """Tokenize ``content_col`` with a learned merge list: per word, start
     from characters and apply every merge in learned order (one fold each —

@@ -2652,6 +2652,71 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(_docs(spark, sf_dir), "text", n_merges=8)
 
 
+# --- maximal-munch vocabulary tokenization (serving path) ---------------------
+# The OTHER tokenizer application policy: greedy longest-match against the
+# learned vocabulary (WordPiece-style serving, Wu et al. 2016) instead of
+# replaying BPE merge order — real systems measure exactly this drift when
+# they swap tokenizer runtimes. Engine: one corpus scan, per-word fold over
+# sequence(1, len(word)) consuming >= 1 char per step (operators/bpe.py::
+# vocab_tokenize_longest). Oracle: the shared unrolled-training CTEs give
+# the vocabulary; a recursive CTE replays the same maximal munch over the
+# DISTINCT word table (vocabulary-sized recursion, never corpus-sized),
+# joined back to the exploded corpus for per-source totals. All integers.
+@register(
+    "q_vocab_tokenize",
+    "WITH RECURSIVE "
+    + ",\n    ".join(_bpe_ctes(8))
+    + """,
+    vocab AS (
+      """
+    + " UNION ".join(f"SELECT msym AS sym FROM m{t}" for t in range(1, 9))
+    + """
+    ), tok(word, rem, n_toks, n_multi) AS (
+      SELECT word, word, 0, 0 FROM w0
+      UNION ALL
+      SELECT word, substr(rem, m + 1), n_toks + 1,
+             n_multi + CASE WHEN m > 1 THEN 1 ELSE 0 END
+      FROM (
+        SELECT word, rem, n_toks, n_multi,
+               COALESCE((SELECT MAX(len(v.sym)) FROM vocab v
+                         WHERE v.sym = substr(rem, 1, len(v.sym))), 1) AS m
+        FROM tok WHERE rem <> ''
+      )
+    ), seg AS (
+      SELECT word, n_toks, n_multi FROM tok WHERE rem = ''
+    ), doctok AS (
+      SELECT source, tk
+      FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+            FROM documents)
+      WHERE tk <> ''
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.n_toks) AS BIGINT) AS n_symbols,
+           CAST(SUM(s.n_multi) AS BIGINT) AS n_multi_tokens
+    FROM doctok d JOIN seg s ON s.word = d.tk
+    GROUP BY source
+    """,
+    description="maximal-munch vocabulary tokenization (WordPiece-style serving) with the learned 8-merge vocab: per-source token totals — the drift surface vs merge-order BPE application",
+)
+def q_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.bpe import learn_bpe_merges, vocab_tokenize_longest
+
+    d = _docs(spark, sf_dir)
+    vocab = [r["merged"] for r in learn_bpe_merges(d, "text", n_merges=8).collect()]
+    tok = vocab_tokenize_longest(d, "text", vocab).select(
+        "source",
+        F.size(F.filter(tokens("text"), lambda x: x != "")).alias("n_words"),
+        F.size("vocab_syms").alias("n_syms"),
+        F.size(F.filter(F.col("vocab_syms"), lambda t: F.length(t) > 1)).alias("n_multi"),
+    )
+    return tok.groupBy("source").agg(
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_syms").alias("n_symbols"),
+        F.sum("n_multi").alias("n_multi_tokens"),
+    )
+
+
 # --- DSIR-style importance weighting ------------------------------------------
 # Data Selection via Importance Resampling (Xie et al., NeurIPS 2023) with
 # hashed unigram features: learn per-bucket smoothed log-probability ratios

@@ -928,6 +928,142 @@ def streaming_burn_rate(
     )
 
 
+_SESS_STATE = StructType(
+    [
+        StructField("anchor_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("subs", ArrayType(LongType())),
+        StructField("sub_start", ArrayType(LongType())),
+        StructField("sub_max", ArrayType(LongType())),
+        StructField("sub_n", ArrayType(LongType())),
+    ]
+)
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("sub_session", LongType()),
+        StructField("sub_start_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_us", LongType()),
+    ]
+)
+
+
+def streaming_capped_sessions(
+    stream: DataFrame,
+    *,
+    event_time_col: str = "event_time",
+    id_col: str = "user_id",
+    seq_col: str = "event_id",
+    gap_us: int = 600_000_000,
+    cap_us: int = 240_000_000,
+    watermark: str = "1 hour",
+    evict_grace_ms: int = 3_600_000,
+) -> DataFrame:
+    """Continuous capped-duration sessionization: the streaming twin of
+    q_ev_session_capped (plans/events.py) — inactivity-gap sessions
+    (``gap_us``) additionally SPLIT at fixed ``cap_us`` offsets from each
+    session's first event, the GA-style rule native session_window cannot
+    express.
+
+    State per user is ONLY the open session (anchor + per-sub-bucket
+    start/max/count) — closed sessions leave state the moment a gap closes
+    them, and idle users are evicted via event-time timeout once the
+    watermark passes their last event plus the gap and ``evict_grace_ms``.
+    Update mode re-emits every sub-session touched in a trigger;
+    sub-session aggregates grow monotonically, so downstream takes the
+    latest snapshot per (user, session_start, sub) — once a session
+    closes, its last snapshot is final by construction.
+
+    Events are processed in (event_time, seq) order within each trigger;
+    cross-trigger order must be respected by the source (the same
+    arrival-order contract as streaming_norm_dedup — late events behind
+    the watermark are dropped by Spark before they reach the operator).
+    """
+    us = F.unix_micros(F.col(event_time_col))
+    prepared = stream.withWatermark(event_time_col, watermark).select(
+        F.col(event_time_col),
+        F.col(id_col).cast("long").alias("user_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+        us.alias("ts_us"),
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            anchor, last, subs_k, subs_s, subs_m, subs_n = state.get
+            subs = {
+                int(k): [int(s), int(m), int(n)]
+                for k, s, m, n in zip(subs_k, subs_s, subs_m, subs_n)
+            }
+        else:
+            anchor, last, subs = None, None, {}
+        events = sorted(
+            (
+                (int(t), int(q))
+                for pdf in pdfs
+                for t, q in zip(pdf["ts_us"], pdf["seq"])
+            )
+        )
+        if not events and not state.hasTimedOut:
+            # spurious invocation with no data: re-emit nothing, keep state
+            if anchor is not None:
+                state.setTimeoutTimestamp(int(last) // 1000 + gap_us // 1000 + evict_grace_ms)
+            return
+        # snapshots of every (session, sub) touched this trigger — entries
+        # of a session closed mid-trigger stay here (final) after the open
+        # session's dict resets
+        touched: dict[tuple[int, int], list[int]] = {}
+        for ts, _q in events:
+            if anchor is None or ts - last >= gap_us:
+                anchor = ts
+                subs = {}
+            sub = (ts - anchor) // cap_us
+            e = subs.get(sub)
+            if e is None:
+                e = subs[sub] = [ts, ts, 0]
+            e[1] = max(e[1], ts)
+            e[2] += 1
+            touched[(anchor, sub)] = e
+            last = ts
+        state.update(
+            (
+                int(anchor),
+                int(last),
+                [int(k) for k in subs],
+                [subs[k][0] for k in subs],
+                [subs[k][1] for k in subs],
+                [subs[k][2] for k in subs],
+            )
+        )
+        state.setTimeoutTimestamp(int(last) // 1000 + gap_us // 1000 + evict_grace_ms)
+        keys = sorted(touched)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)] * len(keys),
+                "session_start_us": [a for a, _s in keys],
+                "sub_session": [s for _a, s in keys],
+                "sub_start_us": [touched[k][0] for k in keys],
+                "n_events": [touched[k][2] for k in keys],
+                "duration_us": [touched[k][1] - touched[k][0] for k in keys],
+            }
+        )
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_norm_dedup(
     docs: DataFrame,
     *,

@@ -1223,6 +1223,20 @@ def test_bpe_batched_runs_fewer_rounds(spark, monkeypatch):
     assert bat_rounds * 4 <= seq_rounds, (seq_rounds, bat_rounds)
 
 
+def test_vocab_tokenize_longest_maximal_munch(spark):
+    """Greedy longest-match semantics: the longest vocab symbol wins at
+    each position, unknown chars fall back to themselves, and segmentation
+    is lossless."""
+    from syscol_spark.operators.bpe import vocab_tokenize_longest
+
+    df = spark.createDataFrame(
+        [("banana abcab xyz",)], "text string"
+    )
+    out = vocab_tokenize_longest(df, "text", ["ab", "abc", "ban", "na"]).collect()[0]
+    assert out["vocab_syms"] == ["ban", "a", "na", "abc", "ab", "x", "y", "z"]
+    assert "".join(out["vocab_syms"]) == "bananaabcabxyz"
+
+
 def test_bpe_apply_reconstructs_words(spark):
     """Applying learned merges tokenizes; concatenating the symbols of a
     word gives back the word (BPE is lossless segmentation)."""

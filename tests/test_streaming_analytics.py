@@ -653,6 +653,69 @@ def test_streaming_burn_rate_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_streaming_capped_sessions_match_batch(spark, sf_dir, tmp_path):
+    """The streamed capped-session snapshot must converge to exactly the
+    batch q_ev_session_capped rows when the event stream replays in time
+    order across three micro-batches — including sessions and sub-sessions
+    that straddle a batch boundary, which only cross-batch per-user state
+    can assemble."""
+    from syscol_spark.plans.catalog import query_catalog
+    from syscol_spark.sources.tables import load_table
+    from syscol_spark.streaming.analytics import streaming_capped_sessions
+
+    expected = {
+        tuple(r)
+        for r in query_catalog()["q_ev_session_capped"](spark, sf_dir).collect()
+    }
+    assert expected
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts_utc").alias("event_time"), "user_id", "event_id", "ts_us"
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    src = str(tmp_path / "sess_ev")
+    ev.filter(F.col("ts_us") <= cut1).drop("ts_us").coalesce(1).write.parquet(f"{src}/f0")
+    ev.filter((F.col("ts_us") > cut1) & (F.col("ts_us") <= cut2)).drop("ts_us").coalesce(1).write.parquet(f"{src}/f1")
+    ev.filter(F.col("ts_us") > cut2).drop("ts_us").coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema("event_time timestamp, user_id long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_capped_sessions(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("capped").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM capped").collect()
+    assert rows
+    # latest snapshot per (user, session anchor, sub): n_events grows
+    # monotonically within a sub-session
+    latest = {}
+    for r in rows:
+        k = (r["user_id"], r["session_start_us"], r["sub_session"])
+        cur = latest.get(k)
+        if cur is None or r["n_events"] > cur["n_events"]:
+            latest[k] = r
+    got = {
+        (r["user_id"], r["session_start_us"], r["sub_session"],
+         r["sub_start_us"], r["n_events"], r["duration_us"])
+        for r in latest.values()
+    }
+    want = {
+        (r["user_id"], r["session_start_us"], r["sub_session"],
+         r["sub_start_us"], r["n_events"], r["duration_us"])
+        for r in (query_catalog()["q_ev_session_capped"](spark, sf_dir).collect())
+    }
+    assert got == want
+
+
 def test_streaming_norm_dedup_matches_batch_canonicals(spark, sf_dir, tmp_path):
     """The streamed keep set must be exactly the batch q_norm_dedup
     canonical set (one survivor per normalized digest) when docs arrive in
