@@ -957,6 +957,82 @@ def q_ev_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable quantile-histogram sketch shards --------------------------------
+# The quantile counterpart of q_hll_shards' mergeability contract: per-shard
+# fixed-width value histograms (bucket = floor(value * 4), width 0.25) merge
+# by plain count SUM — adding a day of data costs one shard scan + an
+# O(n_buckets) merge, never a resort — and nearest-rank quantiles read off
+# the merged cumulative counts with error bounded by the bucket width. All
+# integer arithmetic after the one float multiply (value*4.0 is bit-identical
+# in both engines); quantile rows report the bucket LOWER BOUND in micro
+# units. The two-level aggregation (shard histograms, then merge) is the
+# exact plan shape a sharded lake table produces.
+@register(
+    "q_quantile_shards",
+    """
+    WITH b AS (
+      SELECT event_type, user_id % 8 AS shard,
+             CAST(floor(value * 4.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT event_type, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM m
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN bucket END) * 250000 AS BIGINT) AS p50_lo_micro,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN bucket END) * 250000 AS BIGINT) AS p95_lo_micro,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN bucket END) * 250000 AS BIGINT) AS p99_lo_micro
+    FROM c GROUP BY event_type
+    """,
+    description="mergeable quantile-histogram sketch shards: per-shard fixed-width histograms merge by count SUM, nearest-rank p50/p95/p99 off the merged cumulative — bucket-width error bound, no resort on growth",
+)
+def q_quantile_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    shard_hist = (
+        ev.select(
+            "event_type",
+            F.pmod(F.col("user_id"), F.lit(8)).alias("shard"),
+            F.floor(F.col("value") * 4.0).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "shard", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = shard_hist.groupBy("event_type", "bucket").agg(F.sum("cnt").alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    wn = Window.partitionBy("event_type")
+    c = merged.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def pick(q: float):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("bucket"),
+            )
+        )
+
+    return c.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        (pick(0.50) * 250_000).cast("long").alias("p50_lo_micro"),
+        (pick(0.95) * 250_000).cast("long").alias("p95_lo_micro"),
+        (pick(0.99) * 250_000).cast("long").alias("p99_lo_micro"),
+    )
+
+
 # --- SLO burn rate (multi-window alert) --------------------------------------
 # The SRE-workbook multiwindow burn-rate alert over the event stream: error
 # ratio vs a 25% error budget on a short (1 h) and a long (6 h) window,
