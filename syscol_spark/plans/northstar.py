@@ -2652,6 +2652,105 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(_docs(spark, sf_dir), "text", n_merges=8)
 
 
+# --- batched parallel-BPE (oracle-proven) -------------------------------------
+# The production trainer shape: per counting round, take the top-k pairwise
+# SYMBOL-DISJOINT pairs ({left, right, merged} disjoint across picks) and
+# apply them in ONE fold pass — ~k-fold fewer Spark jobs than argmax-per-
+# merge. The oracle replays the EXACT construction: the greedy disjoint
+# selection is a list_reduce fold over the (cnt desc, pair)-ranked
+# candidate window (same window size as the engine's driver pull,
+# max(batch*4, 8)), with the used-symbol set carried in the accumulator
+# ('picked;...#|used|syms|' — symbols never contain '|', so the '|sym|'
+# membership test is exact); each round's merges then apply to every word
+# in one nested-lambda fold (at most one pair can match at a position, by
+# disjointness). Assumes full batches each round (holds on these corpora —
+# a partial round would hash-mismatch loudly, not silently).
+def _pair_parts(expr: str) -> tuple[str, str, str]:
+    return (
+        f"string_split(trim({expr}, '|'), '|')[1]",
+        f"string_split(trim({expr}, '|'), '|')[2]",
+        f"replace(trim({expr}, '|'), '|', '')",
+    )
+
+
+def _bpe_batched_ctes(n_merges: int, batch: int) -> list[str]:
+    rounds = (n_merges + batch - 1) // batch
+    window = max(batch * 4, 8)
+    ctes = [
+        "wb0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
+        "'|' || regexp_replace(word, '(.)', '\\1|', 'g') AS repr "
+        "FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) "
+        "WHERE word <> '' GROUP BY word)"
+    ]
+    cl, cr, cm = _pair_parts("c")
+    pl, pr, _pm = _pair_parts("p")
+    mfilt = (
+        "list_filter(pk.pairs, p -> {pr} = s AND ends_with(acc, '|' || {pl} || '|'))"
+    ).format(pr=pr, pl=pl)
+    ml, _mr, mm = _pair_parts(f"{mfilt}[1]")
+    for t in range(1, rounds + 1):
+        prev = f"wb{t - 1}"
+        want = min(batch, n_merges - (t - 1) * batch)
+        ctes.append(
+            f"pb{t} AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+            "SELECT freq, unnest(list_transform(range(1, len(syms)), "
+            "i -> '|' || syms[i] || '|' || syms[i + 1] || '|')) AS pair FROM ("
+            "SELECT freq, list_filter(string_split(repr, '|'), x -> x <> '') AS syms "
+            f"FROM {prev})) GROUP BY pair)"
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT list_reduce(list_prepend('#|', cands), (acc, c) -> CASE "
+            f"WHEN len(string_split(string_split(acc, '#')[1], ';')) - 1 >= {want} THEN acc "
+            f"WHEN contains(string_split(acc, '#')[2], '|' || {cl} || '|') "
+            f"  OR contains(string_split(acc, '#')[2], '|' || {cr} || '|') "
+            f"  OR contains(string_split(acc, '#')[2], '|' || {cm} || '|') THEN acc "
+            f"ELSE string_split(acc, '#')[1] || ';' || c || '#' || string_split(acc, '#')[2] "
+            f"  || {cl} || '|' || {cr} || '|' || {cm} || '|' END) AS picked "
+            f"FROM (SELECT list(pair ORDER BY cnt DESC, pair) AS cands FROM "
+            f"(SELECT pair, cnt FROM pb{t} ORDER BY cnt DESC, pair LIMIT {window})))"
+        )
+        ctes.append(
+            f"mb{t} AS (SELECT {(t - 1) * batch} + u.idx AS step, u.pair, p.cnt FROM ("
+            "SELECT unnest(list_transform(range(1, len(ps) + 1), "
+            "i -> struct_pack(idx := i, pair := ps[i]))) AS u FROM ("
+            "SELECT list_filter(string_split(string_split(picked, '#')[1], ';'), x -> x <> '') AS ps "
+            f"FROM sel{t})) JOIN pb{t} p ON p.pair = u.pair)"
+        )
+        ctes.append(
+            f"wb{t} AS (SELECT w.word, w.freq, "
+            "list_reduce("
+            "list_prepend('|', list_filter(string_split(w.repr, '|'), x -> x <> '')), "
+            f"(acc, s) -> CASE WHEN len({mfilt}) > 0 "
+            f"THEN substr(acc, 1, len(acc) - len({ml}) - 1) || {mm} || '|' "
+            "ELSE acc || s || '|' END) AS repr "
+            f"FROM {prev} w, (SELECT list(pair ORDER BY step) AS pairs FROM mb{t}) pk)"
+        )
+    return ctes
+
+
+_BPE_BATCH_ROUNDS = 2  # 8 merges at batch=4
+
+
+@register(
+    "q_bpe_vocab_batched",
+    "WITH "
+    + ",\n    ".join(_bpe_batched_ctes(8, 4))
+    + f"""
+    SELECT CAST(step AS INTEGER) AS step,
+           {_pair_parts("pair")[0]} AS left_sym,
+           {_pair_parts("pair")[1]} AS right_sym,
+           {_pair_parts("pair")[2]} AS merged,
+           cnt AS freq
+    FROM ({" UNION ALL ".join(f"SELECT step, pair, cnt FROM mb{t}" for t in range(1, _BPE_BATCH_ROUNDS + 1))})
+    """,
+    description="batched parallel-BPE: top-4 symbol-disjoint merges per counting round (2 rounds for 8 merges), greedy disjoint selection + one-pass multi-merge fold replayed exactly in the oracle",
+)
+def q_bpe_vocab_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_docs(spark, sf_dir), "text", n_merges=8, batch=4)
+
+
 # --- maximal-munch vocabulary tokenization (serving path) ---------------------
 # The OTHER tokenizer application policy: greedy longest-match against the
 # learned vocabulary (WordPiece-style serving, Wu et al. 2016) instead of
