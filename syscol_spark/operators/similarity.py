@@ -1544,6 +1544,107 @@ def ivfpq_serve(
     )
 
 
+def ivfpq_serve_bulk(
+    index_codes: DataFrame,
+    meta: dict,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF+PQ serving for LARGE query sets — the list-pruned counterpart of
+    pq_adc_topk_bulk. Same ranking semantics and output columns as
+    ivfpq_serve (plain or residual per ``meta``), but NOTHING touches the
+    driver: probe selection, the (query, probed list) pairs, and the ADC
+    distance tables are all plan expressions, carried as a DataFrame keyed
+    (query_id, list_id, subspace, centroid) and equi-joined to the
+    long-format codes on (list_id, subspace, code).
+
+    Scale shape: tables side is |queries| * nprobe * n_subspaces *
+    n_centroids rows — distributed, no broadcast, no _QUERY_SIDE_LIMIT.
+    The join meets each code row only with queries that PROBED its list
+    (the IVF pruning is inside the equi-join key), so join output is
+    candidate-proportional, ~|corpus| * nprobe / n_lists per query, and
+    the per-(query, neighbor) sum partially aggregates map-side. For the
+    residual recipe the per-list residual (q - C_list) is one zip_with
+    against the coarse-centroid literal before the same sqdist tables —
+    the construction the broadcast path does in numpy, here in-plan.
+    """
+    dim, n_subspaces = meta["dim"], meta["n_subspaces"]
+    residual, id_col = meta["residual"], meta["id_col"]
+    coarse, codebooks = meta["coarse"], meta["codebooks"]
+    sub = dim // n_subspaces
+    half_norms = [sum(x * x for x in c) / 2.0 for c in coarse]
+
+    # nprobe best coarse lists per query — the same ranking expression the
+    # broadcast path's plain branch uses (score desc, ties to higher index)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        matrix_dots(vec_col, coarse).alias("__dots"),
+    )
+    scored_lists = F.zip_with(
+        F.col("__dots"), F.array(*[F.lit(h) for h in half_norms]), lambda d, h: d - h
+    )
+    ranked = F.transform(
+        scored_lists, lambda s, i: F.struct(s.alias("score"), i.cast("int").alias("idx"))
+    )
+    probes = F.slice(F.reverse(F.array_sort(ranked)), 1, nprobe)
+    qp = qb.select(
+        "query_id", "__qvec", F.explode(probes).alias("__p")
+    ).select("query_id", "__qvec", F.col("__p.idx").alias("list_id"))
+    if residual:
+        cmat = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in coarse])
+        qp = qp.select(
+            "query_id",
+            "list_id",
+            F.zip_with(
+                F.col("__qvec"),
+                F.element_at(cmat, F.col("list_id") + 1),
+                lambda a, b: a.cast("double") - b,
+            ).alias("__qvec"),
+        )
+    for s in range(n_subspaces):
+        qp = qp.withColumn(
+            f"__t{s}",
+            matrix_sqdists(F.slice(F.col("__qvec"), s * sub + 1, sub), codebooks[s]),
+        )
+    tables = (
+        qp.select(
+            "query_id",
+            "list_id",
+            F.posexplode(F.array(*[F.col(f"__t{s}") for s in range(n_subspaces)]))
+            .alias("__ts", "__dists"),
+        )
+        .select(
+            "query_id", "list_id", "__ts",
+            F.posexplode(F.col("__dists")).alias("__tc", "__d"),
+        )
+    )
+    codes_long = index_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        "list_id",
+        F.posexplode(F.array(*[F.col(f"c{s}") for s in range(n_subspaces)]))
+        .alias("__s", "__code"),
+    )
+    scored = (
+        codes_long.join(
+            tables,
+            (codes_long["list_id"] == tables["list_id"])
+            & (F.col("__s") == F.col("__ts"))
+            & (F.col("__code") == F.col("__tc")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(
+        F.col("rk") <= k
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,

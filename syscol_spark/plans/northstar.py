@@ -1324,6 +1324,30 @@ def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bulk IVFADC serving: same answers as q_ann_ivfpq_res through a different
+# physical plan — probes, per-(query, probed-list) residuals, and distance
+# tables all ON-PLAN, equi-joined to the codes on (list_id, subspace, code)
+# with no driver tables and no query-count cap. Same oracle.
+@register(
+    "q_ann_ivfadc_bulk",
+    _ivfpq_res_oracle_sql(
+        n_lists=16, nprobe=4, coarse_iters=3, coarse_stride=4,
+        n_subspaces=8, sub_dim=8, pq_k=16, pq_iters=2, pq_stride=4,
+        q_max=10, topk=5,
+    ),
+    description="bulk IVFADC serving: on-plan probes + residual distance tables equi-joined to codes (no driver tables, no query cap) — same oracle as q_ann_ivfpq_res",
+)
+def q_ann_ivfadc_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import build_ivfpq_index, ivfpq_serve_bulk
+
+    emb = _emb(spark, sf_dir)
+    codes, meta = build_ivfpq_index(
+        emb, dim=64, n_lists=16, coarse_iter=3, coarse_stride=4,
+        n_subspaces=8, pq_centroids=16, pq_iter=2, pq_stride=4, residual=True,
+    )
+    return ivfpq_serve_bulk(codes, meta, emb.filter(F.col("vec_id") < 10), nprobe=4, k=5)
+
+
 @register(
     "q_ann_ivfpq_rr",
     _ivfpq_res_oracle_sql(

@@ -1297,6 +1297,53 @@ def test_pq_adc_bulk_matches_broadcast_beyond_query_cap(spark, sf_dir):
     assert got == want and len(want) == _QUERY_SIDE_LIMIT * params["k"]
 
 
+def test_ivfpq_serve_bulk_matches_broadcast(spark, sf_dir):
+    """ivfpq_serve_bulk must reproduce ivfpq_serve row-for-row in BOTH
+    recipes (plain and residual) and accept query sets past the broadcast
+    path's _QUERY_SIDE_LIMIT, with the list pruning inside the equi-join
+    key."""
+    from syscol_spark.operators.similarity import (
+        _QUERY_SIDE_LIMIT,
+        build_ivfpq_index,
+        ivfpq_serve,
+        ivfpq_serve_bulk,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    n_base = corpus.count()
+    reps = _QUERY_SIDE_LIMIT // n_base + 2  # 35 reps -> 10,500 queries
+    queries = corpus.select(
+        F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("__r"),
+        "vec_id",
+        "embedding",
+    ).select(
+        (F.col("vec_id") + (F.col("__r") + 1) * 100_000).alias("vec_id"),
+        "embedding",
+        "__r",
+    )
+    assert queries.count() == reps * n_base > _QUERY_SIDE_LIMIT
+
+    sub_reps = _QUERY_SIDE_LIMIT // n_base  # 33 reps -> 9,900 <= cap
+    subset = queries.filter(F.col("__r") < sub_reps).drop("__r")
+    cutoff = sub_reps * 100_000 + n_base
+    for residual in (False, True):
+        codes, meta = build_ivfpq_index(
+            corpus, dim=64, n_lists=8, coarse_iter=2, coarse_stride=4,
+            n_subspaces=8, pq_centroids=16, pq_iter=2, pq_stride=4,
+            residual=residual,
+        )
+        bulk = ivfpq_serve_bulk(codes, meta, queries.drop("__r"), nprobe=4, k=5)
+        want = {
+            tuple(r) for r in ivfpq_serve(codes, meta, subset, nprobe=4, k=5).collect()
+        }
+        got = {
+            tuple(r) for r in bulk.filter(F.col("query_id") < cutoff).collect()
+        }
+        assert got == want and want, f"residual={residual}"
+
+
 def test_ivfpq_append_matches_full_encode(spark, sf_dir):
     """Incremental index maintenance: codes appended with the FROZEN
     quantizers must reproduce exactly what encoding the full corpus with
