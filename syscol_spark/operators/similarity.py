@@ -375,7 +375,7 @@ _LOCAL_TRAIN_LIMIT = 200_000  # ≈100 MB of float64 at dim=64 — driver-safe
 _QUERY_SIDE_LIMIT = 10_000
 
 
-def _collect_query_side(queries: DataFrame, what: str) -> list:
+def _collect_query_side(queries: DataFrame, what: str, bulk_alt: str = "pq_adc_topk_bulk") -> list:
     """Bounded collect enforcing the query-side contract in the SAME job
     that fetches the rows: limit(N+1) caps the driver transfer at ~N rows
     (a few MB at dim=64) whether or not the caller's frame is huge, and
@@ -388,10 +388,10 @@ def _collect_query_side(queries: DataFrame, what: str) -> list:
     if len(rows) > _QUERY_SIDE_LIMIT:
         raise ValueError(
             f"{what}: query side exceeds _QUERY_SIDE_LIMIT={_QUERY_SIDE_LIMIT} rows; "
-            "ADC serving builds driver-side distance tables per query — batch the "
-            "queries or use pq_adc_topk_bulk, whose distance tables stay a "
-            "DataFrame equi-joined to the codes (no driver materialization, "
-            "no query cap)"
+            f"ADC serving builds driver-side distance tables per query — batch the "
+            f"queries or use {bulk_alt}, whose distance tables stay a "
+            f"DataFrame equi-joined to the codes (no driver materialization, "
+            f"no query cap)"
         )
     return rows
 
@@ -1446,6 +1446,7 @@ def ivfpq_serve(
     qrows = _collect_query_side(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
         "ivf_pq_topk",
+        bulk_alt="ivfpq_serve_bulk",
     )
     spark = queries.sparkSession
     if residual:
@@ -1552,6 +1553,8 @@ def ivfpq_serve_bulk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ serving for LARGE query sets — the list-pruned counterpart of
     pq_adc_topk_bulk. Same ranking semantics and output columns as
@@ -1570,12 +1573,21 @@ def ivfpq_serve_bulk(
     residual recipe the per-list residual (q - C_list) is one zip_with
     against the coarse-centroid literal before the same sqdist tables —
     the construction the broadcast path does in numpy, here in-plan.
+
+    ``refine=R`` (IVFADC+R) re-ranks each query's top-R ADC candidates by
+    exact cosine against the raw ``corpus`` vectors — both joins are plain
+    distributed equi-joins on neighbor_id / query_id (R rows per query on
+    the shortlist side), so the no-cap property is preserved.
     """
     dim, n_subspaces = meta["dim"], meta["n_subspaces"]
     residual, id_col = meta["residual"], meta["id_col"]
     coarse, codebooks = meta["coarse"], meta["codebooks"]
     sub = dim // n_subspaces
     half_norms = [sum(x * x for x in c) / 2.0 for c in coarse]
+    if refine and corpus is None:
+        raise ValueError(
+            "ivfpq_serve_bulk: refine>0 needs the raw corpus frame for the exact re-rank"
+        )
 
     # nprobe best coarse lists per query — the same ranking expression the
     # broadcast path's plain branch uses (score desc, ties to higher index)
@@ -1640,6 +1652,29 @@ def ivfpq_serve_bulk(
         .agg(F.round(F.sum("__d"), 6).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    if refine:
+        shortlist = (
+            scored.select("*", F.row_number().over(w).alias("__r"))
+            .filter(F.col("__r") <= refine)
+            .drop("adc_dist", "__r")
+        )
+        qvecs = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        rescored = (
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+            .join(shortlist, "neighbor_id")
+            .join(qvecs, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        return rescored.select("*", F.row_number().over(w2).cast("long").alias("rk")).filter(
+            F.col("rk") <= k
+        )
     return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(
         F.col("rk") <= k
     )

@@ -1349,6 +1349,29 @@ def q_ann_ivfadc_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_ivfadc_rr_bulk",
+    _ivfpq_res_oracle_sql(
+        n_lists=16, nprobe=4, coarse_iters=3, coarse_stride=4,
+        n_subspaces=8, sub_dim=8, pq_k=16, pq_iters=2, pq_stride=4,
+        q_max=10, topk=5, refine=20,
+    ),
+    description="bulk IVFADC+R: on-plan ADC shortlist re-ranked by exact cosine through distributed equi-joins — no driver tables, no query cap; same oracle as q_ann_ivfpq_rr",
+)
+def q_ann_ivfadc_rr_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import build_ivfpq_index, ivfpq_serve_bulk
+
+    emb = _emb(spark, sf_dir)
+    codes, meta = build_ivfpq_index(
+        emb, dim=64, n_lists=16, coarse_iter=3, coarse_stride=4,
+        n_subspaces=8, pq_centroids=16, pq_iter=2, pq_stride=4, residual=True,
+    )
+    return ivfpq_serve_bulk(
+        codes, meta, emb.filter(F.col("vec_id") < 10), nprobe=4, k=5,
+        refine=20, corpus=emb,
+    )
+
+
+@register(
     "q_ann_ivfpq_rr",
     _ivfpq_res_oracle_sql(
         n_lists=16, nprobe=4, coarse_iters=3, coarse_stride=4,

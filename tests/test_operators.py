@@ -1343,6 +1343,27 @@ def test_ivfpq_serve_bulk_matches_broadcast(spark, sf_dir):
         }
         assert got == want and want, f"residual={residual}"
 
+    # IVFADC+R: the exact-cosine re-rank path must also match (residual
+    # recipe, small query set — the refine joins are id-equi, no caps)
+    small = corpus.select("vec_id", "embedding").filter(F.col("vec_id") < 40)
+    codes, meta = build_ivfpq_index(
+        corpus, dim=64, n_lists=8, coarse_iter=2, coarse_stride=4,
+        n_subspaces=8, pq_centroids=16, pq_iter=2, pq_stride=4, residual=True,
+    )
+    a = {
+        tuple(r)
+        for r in ivfpq_serve(
+            codes, meta, small, nprobe=4, k=5, refine=20, corpus=corpus
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ivfpq_serve_bulk(
+            codes, meta, small, nprobe=4, k=5, refine=20, corpus=corpus
+        ).collect()
+    }
+    assert a == b and a
+
 
 def test_ivfpq_append_matches_full_encode(spark, sf_dir):
     """Incremental index maintenance: codes appended with the FROZEN
