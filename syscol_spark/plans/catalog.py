@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
     import syscol_spark.plans.core  # noqa: F401
     import syscol_spark.plans.events  # noqa: F401
     import syscol_spark.plans.extra  # noqa: F401
+    import syscol_spark.plans.mining  # noqa: F401
     import syscol_spark.plans.northstar  # noqa: F401
     import syscol_spark.plans.pipeline  # noqa: F401
     import syscol_spark.plans.tpch2  # noqa: F401
