@@ -254,3 +254,168 @@ def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_micro"),
         )
     )
+
+
+# --- CUSUM change-point detection --------------------------------------------
+# One-sided CUSUM over the minutely event-count series. The textbook
+# recursion S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k)) is not a window
+# aggregate, but it has the classic prefix-sum closed form
+# S⁺_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of the drifted
+# deviations — running sum + running min, both plain windows ordered on the
+# (bounded, minutes-not-events) time grid. Everything stays in exact
+# integer micro units: μ_micro and the variance are floor-divided integer
+# sums; the only float op is ONE sqrt of the same integer on both engines,
+# floored back to an integer σ_micro. Reports the top-20 excursion minutes
+# with the alarm flag (S⁺ > 5σ), so the result is non-trivial even on a
+# stationary series. Scale: per-minute aggregation is the only
+# data-proportional shuffle; the windows run over the minute grid.
+@register(
+    "q_ev_cusum",
+    """
+    WITH minutely AS (
+      SELECT epoch_us(ts) // 60000000 AS m, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s,
+             CAST(SUM(x * x) AS HUGEINT) AS q
+      FROM minutely
+    ), params AS (
+      SELECT CAST(s * 1000000 // n AS BIGINT) AS mu_micro,
+             CAST(floor(sqrt(CAST((n * q - s * s) * 1000000000000 // (n * n) AS DOUBLE))) AS BIGINT)
+               AS sd_micro
+      FROM stats
+    ), dev AS (
+      SELECT m, x, x * 1000000 - mu_micro - sd_micro // 2 AS d, sd_micro
+      FROM minutely CROSS JOIN params
+    ), pre AS (
+      SELECT m, x, sd_micro,
+             SUM(d) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM dev
+    ), cusum AS (
+      SELECT m, x, sd_micro,
+             p - least(0, MIN(p) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS s_plus
+      FROM pre
+    )
+    SELECT CAST(m AS BIGINT) AS minute_idx, x AS n_events,
+           CAST(s_plus AS BIGINT) AS s_plus_micro,
+           (s_plus > 5 * sd_micro) AS alarm
+    FROM cusum
+    ORDER BY s_plus DESC, m
+    LIMIT 20
+    """,
+    description="CUSUM mean-shift detector over minutely event counts (prefix-sum closed form, exact integers)",
+)
+def q_ev_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec38 = "decimal(38,0)"
+    minutely = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("ts_us div 60000000").alias("m"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = minutely.agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("q"),
+    )
+    params = stats.select(
+        F.expr("CAST(s * 1000000 div n AS BIGINT)").alias("mu_micro"),
+        F.expr(
+            "CAST(floor(sqrt(CAST((n * q - s * s) * 1000000000000 div (n * n) AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("sd_micro"),
+    )
+    dev = minutely.join(broadcast(params)).select(
+        "m",
+        "x",
+        F.expr("x * 1000000 - mu_micro - sd_micro div 2").alias("d"),
+        "sd_micro",
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    pre = dev.withColumn("p", F.sum("d").over(w))
+    cusum = pre.withColumn("s_plus", F.col("p") - F.least(F.lit(0), F.min("p").over(w)))
+    return (
+        cusum.select(
+            F.col("m").cast("long").alias("minute_idx"),
+            F.col("x").alias("n_events"),
+            F.col("s_plus").cast("long").alias("s_plus_micro"),
+            (F.col("s_plus") > 5 * F.col("sd_micro")).alias("alarm"),
+        )
+        .orderBy(F.desc("s_plus_micro"), "minute_idx")
+        .limit(20)
+    )
+
+
+# --- lag autocorrelation (seasonality detector) ------------------------------
+# Autocorrelation of the minutely event-count series at lags 1..10 — the
+# seasonality probe of a time-series engine. The series is aggregated
+# FIRST (minutes, not events — the only data-proportional shuffle), then
+# each lag pairs the series with itself via an equi-join on m+lag (robust
+# to gaps in the grid: only co-present minutes pair). Pearson r per lag is
+# computed from exact integer sums; the single float step — num /
+# sqrt(denx·deny), scaled to micro and floored — runs on identical
+# integers in both engines, so the hash compare is exact.
+@register(
+    "q_ev_autocorr",
+    """
+    WITH minutely AS (
+      SELECT epoch_us(ts) // 60000000 AS m, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), pairs AS (
+      SELECT l.lag, a.x AS x, b.x AS y
+      FROM (SELECT unnest(generate_series(1, 10)) AS lag) l
+      JOIN minutely a ON true
+      JOIN minutely b ON b.m = a.m + l.lag
+    ), sums AS (
+      SELECT lag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(y * y) AS HUGEINT) AS syy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r_micro
+    FROM sums
+    WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY lag
+    """,
+    description="lag-1..10 autocorrelation of minutely event counts (exact integer sums, one float division)",
+)
+def q_ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec38 = "decimal(38,0)"
+    minutely = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("ts_us div 60000000").alias("m"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = minutely.withColumn("lag", F.explode(F.sequence(F.lit(1), F.lit(10))))
+    b = minutely.select(F.col("m").alias("mb"), F.col("x").alias("y"))
+    pairs = a.join(b, F.col("mb") == F.col("m") + F.col("lag")).select("lag", "x", "y")
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec38).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec38).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec38).alias("sxy"),
+    )
+    return (
+        sums.filter(
+            (F.col("n") >= 3)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0"
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+                " * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)"
+            ).alias("r_micro"),
+        )
+        .orderBy("lag")
+    )
