@@ -419,3 +419,162 @@ def q_ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --- incremental aggregate-view maintenance ----------------------------------
+# Materialized-view refresh without recompute: the per-customer order
+# rollup is maintained as ALGEBRAIC partials (count + exact decimal sum),
+# so yesterday's partial and today's delta partial merge by a re-aggregate
+# over the union — the oracle is the full recompute, proving
+# merge(partial(base), partial(delta)) ≡ full. At 100 TB this is the
+# difference between scanning one day and scanning the archive; the merge
+# shuffles only the partial tables (one row per customer per slice), not
+# the facts. AVG is derived from the merged sums (never averaged averages).
+@register(
+    "q_inc_agg_merge",
+    """
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders GROUP BY o_custkey
+    """,
+    description="incremental MV maintenance: merge(partial(base), partial(delta)) == full recompute",
+)
+def q_inc_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = "1999-01-01"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("s"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("custkey")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "custkey",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("double").alias("total"),
+        (F.col("s").cast("double") / F.col("n")).alias("avg_price"),
+    )
+
+
+# --- sketch-prefiltered semi join --------------------------------------------
+# Bloom-filter-shaped join pruning expressed in pure DataFrame ops: the
+# small side's keys are hashed into a 2^20-bucket table (bounded at ~1M
+# rows REGARDLESS of key count — the point at which a raw key broadcast
+# stops fitting), broadcast, and used to pre-filter the fact scan before
+# the exact semi join. False-positive buckets only cost the exact join a
+# few extra rows — the final answer is exact, which is why the oracle is
+# the plain semi join. This is the manual twin of Spark's AQE runtime
+# bloom filter, usable when the build side is a derived frame the
+# optimizer can't see through.
+@register(
+    "q_sketch_prefilter_join",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+    """,
+    description="sketch-prefiltered semi join: broadcast bucket table prunes the fact scan, exact join confirms",
+)
+def q_sketch_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_buckets = 1 << 20
+    sel = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select("o_orderkey")
+    )
+    buckets = sel.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)).alias("b")
+    ).distinct()
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "b", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets))
+    )
+    cand = li.join(broadcast(buckets), "b").drop("b")
+    hit = cand.join(
+        broadcast(sel.select(F.col("o_orderkey").alias("l_orderkey"))), "l_orderkey", "semi"
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("sum_qty"),
+    )
+
+
+# --- cross-document repeated-segment dedup -----------------------------------
+# RefinedWeb-style boilerplate removal at the SEGMENT level: fixed-stride
+# 8-token windows are hashed, segments whose hash appears in ≥2 distinct
+# documents are flagged as cross-document boilerplate, and each document
+# reports its kept ratio. Unlike q_boilerplate (token document-frequency)
+# this catches verbatim multi-token runs (nav bars, license headers,
+# mirrored passages). Segmentation uses the raw split positions in both
+# engines, so the grouping is bit-identical; the segment-frequency table
+# is vocabulary-sized and the flag join is a broadcast.
+@register(
+    "q_repeated_segments",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, (pos - 1) // 8 AS seg_id,
+             md5(string_agg(token, ' ' ORDER BY pos)) AS h
+      FROM tok WHERE token <> ''
+      GROUP BY doc_id, (pos - 1) // 8
+    ), freq AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM seg GROUP BY h
+    )
+    SELECT seg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           CAST(SUM(CASE WHEN df >= 2 THEN 0 ELSE 1 END) AS BIGINT) * 1000000
+             // CAST(COUNT(*) AS BIGINT) AS kept_micro
+    FROM seg JOIN freq USING (h)
+    GROUP BY seg.doc_id
+    """,
+    description="cross-document repeated 8-token-segment detection with per-doc kept ratio",
+)
+def q_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    seg = (
+        tok.groupBy("doc_id", F.expr("pos div 8").alias("seg_id"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                        lambda s: s.token,
+                    ),
+                )
+            ).alias("h")
+        )
+    )
+    freq = seg.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        seg.join(broadcast(freq), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_repeated"),
+            F.expr(
+                "CAST(SUM(CASE WHEN df >= 2 THEN 0 ELSE 1 END) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("kept_micro"),
+        )
+    )
