@@ -578,3 +578,181 @@ def q_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_micro"),
         )
     )
+
+
+# --- nearest-centroid classification -----------------------------------------
+# Supervised sanity-check of an embedding space: per-label centroids from a
+# deterministic 80% train split (vec_id % 5 != 0), held-out 20% classified
+# to the nearest centroid, confusion matrix out. All arithmetic is exact:
+# embeddings quantize to integer micros, and instead of dividing the
+# centroid sum s by the per-label count n (floor-div of NEGATIVE sums
+# differs between engines: DuckDB floors, Spark truncates), the distance
+# to centroid s/n is compared via the n²-scaled integer form
+# Σ(n·v − s)² / n² — floor-divided only once, on a positive value, with a
+# label tie-break. Scale: the centroid table is labels×dims (tiny,
+# broadcast); the test side is one exploded scan grouped per (vec, label).
+@register(
+    "q_nearest_centroid",
+    """
+    WITH q AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS cand, d, CAST(SUM(vq) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM q WHERE vec_id % 5 <> 0 GROUP BY label, d
+    ), dist AS (
+      SELECT t.vec_id, t.label AS true_label, c.cand, c.n,
+             SUM((c.n * t.vq - c.s) * (c.n * t.vq - c.s)) AS dd
+      FROM q t JOIN cent c ON c.d = t.d
+      WHERE t.vec_id % 5 = 0
+      GROUP BY t.vec_id, t.label, c.cand, c.n
+    ), ranked AS (
+      SELECT vec_id, true_label, cand,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dd * 1000000 // (n * n), cand) AS rk
+      FROM dist
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(cand AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM ranked WHERE rk = 1
+    GROUP BY true_label, cand
+    """,
+    description="nearest-centroid classifier over embeddings: 80/20 split, exact-integer argmin, confusion matrix",
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec38 = "decimal(38,0)"
+    q = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.floor(F.col("v").cast("double") * 1000000.0).cast("long").alias("vq"),
+    )
+    cent = (
+        q.filter(F.col("vec_id") % 5 != 0)
+        .groupBy(F.col("label").alias("cand"), "d")
+        .agg(F.sum("vq").cast(dec38).alias("s"), F.count(F.lit(1)).cast(dec38).alias("n"))
+    )
+    t = q.filter(F.col("vec_id") % 5 == 0)
+    term = (F.col("n") * F.col("vq") - F.col("s"))
+    dist = (
+        t.join(broadcast(cent), "d")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "cand", "n")
+        .agg(F.sum(term * term).alias("dd"))
+    )
+    ranked = dist.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.expr("dd * 1000000 div (n * n)"), "cand")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .groupBy(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("cand").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+# --- Johnson-Lindenstrauss projection audit ----------------------------------
+# Random-projection dimensionality reduction 64 → 16 with a DETERMINISTIC
+# ±1 matrix (sign from md5 of "in-dim_out-dim" — reproducible on any
+# engine, no stored matrix), then a distance-preservation audit: for every
+# pair in a 120-vector sample, the ratio ‖Py‖²/(k·‖x‖²) is bucketed into
+# 0.2-wide bands. Integer micros end-to-end — the projection is a signed
+# integer sum, both distances are exact integer quadratics, and the ratio
+# is one positive floor-division. Scale: projection is a per-row map
+# (exploded join against a 16-row broadcast dim table); only the bounded
+# audit sample is ever self-joined.
+@register(
+    "q_jl_projection",
+    """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings WHERE vec_id < 120
+    ), proj AS (
+      SELECT q.vec_id, j.j,
+             CAST(SUM(CASE WHEN substr(md5(CAST(q.d AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                       THEN q.vq ELSE -q.vq END) AS HUGEINT) AS y
+      FROM q CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+      GROUP BY q.vec_id, j.j
+    ), dx AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(SUM((a.vq - b.vq) * (a.vq - b.vq)) AS HUGEINT) AS dx2
+      FROM q a JOIN q b ON a.d = b.d AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ), dy AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, SUM((a.y - b.y) * (a.y - b.y)) AS dy2
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT CAST(dy2 * 1000000 // (dx2 * 16) // 200000 AS BIGINT) AS ratio_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM dx JOIN dy USING (va, vb)
+    WHERE dx2 > 0
+    GROUP BY 1
+    """,
+    description="JL ±1 random projection 64->16 (md5-derived signs) with pairwise distance-preservation bands",
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec38 = "decimal(38,0)"
+    q = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 120)
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("v").cast("double") * 1000000.0).cast("long").alias("vq"),
+        )
+    )
+    dims = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    sign_even = F.substring(
+        F.md5(F.concat(F.col("d").cast("string"), F.lit("_"), F.col("j").cast("string"))), 1, 1
+    ).isin("0", "2", "4", "6", "8", "a", "c", "e")
+    proj = (
+        q.join(broadcast(dims))
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(F.when(sign_even, F.col("vq")).otherwise(-F.col("vq")))
+            .cast(dec38)
+            .alias("y")
+        )
+    )
+    qa = q.select(F.col("vec_id").alias("va"), "d", F.col("vq").alias("vqa"))
+    qb = q.select(F.col("vec_id").alias("vb"), "d", F.col("vq").alias("vqb"))
+    dx = (
+        qa.join(qb, "d")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("vqa") - F.col("vqb")) * (F.col("vqa") - F.col("vqb")))
+            .cast(dec38)
+            .alias("dx2")
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("va"), "j", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("vb"), "j", F.col("y").alias("yb"))
+    dy = (
+        pa.join(pb, "j")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))).alias("dy2"))
+    )
+    return (
+        dx.join(dy, ["va", "vb"])
+        .filter(F.col("dx2") > 0)
+        .groupBy(
+            F.expr("CAST(dy2 * 1000000 div (dx2 * 16) div 200000 AS BIGINT)").alias("ratio_band")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
