@@ -756,3 +756,206 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- label propagation (community detection) ---------------------------------
+# Synchronous label propagation on the co-purchase graph (same weight-≥2
+# edge set as q_copurchase_triangles): every node starts as its own label
+# and, for 3 rounds, adopts the most frequent label among its neighbors
+# (ties → smallest label, making the sync update fully deterministic).
+# Per round: one join on node id + one (node,label) count + one top-1
+# window — shuffle keys are node ids only, never data-proportional rows,
+# and each round's label table is one row per node. The unrolled 3-round
+# oracle proves the distributed loop step-for-step.
+@register(
+    "q_label_prop",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT pa AS u, pb AS v FROM edges UNION ALL SELECT pb, pa FROM edges),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+    c1 AS (
+      SELECT s.u AS node, l.lbl, COUNT(*) AS c
+      FROM sym s JOIN l0 l ON l.node = s.v GROUP BY s.u, l.lbl
+    ), l1 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+        FROM c1) WHERE rk = 1
+    ),
+    c2 AS (
+      SELECT s.u AS node, l.lbl, COUNT(*) AS c
+      FROM sym s JOIN l1 l ON l.node = s.v GROUP BY s.u, l.lbl
+    ), l2 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+        FROM c2) WHERE rk = 1
+    ),
+    c3 AS (
+      SELECT s.u AS node, l.lbl, COUNT(*) AS c
+      FROM sym s JOIN l2 l ON l.node = s.v GROUP BY s.u, l.lbl
+    ), l3 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rk
+        FROM c3) WHERE rk = 1
+    )
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l3 GROUP BY lbl
+    ORDER BY n_nodes DESC, community
+    LIMIT 20
+    """,
+    description="3-round synchronous label propagation on the co-purchase graph (deterministic ties)",
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+        # consumed twice (both directions) per round x 3 rounds
+        .localCheckpoint()
+    )
+    sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    lbl = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    top1 = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(3):
+        cnt = (
+            sym.join(lbl.select(F.col("node").alias("v"), "lbl"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lbl = (
+            cnt.withColumn("rk", F.row_number().over(top1))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+        )
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )
+
+
+# --- k-means (Lloyd) over embeddings -----------------------------------------
+# Exact-integer distributed Lloyd: k=8 centroids seeded from vec_id 0..7,
+# then assign→update→assign→update→assign (3 assignment rounds). As in
+# q_nearest_centroid the rational centroid s/n is never materialized —
+# assignment compares the n²-scaled integer distance Σ(n·v − s)² via one
+# positive floor-division with a cluster-id tie-break, so both engines
+# take identical argmins. Per round: one exploded-scan join against the
+# k×dims broadcast centroid table + one (cluster,dim) re-aggregate; no
+# driver-side state, cluster count bounds every broadcast. Reports member
+# count and within-cluster SSE (micro² units) per final cluster.
+@register(
+    "q_kmeans_lloyd",
+    """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cl, d, CAST(vq AS HUGEINT) AS s, CAST(1 AS HUGEINT) AS n
+      FROM q WHERE vec_id < 8
+    ),
+    d1 AS (
+      SELECT t.vec_id, c.cl, c.n, SUM((c.n * t.vq - c.s) * (c.n * t.vq - c.s)) AS dd
+      FROM q t JOIN c0 c ON c.d = t.d GROUP BY t.vec_id, c.cl, c.n
+    ), a1 AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd // (n * n), cl) AS rk
+        FROM d1) WHERE rk = 1
+    ), c1 AS (
+      SELECT a.cl, t.d, CAST(SUM(t.vq) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM q t JOIN a1 a USING (vec_id) GROUP BY a.cl, t.d
+    ),
+    d2 AS (
+      SELECT t.vec_id, c.cl, c.n, SUM((c.n * t.vq - c.s) * (c.n * t.vq - c.s)) AS dd
+      FROM q t JOIN c1 c ON c.d = t.d GROUP BY t.vec_id, c.cl, c.n
+    ), a2 AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd // (n * n), cl) AS rk
+        FROM d2) WHERE rk = 1
+    ), c2 AS (
+      SELECT a.cl, t.d, CAST(SUM(t.vq) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM q t JOIN a2 a USING (vec_id) GROUP BY a.cl, t.d
+    ),
+    d3 AS (
+      SELECT t.vec_id, c.cl, c.n, SUM((c.n * t.vq - c.s) * (c.n * t.vq - c.s)) AS dd
+      FROM q t JOIN c2 c ON c.d = t.d GROUP BY t.vec_id, c.cl, c.n
+    ), a3 AS (
+      SELECT vec_id, cl, dd, n FROM (
+        SELECT vec_id, cl, dd, n,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd // (n * n), cl) AS rk
+        FROM d3) WHERE rk = 1
+    )
+    SELECT CAST(cl AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(dd // (n * n)) AS BIGINT) AS sse_q2
+    FROM a3 GROUP BY cl
+    ORDER BY cluster
+    """,
+    description="distributed Lloyd k-means (k=8, 3 assignment rounds) with exact-integer argmin",
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec38 = "decimal(38,0)"
+    q = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("v").cast("double") * 1000000.0).cast("long").alias("vq"),
+        )
+        # consumed by every assignment and update round
+        .localCheckpoint()
+    )
+    cent = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cl"),
+        "d",
+        F.col("vq").cast(dec38).alias("s"),
+        F.lit(1).cast(dec38).alias("n"),
+    )
+    argmin = Window.partitionBy("vec_id").orderBy(F.expr("dd div (n * n)"), "cl")
+
+    def assign(c: DataFrame) -> DataFrame:
+        term = (F.col("n") * F.col("vq") - F.col("s"))
+        d = (
+            q.join(broadcast(c), "d")
+            .groupBy("vec_id", "cl", "n")
+            .agg(F.sum(term * term).alias("dd"))
+        )
+        return d.withColumn("rk", F.row_number().over(argmin)).filter(F.col("rk") == 1)
+
+    def update(a: DataFrame) -> DataFrame:
+        return (
+            q.join(a.select("vec_id", "cl"), "vec_id")
+            .groupBy("cl", "d")
+            .agg(F.sum("vq").cast(dec38).alias("s"), F.count(F.lit(1)).cast(dec38).alias("n"))
+        )
+
+    a = assign(cent)
+    for _ in range(2):
+        a = assign(update(a))
+    return (
+        a.groupBy(F.col("cl").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.expr("dd div (n * n)")).cast("long").alias("sse_q2"),
+        )
+        .orderBy("cluster")
+    )
