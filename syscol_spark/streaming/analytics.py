@@ -1098,3 +1098,102 @@ def streaming_norm_dedup(
     # ['norm_hash', 'event_time'] instead would only drop same-timestamp
     # twins — silently no canonical dedup at all.
     return s.dropDuplicates(["norm_hash"])
+
+
+_CUSUM_STATE = StructType(
+    [
+        StructField("p", LongType()),
+        StructField("minp", LongType()),
+        StructField("minutes", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+_CUSUM_OUT = StructType(
+    [
+        StructField("minute_idx", LongType()),
+        StructField("n_events", LongType()),
+        StructField("s_plus_micro", LongType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    *,
+    mu_micro: int,
+    sd_micro: int,
+    event_time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuous CUSUM mean-shift monitor: the streaming twin of
+    q_ev_cusum (plans/mining.py). The batch query estimates μ/σ from the
+    finished series; the monitor takes them as calibration parameters (the
+    standard control-chart split: train the baseline, then watch) and
+    maintains the one-sided cumulative sum incrementally.
+
+    Shape: one stateful key per monitored metric (here the single event
+    stream; in production the group key is the metric id, giving one O(1)
+    state per monitor). The state holds the open per-minute partial counts
+    plus the running prefix sum / prefix min of the drifted deviations.
+    Each trigger, minutes entirely behind the watermark are CLOSED in
+    minute order and folded exactly like the batch closed form
+    S⁺ = P − min(0, min-prefix P); closed minutes emit once (append mode)
+    with the same integer micro units and the same 5σ alarm flag, so the
+    streamed rows are bit-identical to a batch run over the same closed
+    prefix. Open-minute state is bounded by the watermark horizon; the
+    fold state itself is two longs.
+    """
+    k_micro = sd_micro // 2
+    h_micro = 5 * sd_micro
+    # the watermark column must survive the projection or Spark loses the
+    # watermark association for the stateful operator
+    prepared = stream.withWatermark(event_time_col, watermark).select(
+        F.col(event_time_col),
+        F.expr(f"unix_micros({event_time_col}) div 60000000").alias("m"),
+        F.lit(0).alias("metric"),
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            p, minp, minutes, counts = state.get
+            acc = {int(m): int(c) for m, c in zip(minutes, counts)}
+        else:
+            p, minp, acc = 0, 0, {}
+        for pdf in pdfs:
+            for m in pdf["m"]:
+                acc[int(m)] = acc.get(int(m), 0) + 1
+        wm_ms = state.getCurrentWatermarkMs()
+        out_m, out_x, out_s, out_a = [], [], [], []
+        for m in sorted(acc):
+            if (m + 1) * 60_000 > wm_ms:
+                break
+            x = acc.pop(m)
+            p += x * 1_000_000 - mu_micro - k_micro
+            minp = min(minp, p)
+            s_plus = p - min(0, minp)
+            out_m.append(m)
+            out_x.append(x)
+            out_s.append(s_plus)
+            out_a.append(s_plus > h_micro)
+        ms = sorted(acc)
+        state.update((p, minp, ms, [acc[m] for m in ms]))
+        if out_m:
+            yield pd.DataFrame(
+                {
+                    "minute_idx": out_m,
+                    "n_events": out_x,
+                    "s_plus_micro": out_s,
+                    "alarm": out_a,
+                }
+            )
+
+    return prepared.groupBy("metric").applyInPandasWithState(
+        update,
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

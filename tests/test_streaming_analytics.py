@@ -767,3 +767,95 @@ def test_streaming_norm_dedup_matches_batch_canonicals(spark, sf_dir, tmp_path):
     assert got == expected
     # and the planted twins were dropped: none of the offset ids survive
     assert not any(i >= off for i in got)
+
+
+def test_streaming_cusum_matches_textbook_recursion(spark, sf_dir, tmp_path):
+    """The streamed CUSUM monitor must emit, for every minute it closes,
+    exactly the textbook recursion S⁺_t = max(0, S⁺_{t-1} + x_t·1e6 − μ − k)
+    computed by an independent python loop over the same minutely counts —
+    cross-validating BOTH the stream fold and the batch closed form
+    (q_ev_cusum derives the same values via prefix-sum − prefix-min),
+    including minutes that straddle micro-batch boundaries."""
+    from syscol_spark.sources.tables import load_table
+    from syscol_spark.streaming.analytics import streaming_cusum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts_utc").alias("event_time"), "ts_us"
+    )
+    # calibration parameters: same integer formulas as the batch query
+    minutely = (
+        ev.groupBy(F.expr("ts_us div 60000000").alias("m"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("m")
+        .collect()
+    )
+    counts = {r["m"]: r["x"] for r in minutely}
+    n, s = len(counts), sum(counts.values())
+    q2 = sum(x * x for x in counts.values())
+    mu_micro = s * 1_000_000 // n
+    import math
+
+    sd_micro = int(math.floor(math.sqrt(float((n * q2 - s * s) * 10**12 // (n * n)))))
+    k_micro = sd_micro // 2
+
+    # independent reference: the textbook max(0, ...) recursion
+    expected = {}
+    s_plus = 0
+    for m in sorted(counts):
+        s_plus = max(0, s_plus + counts[m] * 1_000_000 - mu_micro - k_micro)
+        expected[m] = s_plus
+
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    src = str(tmp_path / "ev")
+    ev.filter(F.col("ts_us") <= cut1).drop("ts_us").coalesce(1).write.parquet(f"{src}/f0")
+    ev.filter((F.col("ts_us") > cut1) & (F.col("ts_us") <= cut2)).drop("ts_us").coalesce(
+        1
+    ).write.parquet(f"{src}/f1")
+    ev.filter(F.col("ts_us") > cut2).drop("ts_us").coalesce(1).write.parquet(f"{src}/f2")
+    # sentinel event 10 minutes past the stream end: the watermark trails the
+    # last processed batch, so without it the final file's minutes never close
+    sentinel_us = hi + 600_000_000
+    sentinel_m = sentinel_us // 60_000_000
+    spark.createDataFrame([(sentinel_us,)], "us long").select(
+        F.timestamp_micros("us").alias("event_time")
+    ).coalesce(1).write.parquet(f"{src}/f3")
+
+    stream = (
+        spark.readStream.schema("event_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    out = streaming_cusum(
+        stream, mu_micro=mu_micro, sd_micro=sd_micro, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM cusum").collect()
+    assert rows, "no minutes closed — watermark never advanced"
+    seen = {}
+    for r in rows:
+        assert r["minute_idx"] not in seen, "closed minute emitted twice"
+        seen[r["minute_idx"]] = r
+    # every closed REAL minute matches the textbook recursion exactly (the
+    # sentinel minute, if it ever closed, is not part of the reference)
+    h_micro = 5 * sd_micro
+    for m, r in seen.items():
+        if m == sentinel_m:
+            continue
+        assert r["n_events"] == counts[m], (m, r)
+        assert r["s_plus_micro"] == expected[m], (m, r["s_plus_micro"], expected[m])
+        assert r["alarm"] == (expected[m] > h_micro)
+    # the sentinel batch's watermark = max real event time, so every real
+    # minute except at most the stream-tail minute must have closed
+    n_real = len([m for m in seen if m != sentinel_m])
+    assert n_real >= len(counts) - 1, (n_real, len(counts))
