@@ -959,3 +959,126 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- last-touch attribution --------------------------------------------------
+# Marketing-style credit assignment: each purchase is attributed to the
+# latest click/view by the same user within a 30-minute lookback, else
+# 'none'. One pass over the per-user event stream: touches and purchases
+# interleave in one window ordered by (ts, event_id), and the carried
+# "latest touch" is an INTEGER encoding ts_us*10 + type_code so a single
+# running MAX carries both the touch time and its channel (a struct-max
+# would not cross engines). Shuffle key is user_id only; output is one row
+# per channel. The decode and the 30-minute cutoff are exact integer ops.
+@register(
+    "q_ev_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), stream AS (
+      SELECT user_id, event_id, ts_us, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts_us * 10 + 1
+                      WHEN event_type = 'view'  THEN ts_us * 10 + 2 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      FROM ev
+    ), attributed AS (
+      SELECT CASE WHEN lt IS NULL OR ts_us - lt // 10 > 1800000000 THEN 'none'
+                  WHEN lt % 10 = 1 THEN 'click' ELSE 'view' END AS channel,
+             CASE WHEN lt IS NULL OR ts_us - lt // 10 > 1800000000 THEN NULL
+                  ELSE ts_us - lt // 10 END AS latency_us
+      FROM stream WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(SUM(latency_us), 0) AS BIGINT) AS total_latency_us
+    FROM attributed GROUP BY channel
+    """,
+    description="last-touch purchase attribution (30-min lookback, integer-encoded channel carry)",
+)
+def q_ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts_us", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enc = F.when(F.col("event_type") == "click", F.col("ts_us") * 10 + 1).when(
+        F.col("event_type") == "view", F.col("ts_us") * 10 + 2
+    )
+    stream = ev.withColumn("lt", F.max(enc).over(w))
+    stale = F.col("lt").isNull() | (F.col("ts_us") - F.expr("lt div 10") > 1_800_000_000)
+    attributed = stream.filter(F.col("event_type") == "purchase").select(
+        F.when(stale, "none")
+        .when(F.col("lt") % 10 == 1, "click")
+        .otherwise("view")
+        .alias("channel"),
+        F.when(stale, F.lit(None).cast("long"))
+        .otherwise(F.col("ts_us") - F.expr("lt div 10"))
+        .alias("latency_us"),
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.coalesce(F.sum("latency_us"), F.lit(0)).cast("long").alias("total_latency_us"),
+    )
+
+
+# --- hour-of-day seasonal profile --------------------------------------------
+# The diurnal baseline every rate-anomaly monitor needs: events are
+# bucketed by calendar hour, then calendar hours fold into the 24
+# hour-of-day slots — mean events per occupied hour, the slot's share of
+# all traffic, and a peak ratio vs the flattest slot, all in exact integer
+# micro units. Two aggregations, both on bounded keys (calendar hours,
+# then 24 slots); the profile itself is what a streaming monitor would
+# broadcast back against live rates.
+@register(
+    "q_ev_seasonal",
+    """
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), slot AS (
+      SELECT h % 24 AS hod, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM hourly GROUP BY h % 24
+    ), g AS (
+      SELECT CAST(SUM(total) AS BIGINT) AS grand,
+             MIN(total * 1000000 // n_hours) AS min_rate
+      FROM slot
+    )
+    SELECT CAST(hod AS BIGINT) AS hour_of_day, n_hours, total,
+           total * 1000000 // n_hours            AS mean_per_hour_micro,
+           total * 1000000 // grand              AS share_micro,
+           (total * 1000000 // n_hours) * 1000000 // min_rate AS peak_ratio_micro
+    FROM slot CROSS JOIN g
+    ORDER BY hour_of_day
+    """,
+    description="hour-of-day seasonal traffic profile (mean rate, share, peak ratio; exact integers)",
+)
+def q_ev_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("ts_us div 3600000000").alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    slot = hourly.groupBy((F.col("h") % 24).alias("hod")).agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("x").alias("total")
+    )
+    g = slot.agg(
+        F.sum("total").cast("long").alias("grand"),
+        F.min(F.expr("total * 1000000 div n_hours")).alias("min_rate"),
+    )
+    return (
+        slot.join(broadcast(g))
+        .select(
+            F.col("hod").cast("long").alias("hour_of_day"),
+            "n_hours",
+            "total",
+            F.expr("total * 1000000 div n_hours").alias("mean_per_hour_micro"),
+            F.expr("total * 1000000 div grand").alias("share_micro"),
+            F.expr("(total * 1000000 div n_hours) * 1000000 div min_rate").alias(
+                "peak_ratio_micro"
+            ),
+        )
+        .orderBy("hour_of_day")
+    )
