@@ -1082,3 +1082,201 @@ def q_ev_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+# --- RFM customer segmentation -----------------------------------------------
+# The classic behavioral segmentation: recency (days since last order,
+# against the corpus max date), frequency (order count), monetary (exact
+# decimal total), each scored into quintiles with a FULLY deterministic
+# ntile ordering (metric + custkey tie-break — ntile is position-based, so
+# both engines cut identical buckets given identical total orders).
+# Output is the segment-cell census. One shuffle for the per-customer
+# rollup; the quintile windows run over the customer table, not the facts.
+@register(
+    "q_rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), g AS (SELECT MAX(last_us) AS now_us FROM per_cust),
+    scored AS (
+      SELECT custkey,
+             (now_us - last_us) // 86400000000 AS recency_days,
+             freq, monetary,
+             CAST(ntile(5) OVER (ORDER BY (now_us - last_us) // 86400000000, custkey) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY freq DESC, custkey) AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_score
+      FROM per_cust CROSS JOIN g
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS segment_value
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    description="RFM quintile segmentation of customers (deterministic ntile cuts, segment census)",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("monetary"),
+        )
+    )
+    g = per_cust.agg(F.max("last_us").alias("now_us"))
+    scored = (
+        per_cust.join(broadcast(g))
+        .withColumn("recency_days", F.expr("(now_us - last_us) div 86400000000"))
+        .withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy("recency_days", "custkey")).cast("long"),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.desc("freq"), "custkey")).cast("long"),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.desc("monetary"), "custkey")).cast("long"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("segment_value"),
+    )
+
+
+# --- embedding outlier detection ---------------------------------------------
+# Corpus-level embedding quality gate: distance to the GLOBAL centroid,
+# top-20 farthest vectors — the "junk vector" screen run before any
+# clustering/ANN build trusts the space. Same exact-integer n²-scaled
+# distance trick as q_nearest_centroid (the centroid is never divided
+# out); the centroid is one dims-sized broadcast, the distances are one
+# exploded scan + per-vector aggregate.
+@register(
+    "q_embed_outliers",
+    """
+    WITH q AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vq
+      FROM embeddings
+    ), cent AS (
+      SELECT d, CAST(SUM(vq) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM q GROUP BY d
+    ), dist AS (
+      SELECT t.vec_id, t.label, SUM((c.n * t.vq - c.s) * (c.n * t.vq - c.s)) // (MAX(c.n) * MAX(c.n)) AS dist_q2
+      FROM q t JOIN cent c USING (d)
+      GROUP BY t.vec_id, t.label
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(dist_q2 AS BIGINT) AS dist_q2
+    FROM dist ORDER BY dist_q2 DESC, vec_id LIMIT 20
+    """,
+    description="embedding outlier screen: top-20 farthest vectors from the global centroid (exact integers)",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec38 = "decimal(38,0)"
+    q = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "vec_id",
+            "label",
+            "d",
+            F.floor(F.col("v").cast("double") * 1000000.0).cast("long").alias("vq"),
+        )
+    )
+    cent = q.groupBy("d").agg(
+        F.sum("vq").cast(dec38).alias("s"), F.count(F.lit(1)).cast(dec38).alias("n")
+    )
+    dist = (
+        q.join(broadcast(cent), "d")
+        .groupBy("vec_id", "label")
+        .agg(F.expr("CAST(SUM((n * vq - s) * (n * vq - s)) div (MAX(n) * MAX(n)) AS BIGINT)").alias("dist_q2"))
+    )
+    return (
+        dist.select("vec_id", F.col("label").cast("long").alias("label"), "dist_q2")
+        .orderBy(F.desc("dist_q2"), "vec_id")
+        .limit(20)
+    )
+
+
+# --- session path mining -----------------------------------------------------
+# Which event-type journeys dominate, and which convert: sessions are the
+# same 10-minute-gap windows as q_ev_session, each session's first 8
+# events concatenate into a path string (the cap bounds path cardinality
+# — real path miners always truncate), and the top-15 paths report volume
+# and conversion (contains 'purchase'). Everything orders on the unique
+# (ts, event_id) key, so the path strings are bit-identical across
+# engines. Shuffle keys: user_id (sessionize), then the bounded path
+# strings.
+@register(
+    "q_ev_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 600000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM o
+    ), capped AS (
+      SELECT user_id, sess, event_type, ts_us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess ORDER BY ts_us, event_id) AS rn
+      FROM s
+    ), paths AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+      FROM capped WHERE rn <= 8 GROUP BY user_id, sess
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN path LIKE '%purchase%' THEN 1 ELSE 0 END) AS BIGINT) AS n_converting
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+    description="session path mining: top event-type journeys (8-event cap) with conversion counts",
+)
+def q_ev_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts_us")
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(wu))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") >= 600_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn("sess", F.sum("new_sess").over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    capped = s.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id", "sess").orderBy("ts_us", "event_id"))
+    ).filter(F.col("rn") <= 8)
+    paths = capped.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "event_type"))),
+                lambda x: x.event_type,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("path").contains("purchase"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_converting"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )
