@@ -1,0 +1,256 @@
+"""Retrieval-infrastructure queries: positional inverted index, phrase
+search over postings, contrastive hard-negative mining, and time-decayed
+ranking.
+
+These are the index-building and training-pair-mining ops a retrieval /
+training-data stack runs next to dedup and ANN: the inverted index IS the
+classic text index (term -> postings with positions), phrase search is its
+canonical consumer (positional intersection, not substring scan), hard
+negatives are the contrastive-training mining step (highest-similarity
+WRONG-label neighbors), and decayed ranking is the freshness-weighted
+leaderboard every feed/monitoring surface needs.
+
+Every query follows the catalog parity rules (plans/catalog.py docstring):
+exact integers wherever possible, 6dp-rounded cosines, deterministic
+tie-breaks. Reference scope: the syscol engine ships no text index or
+similarity miner; this is north-star surface (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from syscol_spark.functions.vectors import cosine_similarity
+from syscol_spark.plans.catalog import register
+from syscol_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, term) positional postings — 0-based positions.
+
+    One narrow projection + generator; the downstream groupBy term is the
+    single shuffle of index construction. At 100 TB the postings build is
+    embarrassingly parallel per doc and the term shuffle is the textbook
+    map-side-combinable aggregation.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term")
+    )
+
+
+# --- positional inverted index -------------------------------------------------
+# The index-construction aggregate: per term, document frequency, total term
+# frequency, the first posting doc, and a positions checksum (SUM of 0-based
+# positions — proves the positional payload matches without hashing arrays).
+# Plan: explode -> one groupBy(term) with partial aggregation; no joins.
+@register(
+    "q_inverted_index",
+    r"""
+    WITH p AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    )
+    SELECT term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS tf_total,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(pos) AS BIGINT) AS pos_checksum
+    FROM p
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 40
+    """,
+    description=(
+        "positional inverted index build: per-term df / tf / first posting"
+        " / positions checksum in one exploded aggregation"
+    ),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("pos").alias("pos_checksum"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(40)
+    )
+
+
+# --- phrase search over positional postings ------------------------------------
+# The canonical inverted-index consumer: find documents containing the exact
+# phrase "spark join" by intersecting the two terms' postings on
+# (doc_id, pos+1 = pos) — NEVER a substring scan over raw text. Plan: two
+# selective posting filters (pushed to the scan), one equi-join on
+# (doc_id, pos), groupBy doc. At scale each posting list is a tiny fraction
+# of the corpus and the join shuffles only those rows.
+_PHRASE_A, _PHRASE_B = "spark", "join"
+
+
+@register(
+    "q_phrase_search",
+    rf"""
+    WITH p AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    a AS (SELECT doc_id, pos FROM p WHERE term = '{_PHRASE_A}'),
+    b AS (SELECT doc_id, pos FROM p WHERE term = '{_PHRASE_B}')
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    ORDER BY n_occurrences DESC, a.doc_id
+    LIMIT 100
+    """,
+    description=(
+        f'positional phrase search ("{_PHRASE_A} {_PHRASE_B}"): posting-list'
+        " intersection on (doc, pos+1), never a substring scan"
+    ),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _postings(spark, sf_dir)
+    a = p.filter(F.col("term") == _PHRASE_A).select("doc_id", F.col("pos").alias("pos_a"))
+    b = p.filter(F.col("term") == _PHRASE_B).select(
+        F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, (F.col("doc_id") == F.col("doc_id_b")) & (F.col("pos_b") == F.col("pos_a") + 1))
+        .select("doc_id", "pos_a")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos_a").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(100)
+    )
+
+
+# --- contrastive hard-negative mining ------------------------------------------
+# The training-pair miner for retrieval/embedding models: for each anchor,
+# the top-k highest-cosine vectors with a DIFFERENT label — maximally
+# confusable wrong answers (in-batch negatives are too easy; these are the
+# "hard" ones). Plan: broadcast the small anchor set, one corpus scan,
+# per-anchor window top-k. Swap any ANN shortlist in for the scan at scale;
+# the label-exclusion filter composes unchanged.
+@register(
+    "q_hard_negatives",
+    """
+    SELECT query_id, label, neighbor_id, neg_label, cosine, rk FROM (
+      SELECT q.vec_id AS query_id, q.label AS label,
+             c.vec_id AS neighbor_id, c.label AS neg_label,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS BIGINT) AS rk
+      FROM embeddings q JOIN embeddings c ON c.label <> q.label
+      WHERE q.vec_id < 8)
+    WHERE rk <= 3
+    """,
+    description=(
+        "contrastive hard-negative mining: per-anchor top-3 highest-cosine"
+        " WRONG-label neighbors (broadcast anchors, one corpus scan)"
+    ),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    scored = (
+        c.join(broadcast(q), F.col("neg_label") != F.col("label"))
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            "neg_label",
+            F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.select(
+        "*", F.row_number().over(w).cast("long").alias("rk")
+    ).filter(F.col("rk") <= 3)
+
+
+# --- time-decayed ranking -------------------------------------------------------
+# Freshness-weighted leaderboard: each event contributes 2^-(age/halflife)
+# where age is measured from the corpus max timestamp. EXACT integers:
+# the decay exponent k = age_us div halflife_us is an integer, the
+# contribution is 1_000_000 >> k (micro units), so SUM is order-independent
+# and hash-exact across engines. k is capped at 30 (beyond 2^-20 the micro
+# contribution is already 0; the cap keeps 1<<k in range on both engines).
+# Plan: one scan + global-max broadcast + one groupBy(user) — the same shape
+# at any scale.
+_HALFLIFE_US = 21_600_000_000  # 6 hours
+
+
+@register(
+    "q_decayed_topk",
+    f"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS t_max FROM events),
+    scored AS (
+      SELECT user_id,
+             1000000 // (CAST(1 AS BIGINT) << LEAST(
+               (mx.t_max - epoch_us(ts)) // {_HALFLIFE_US}, 30)) AS w_micro
+      FROM events, mx
+    )
+    SELECT user_id,
+           CAST(SUM(w_micro) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM scored
+    GROUP BY user_id
+    ORDER BY score_micro DESC, user_id
+    LIMIT 20
+    """,
+    description=(
+        "time-decayed leaderboard: per-user sum of 2^-(age/6h) in exact"
+        " micro units (integer shift decay), top-20"
+    ),
+)
+def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts_us").alias("t_max"))
+    return (
+        ev.join(broadcast(mx))
+        .select(
+            "user_id",
+            F.expr(
+                f"1000000 div shiftleft(cast(1 as bigint),"
+                f" least((t_max - ts_us) div {_HALFLIFE_US}, 30))"
+            ).alias("w_micro"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("w_micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("score_micro"), "user_id")
+        .limit(20)
+    )
