@@ -1,0 +1,107 @@
+"""Semantic invariants for the retrieval-infrastructure queries
+(plans/retrieval.py): properties the oracle hash-compare cannot express —
+postings consistency against the raw text, label exclusion in the mined
+negatives, decay-weight bounds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from syscol_spark.plans.catalog import query_catalog
+from syscol_spark.sources.tables import load_table
+
+
+def _run(spark, sf_dir, name):
+    return query_catalog()[name](spark, sf_dir)
+
+
+def test_inverted_index_consistency(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_inverted_index").collect()
+    assert 0 < len(rows) <= 40
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 1 <= r["df"] <= n_docs
+        assert r["tf_total"] >= r["df"]  # every posting doc contributes >=1
+        assert r["pos_checksum"] >= 0
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    assert len({r["term"] for r in rows}) == len(rows)
+
+
+def test_phrase_search_docs_really_contain_phrase(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_phrase_search").collect()
+    assert rows
+    hits = {r["doc_id"]: r for r in rows}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(list(hits)))
+        .select("doc_id", "text")
+        .collect()
+    }
+    for doc_id, r in hits.items():
+        toks = texts[doc_id].strip().split()
+        occ = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "spark" and toks[i + 1] == "join"
+        )
+        assert occ == r["n_occurrences"], (doc_id, occ, r)
+        assert toks[r["first_pos"]] == "spark"
+        assert toks[r["first_pos"] + 1] == "join"
+
+
+def test_hard_negatives_exclude_anchor_label(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_hard_negatives").collect()
+    assert rows
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert r["neg_label"] != r["label"], r
+        assert -1.0 <= r["cosine"] <= 1.0
+        assert 1 <= r["rk"] <= 3
+        per_query.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_query.items():
+        assert len(rs) == 3, (qid, rs)
+        by_rk = sorted(rs, key=lambda r: r["rk"])
+        cosines = [r["cosine"] for r in by_rk]
+        assert cosines == sorted(cosines, reverse=True), (qid, cosines)
+
+
+def test_hard_negatives_are_the_true_wrong_label_topk(spark, sf_dir):
+    """Cross-check one anchor against a brute-force numpy computation."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    qv, ql = emb[0]
+    scored = sorted(
+        (
+            (round(float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), vid)
+            for vid, (v, lbl) in emb.items()
+            if lbl != ql
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    got = sorted(
+        (
+            (r["cosine"], r["neighbor_id"])
+            for r in _run(spark, sf_dir, "q_hard_negatives").collect()
+            if r["query_id"] == 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert [vid for _, vid in got] == [vid for _, vid in scored], (got, scored)
+
+
+def test_decayed_topk_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_decayed_topk").collect()
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert len(rows) == min(20, n_users)
+    for r in rows:
+        # each event contributes at most 1.0 (age 0) and at least 0
+        assert 0 <= r["score_micro"] <= r["n_events"] * 1_000_000
+    scores = [r["score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
