@@ -1280,3 +1280,155 @@ def q_ev_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(15)
     )
+
+
+# --- k-hop BFS reachability ----------------------------------------------------
+# Graph traversal on the co-purchase graph (same weight-≥2 edge set as
+# q_copurchase_triangles): from the 5 smallest node ids, the cumulative
+# number of distinct nodes reachable within 1, 2, and 3 hops. Per round:
+# one equi-join of the frontier on node id + one distinct — the standard
+# distributed BFS expansion, shuffle keys are node ids only. The unrolled
+# 3-round oracle proves the loop step-for-step. Reachability is the
+# primitive behind blast-radius analysis and graph-feature extraction.
+@register(
+    "q_bfs_khop",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT pa AS u, pb AS v FROM edges UNION ALL SELECT pb, pa FROM edges),
+    seeds AS (SELECT u AS seed FROM (SELECT DISTINCT u FROM sym) ORDER BY u LIMIT 5),
+    r0 AS (SELECT seed, seed AS node FROM seeds),
+    r1 AS (
+      SELECT DISTINCT seed, node FROM (
+        SELECT seed, node FROM r0
+        UNION ALL
+        SELECT r.seed, s.v AS node FROM r0 r JOIN sym s ON s.u = r.node)
+    ),
+    r2 AS (
+      SELECT DISTINCT seed, node FROM (
+        SELECT seed, node FROM r1
+        UNION ALL
+        SELECT r.seed, s.v AS node FROM r1 r JOIN sym s ON s.u = r.node)
+    ),
+    r3 AS (
+      SELECT DISTINCT seed, node FROM (
+        SELECT seed, node FROM r2
+        UNION ALL
+        SELECT r.seed, s.v AS node FROM r2 r JOIN sym s ON s.u = r.node)
+    )
+    SELECT s.seed,
+           CAST((SELECT COUNT(*) FROM r1 WHERE r1.seed = s.seed) - 1 AS BIGINT) AS n_1hop,
+           CAST((SELECT COUNT(*) FROM r2 WHERE r2.seed = s.seed) - 1 AS BIGINT) AS n_2hop,
+           CAST((SELECT COUNT(*) FROM r3 WHERE r3.seed = s.seed) - 1 AS BIGINT) AS n_3hop
+    FROM seeds s
+    ORDER BY s.seed
+    """,
+    description=(
+        "k-hop BFS reachability from 5 seed nodes on the co-purchase graph"
+        " (cumulative distinct nodes at 1/2/3 hops, unrolled oracle)"
+    ),
+)
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+        # consumed in both directions for each of 3 BFS rounds
+        .localCheckpoint()
+    )
+    sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    seeds = (
+        sym.select("u").distinct().orderBy("u").limit(5).select(F.col("u").alias("seed"))
+    )
+    reach = seeds.withColumn("node", F.col("seed"))
+    counts = []
+    for hop in (1, 2, 3):
+        expanded = reach.join(sym, reach.node == sym.u).select("seed", F.col("v").alias("node"))
+        reach = reach.unionAll(expanded).distinct().localCheckpoint()
+        counts.append(
+            reach.groupBy("seed").agg((F.count(F.lit(1)) - 1).alias(f"n_{hop}hop"))
+        )
+    out = seeds
+    for c in counts:
+        out = out.join(c, "seed")
+    return out.orderBy("seed")
+
+
+# --- item-item collaborative filtering ----------------------------------------
+# The recommender primitive next to q_assoc_rules' support/confidence: for
+# co-purchased item pairs (co-occurrence >= 2), the cosine similarity of
+# the items' basket-membership vectors — cos(i,j) = c_ij / sqrt(c_i*c_j),
+# reported EXACTLY as cosine² in integer micro units
+# (c_ij² * 1e6 // (c_i*c_j)) so no float ever enters the hash. Plan: one
+# distinct scan, one self-join restricted by basket key, two broadcast
+# item-count joins — pair blow-up bounded by basket size as in Apriori.
+@register(
+    "q_item_cf",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, c_ab,
+           c_ab * c_ab * 1000000 // (ca.c * cb.c) AS cos2_micro
+    FROM pairs
+    JOIN cnt ca ON ca.item = pairs.item_a
+    JOIN cnt cb ON cb.item = pairs.item_b
+    ORDER BY cos2_micro DESC, item_a, item_b
+    LIMIT 30
+    """,
+    description=(
+        "item-item collaborative filtering: basket-vector cosine² of"
+        " co-purchased pairs in exact integer micro units, top-30"
+    ),
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    left = items.select("basket", F.col("item").alias("item_a"))
+    right = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        left.join(right, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ca = broadcast(cnt.select(F.col("item").alias("item_a"), F.col("c").alias("c_a")))
+    cb = broadcast(cnt.select(F.col("item").alias("item_b"), F.col("c").alias("c_b")))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            F.expr("c_ab * c_ab * 1000000 div (c_a * c_b)").alias("cos2_micro"),
+        )
+        .orderBy(F.desc("cos2_micro"), "item_a", "item_b")
+        .limit(30)
+    )

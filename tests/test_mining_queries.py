@@ -132,3 +132,25 @@ def test_inc_agg_merge_equals_full_recompute(spark, sf_dir):
         for r in _run(spark, sf_dir, "q_inc_agg_merge").collect()
     }
     assert merged == full
+
+
+def test_bfs_khop_monotone_and_bounded(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_bfs_khop").collect()
+    assert len(rows) == 5
+    for r in rows:
+        # cumulative reachability is monotone in hop count
+        assert 0 <= r["n_1hop"] <= r["n_2hop"] <= r["n_3hop"]
+    seeds = [r["seed"] for r in rows]
+    assert seeds == sorted(seeds)
+
+
+def test_item_cf_cosine_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_item_cf").collect()
+    assert rows
+    for r in rows:
+        # cosine^2 in (0, 1]; co-occurrence can't exceed either item count
+        assert 0 < r["cos2_micro"] <= 1_000_000, r
+        assert r["c_ab"] >= 2
+        assert r["item_a"] < r["item_b"]
+    vals = [r["cos2_micro"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
