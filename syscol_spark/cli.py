@@ -64,7 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     q_p = sub.add_parser("query", help="run a catalog query and print JSONL rows")
     q_p.add_argument("name", help="query name (see `describe`)")
     q_p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table directory")
-    q_p.add_argument("--limit", type=int, default=20, help="max rows printed (0 = all)")
+    q_p.add_argument(
+        "--limit", type=int, default=20, help="max rows printed (0 = capped at 1000; use --all)"
+    )
+    q_p.add_argument(
+        "--all",
+        action="store_true",
+        help="print every row, streamed partition-at-a-time (never a full driver collect)",
+    )
 
     serve_p = sub.add_parser("serve", help="run the HTTP control plane (≈ reference `cli scheduler`)")
     serve_p.add_argument("--bind", default="127.0.0.1")
@@ -111,7 +118,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": f"unknown query {args.name!r}; run `describe` for the list"}), file=sys.stderr)
             return 1
         df = cat[args.name](get_session("syscol-query"), args.sf_dir)
-        rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        # the display path must never be an unbounded driver pull: --all
+        # streams partitions through toLocalIterator (one partition resident
+        # at a time); otherwise the collect is capped (default 20, --limit 0
+        # falls back to 1000 rather than collecting everything)
+        if args.all:
+            rows = df.toLocalIterator()
+        else:
+            rows = iter(df.limit(args.limit if args.limit > 0 else 1000).collect())
         for row in rows:
             print(json.dumps(row.asDict(recursive=True), default=str))
         return 0

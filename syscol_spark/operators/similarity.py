@@ -1066,6 +1066,27 @@ def matrix_sqdists(vec: Column | str, matrix: list[list[float]]) -> Column:
     return _sqd(F.col(vec) if isinstance(vec, str) else vec)
 
 
+def _adc_sum_fixed_order() -> Column:
+    """Order-independent ADC distance aggregate for the bulk scorers: the
+    per-subspace lookup terms are collected as (subspace, dist) structs,
+    sorted by subspace, and folded left-to-right — so the float64 additions
+    happen in FIXED subspace order no matter how the shuffle partitioned
+    the rows. A bare ``F.sum`` accumulates in partition-arrival order, which
+    is not bitwise-deterministic across runs/cluster layouts and could flip
+    a 6dp rounding knife-edge; this fold is the join-based path's analogue
+    of the driver-table path's fixed-order numpy reduction. collect_list
+    still partially aggregates map-side (list concat), and the state is
+    n_subspaces structs per (query, neighbor) — bounded."""
+    return F.round(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__s", "__d"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__d"],
+        ),
+        6,
+    )
+
+
 def pq_adc_topk_bulk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1135,7 +1156,7 @@ def pq_adc_topk_bulk(
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("__d"), 6).alias("adc_dist"))
+        .agg(_adc_sum_fixed_order().alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).cast("long").alias("rk")).filter(
@@ -1649,7 +1670,7 @@ def ivfpq_serve_bulk(
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("__d"), 6).alias("adc_dist"))
+        .agg(_adc_sum_fixed_order().alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     if refine:

@@ -69,12 +69,16 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("supp")).filter(F.col("supp") >= 3)
     n = items.agg(F.countDistinct("basket").alias("n_baskets"))
-    fa = broadcast(freq.select(F.col("item").alias("item_a"), F.col("supp").alias("supp_a")))
-    fb = broadcast(freq.select(F.col("item").alias("item_b"), F.col("supp").alias("supp_b")))
-    left = items.join(broadcast(freq.select("item")), "item").select(
+    # The frequent-item table scales with the part catalog (linear in SF —
+    # ~20e9 items at the 100 TB point), far beyond broadcastable: leave the
+    # equi-joins UN-hinted and let AQE broadcast when the runtime size fits,
+    # shuffle when it doesn't. Only the 1-row global count is hinted.
+    fa = freq.select(F.col("item").alias("item_a"), F.col("supp").alias("supp_a"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("supp").alias("supp_b"))
+    left = items.join(freq.select("item"), "item").select(
         "basket", F.col("item").alias("item_a")
     )
-    right = items.join(broadcast(freq.select("item")), "item").select(
+    right = items.join(freq.select("item"), "item").select(
         "basket", F.col("item").alias("item_b")
     )
     pairs = (
@@ -518,8 +522,13 @@ def q_sketch_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reports its kept ratio. Unlike q_boilerplate (token document-frequency)
 # this catches verbatim multi-token runs (nav bars, license headers,
 # mirrored passages). Segmentation uses the raw split positions in both
-# engines, so the grouping is bit-identical; the segment-frequency table
-# is vocabulary-sized and the flag join is a broadcast.
+# engines, so the grouping is bit-identical. The segment-hash table is
+# CORPUS-proportional (nearly every 8-token window in natural text is
+# unique), so it must never be broadcast: the document frequency is
+# computed with ONE window over the segment hash (collect_set of doc ids
+# per h — set size bounded by the hash's df, which is tiny for unique
+# segments and boilerplate-sized for repeated ones), one shuffle total,
+# no join, nothing driver- or executor-resident beyond a partition group.
 @register(
     "q_repeated_segments",
     """
@@ -566,10 +575,11 @@ def q_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h")
         )
     )
-    freq = seg.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    flagged = seg.withColumn(
+        "df", F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
+    )
     return (
-        seg.join(broadcast(freq), "h")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segs"),
             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_repeated"),
@@ -1375,8 +1385,10 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the items' basket-membership vectors — cos(i,j) = c_ij / sqrt(c_i*c_j),
 # reported EXACTLY as cosine² in integer micro units
 # (c_ij² * 1e6 // (c_i*c_j)) so no float ever enters the hash. Plan: one
-# distinct scan, one self-join restricted by basket key, two broadcast
-# item-count joins — pair blow-up bounded by basket size as in Apriori.
+# distinct scan, one self-join restricted by basket key, two UN-hinted
+# item-count equi-joins (the count table scales with the part catalog, so
+# AQE decides broadcast vs shuffle at runtime) — pair blow-up bounded by
+# basket size as in Apriori.
 @register(
     "q_item_cf",
     """
@@ -1418,8 +1430,10 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )
-    ca = broadcast(cnt.select(F.col("item").alias("item_a"), F.col("c").alias("c_a")))
-    cb = broadcast(cnt.select(F.col("item").alias("item_b"), F.col("c").alias("c_b")))
+    # per-item basket counts scale with the part catalog — never hint them
+    # broadcast; plain equi-joins let AQE pick broadcast only when it fits
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("c_b"))
     return (
         pairs.join(ca, "item_a")
         .join(cb, "item_b")

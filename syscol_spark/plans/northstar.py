@@ -2705,13 +2705,15 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # apply them in ONE fold pass — ~k-fold fewer Spark jobs than argmax-per-
 # merge. The oracle replays the EXACT construction: the greedy disjoint
 # selection is a list_reduce fold over the (cnt desc, pair)-ranked
-# candidate window (same window size as the engine's driver pull,
-# max(batch*4, 8)), with the used-symbol set carried in the accumulator
+# candidate window (same PER-ROUND window size as the engine's driver
+# pull, max(want*4, 8) where want = min(batch, merges remaining)), with
+# the used-symbol set carried in the accumulator
 # ('picked;...#|used|syms|' — symbols never contain '|', so the '|sym|'
 # membership test is exact); each round's merges then apply to every word
 # in one nested-lambda fold (at most one pair can match at a position, by
-# disjointness). Assumes full batches each round (holds on these corpora —
-# a partial round would hash-mismatch loudly, not silently).
+# disjointness). Partial final rounds (n_merges % batch != 0) use the same
+# shrunken want-derived window as the engine, so the construction matches
+# at every (n_merges, batch), not just full-batch configs.
 def _pair_parts(expr: str) -> tuple[str, str, str]:
     return (
         f"string_split(trim({expr}, '|'), '|')[1]",
@@ -2722,7 +2724,6 @@ def _pair_parts(expr: str) -> tuple[str, str, str]:
 
 def _bpe_batched_ctes(n_merges: int, batch: int) -> list[str]:
     rounds = (n_merges + batch - 1) // batch
-    window = max(batch * 4, 8)
     ctes = [
         "wb0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
         "'|' || regexp_replace(word, '(.)', '\\1|', 'g') AS repr "
@@ -2738,6 +2739,12 @@ def _bpe_batched_ctes(n_merges: int, batch: int) -> list[str]:
     for t in range(1, rounds + 1):
         prev = f"wb{t - 1}"
         want = min(batch, n_merges - (t - 1) * batch)
+        # candidate window MUST mirror the engine's per-round driver pull
+        # (operators/bpe.py::learn_bpe_merges passes want=min(batch,
+        # remaining) into _round_top_pairs, whose limit is max(want*4, 8)) —
+        # a constant batch-derived window would diverge on partial final
+        # rounds when n_merges % batch != 0
+        window = max(want * 4, 8)
         ctes.append(
             f"pb{t} AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
             "SELECT freq, unnest(list_transform(range(1, len(syms)), "

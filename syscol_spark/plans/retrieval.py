@@ -159,8 +159,8 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                               CAST(c.embedding AS DOUBLE[])) DESC,
+               ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
                         c.vec_id) AS BIGINT) AS rk
       FROM embeddings q JOIN embeddings c ON c.label <> q.label
       WHERE q.vec_id < 8)
