@@ -3349,9 +3349,13 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    # the unigram-count table is VOCABULARY-proportional (unbounded on web
+    # text) — never hint it broadcast; un-hinted equi-joins let AQE pick
+    # broadcast only when the runtime size fits. Only the 1-row totals
+    # frame keeps its hint.
     return (
-        bi.join(F.broadcast(uni.select(F.col("token").alias("w1"), F.col("n").alias("na"))), "w1")
-        .join(F.broadcast(uni.select(F.col("token").alias("w2"), F.col("n").alias("nb"))), "w2")
+        bi.join(uni.select(F.col("token").alias("w1"), F.col("n").alias("na")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("n").alias("nb")), "w2")
         .crossJoin(F.broadcast(tots))
         .filter(F.col("n_ab") >= 5)
         .select("w1", "w2", "n_ab", pmi.alias("pmi"))

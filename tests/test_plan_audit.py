@@ -24,6 +24,8 @@ offending query by name.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from syscol_spark.plans.catalog import QUERIES, _ensure_loaded
@@ -31,17 +33,26 @@ from syscol_spark.plans.catalog import QUERIES, _ensure_loaded
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _physical_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+@pytest.fixture(scope="module")
+def built(spark):
+    _ensure_loaded()
+    phys: dict[str, str] = {}
+    logical: dict[str, str] = {}
+    for name, spec in QUERIES.items():
+        qe = spec.builder(spark, SF_DIR)._jdf.queryExecution()
+        phys[name] = qe.executedPlan().toString()
+        logical[name] = qe.optimizedPlan().toString()
+    return phys, logical
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    _ensure_loaded()
-    out: dict[str, str] = {}
-    for name, spec in QUERIES.items():
-        out[name] = _physical_plan(spec.builder(spark, SF_DIR))
-    return out
+def plans(built):
+    return built[0]
+
+
+@pytest.fixture(scope="module")
+def logical_plans(built):
+    return built[1]
 
 
 def test_catalog_covered(plans):
@@ -94,3 +105,150 @@ def test_no_unjustified_expand_anywhere(plans):
         n for n, p in plans.items() if "Expand" in p and n not in _EXPAND_JUSTIFIED
     ]
     assert offenders == [], f"unexpected Expand (multi-distinct rewrite?) in: {offenders}"
+
+
+# --- broadcast-hint discipline -------------------------------------------------
+# A broadcast() HINT forces the build side onto every executor regardless of
+# runtime size, so a hinted side whose row count derives from a GROUPED
+# aggregation of data (distinct keys, per-token counts, segment hashes) is a
+# guaranteed OOM at the 100 TB design point even when it is tiny at test SF.
+# This audit walks every optimized logical plan: for each broadcast-hinted
+# join side it proves the row count bounded — a GlobalLimit, a global (un-
+# grouped) Aggregate (exactly 1 row), a LocalRelation / createDataFrame
+# trainer table, or compositions thereof. A grouped Aggregate on the
+# cardinality spine fails the proof and the query must either drop the hint
+# (plain equi-join — AQE broadcasts at runtime only when it fits) or appear
+# in the justified allowlist below with a reason the walker cannot see
+# (value-domain caps like pmod-by-literal group keys, literal-filtered key
+# sets, bounded label/cluster/dimension domains).
+
+_TREE_NODE = re.compile(r"^((?::  |   )*)(?::-|\+-) (.*)$")
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    nodes = []
+    for line in plan.splitlines():
+        m = _TREE_NODE.match(line)
+        if m:
+            nodes.append((len(m.group(1)) // 3 + 1, m.group(2)))
+        elif line.strip():
+            nodes.append((0, line.strip()))
+    return nodes
+
+
+def _children(nodes: list[tuple[int, str]], i: int) -> list[int]:
+    d = nodes[i][0]
+    out = []
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][0] <= d:
+            break
+        if nodes[j][0] == d + 1:
+            out.append(j)
+    return out
+
+
+def _is_grouped_aggregate(text: str) -> bool:
+    # grouped prints "Aggregate [keys], [exprs]"; global prints one list
+    if not text.startswith("Aggregate ["):
+        return False
+    depth = 0
+    for pos in range(len("Aggregate "), len(text)):
+        ch = text[pos]
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                return text[pos + 1 : pos + 4] == ", ["
+    return False
+
+
+def _bounded(nodes: list[tuple[int, str]], i: int, why: list[str]) -> bool:
+    """True if the subtree at i provably yields a bounded row count. Raw
+    relation scans are treated as bounded here on purpose: plain dimension
+    broadcasts and literal-filtered query sets are the intended uses of the
+    hint, and flagging them would force the allowlist to enumerate every
+    TPC-H dim join. The unbounded-AGGREGATION pattern is what this audit
+    exists to ban."""
+    _d, text = nodes[i]
+    if text.startswith(("GlobalLimit", "LocalLimit")):
+        return True
+    if text.startswith("Aggregate"):
+        if _is_grouped_aggregate(text):
+            why.append(text.split("],")[0] + "]")
+            return False
+        return True  # global aggregate: exactly one row
+    if text.startswith(("LocalRelation", "OneRowRelation", "Relation", "LogicalRDD")):
+        return True
+    kids = _children(nodes, i)
+    if not kids:
+        return True
+    return all(_bounded(nodes, k, why) for k in kids)
+
+
+def _unbounded_agg_broadcasts(plan: str) -> list[str]:
+    nodes = _parse_tree(plan)
+    hits: list[str] = []
+    for i, (_d, text) in enumerate(nodes):
+        if not text.startswith("Join"):
+            continue
+        kids = _children(nodes, i)
+        for hint, idx in (("leftHint", 0), ("rightHint", 1)):
+            if f"{hint}=(strategy=broadcast)" not in text or idx >= len(kids):
+                continue
+            why: list[str] = []
+            if not _bounded(nodes, kids[idx], why):
+                hits.extend(why)
+    return hits
+
+
+# Hinted grouped-aggregation broadcasts whose bound is real but invisible to
+# the plan walker. Every entry needs a reason; anything NOT listed here that
+# broadcasts a grouped aggregation fails the audit.
+_BOUNDED_AGG_BROADCAST_JUSTIFIED = {
+    # group key is pmod(hash, literal): value domain capped regardless of
+    # input key count (the sketch-prefilter bucket table, 2^20 rows max)
+    "q_sketch_prefilter_join",
+    # 256 pmod token buckets (bucket-level DSIR importance weights)
+    "q_dsir_weights",
+    # per-(label, dim) / per-(cluster, dim) centroid tables: label and
+    # cluster domains are fixed and dims is the embedding width
+    "q_nearest_centroid",
+    "q_kmeans_lloyd",
+    "q_embed_outliers",
+    "q_embed_quantize",
+    "q_cluster_balance",
+    # language x char-n-gram profile: both domains bounded (not vocabulary)
+    "q_lang_id_ngram",
+    "q_pipeline_e2e",
+    # per-token df over tokens FILTERED to a literal query-term list
+    "q_bm25",
+    # Misra-Gries candidate set: capacity-bounded by construction
+    "q_heavy_hitters",
+    # benchmark n-gram set: bounded by the (small) decontamination bench
+    "q_decontaminate",
+}
+
+
+def test_no_broadcast_hint_on_unbounded_aggregation(logical_plans):
+    offenders = {
+        n: hits
+        for n, p in logical_plans.items()
+        if n not in _BOUNDED_AGG_BROADCAST_JUSTIFIED
+        and (hits := _unbounded_agg_broadcasts(p))
+    }
+    assert offenders == {}, (
+        "broadcast-hinted join sides built from grouped aggregations "
+        f"(data-proportional at scale — drop the hint or justify): {offenders}"
+    )
+
+
+def test_broadcast_allowlist_entries_still_hinted(logical_plans):
+    # keep the allowlist honest: every justified query must still contain a
+    # hinted grouped-aggregation broadcast, else the entry is stale
+    stale = [
+        n
+        for n in sorted(_BOUNDED_AGG_BROADCAST_JUSTIFIED)
+        if n in logical_plans and not _unbounded_agg_broadcasts(logical_plans[n])
+    ]
+    assert stale == [], f"allowlist entries no longer needed: {stale}"
