@@ -142,6 +142,159 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-term phrase search (general positional intersection) --------------------
+# The real index consumer: arbitrary-length phrases, not just bigrams. The
+# k-way intersection is NOT k-1 chained joins (k corpus scans, k-1 shuffles):
+# a posting for term t at position p contributes a candidate phrase START
+# p - i for every phrase slot i holding t (a plan-time map literal, so
+# repeated terms — "part the the" — are handled exactly), and a phrase
+# occurs at (doc, start) iff ALL k slots contributed. That is ONE selective
+# posting filter (term IN phrase), one <=k-wide projection fan-out, and ONE
+# groupBy(doc, start) HAVING count = k — one corpus scan and one shuffle
+# regardless of phrase length, the shuffle carrying only the k terms'
+# postings. Slot multiplicity per (doc, pos, start) is 1 by construction
+# (start determines the slot), so COUNT(*) equals the distinct-slot count.
+_PHRASE_K = ("part", "the", "the")
+
+
+def phrase_occurrences(postings: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, start) of every occurrence of ``terms`` as a contiguous
+    phrase, from (doc_id, pos, term) positional postings — one scan, one
+    shuffle, any k."""
+    slot_map: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        slot_map.setdefault(t, []).append(i)
+    m = F.create_map(
+        *[
+            x
+            for t, idxs in slot_map.items()
+            for x in (F.lit(t), F.array(*[F.lit(i) for i in idxs]))
+        ]
+    )
+    hits = postings.filter(F.col("term").isin(list(set(terms)))).select(
+        "doc_id", "pos", F.explode(F.element_at(m, F.col("term"))).alias("slot")
+    )
+    return (
+        hits.select("doc_id", (F.col("pos") - F.col("slot")).alias("start"))
+        .groupBy("doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == len(terms))
+        .select("doc_id", "start")
+    )
+
+
+def _phrase_k_oracle(terms: tuple[str, ...]) -> str:
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return rf"""
+    WITH p AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    hits AS (
+      SELECT doc_id, pos - ph.slot AS start
+      FROM p JOIN (VALUES {values}) AS ph(slot, pterm) ON p.term = ph.pterm
+    ),
+    occ AS (
+      SELECT doc_id, start FROM hits
+      GROUP BY doc_id, start HAVING COUNT(*) = {len(terms)}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(start) AS BIGINT) AS first_pos
+    FROM occ
+    GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id
+    LIMIT 100
+    """
+
+
+@register(
+    "q_phrase_search_k",
+    _phrase_k_oracle(_PHRASE_K),
+    description=(
+        f'k-way positional phrase search ("{" ".join(_PHRASE_K)}"): one scan,'
+        " one shuffle for any phrase length; repeated phrase terms exact"
+    ),
+)
+def q_phrase_search_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = phrase_occurrences(_postings(spark, sf_dir), _PHRASE_K)
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("start").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(100)
+    )
+
+
+# --- incremental inverted-index build (posting-delta merge) ---------------------
+# The delta discipline every other index in the repo already has (dedup
+# digests, winnow fingerprints, CDC chunks, ANN codes), applied to the
+# posting lists: a NEW shard (doc_id % 5 == 0, the q_dedup_delta split)
+# builds its per-term partials alone, and the merge with the base index is
+# a union + ONE term-keyed re-aggregation of two INDEX-sized (not
+# corpus-sized) tables. Every statistic is merge-algebraic — df sums
+# because shards are doc-disjoint, tf sums, first_doc is min-of-mins, the
+# positions checksum sums — so the merged index is provably equal to the
+# full rebuild, which is exactly what the oracle checks (its SQL is the
+# one-shot build; the engine runs the shard/merge path).
+@register(
+    "q_inverted_delta",
+    r"""
+    WITH p AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    )
+    SELECT term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS tf_total,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(pos) AS BIGINT) AS pos_checksum
+    FROM p
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 40
+    """,
+    description=(
+        "incremental inverted-index: new-shard posting partials merged into"
+        " the base index by one term-keyed re-aggregation; oracle is the"
+        " full rebuild the merge must equal"
+    ),
+)
+def q_inverted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _postings(spark, sf_dir)
+
+    def partial(postings: DataFrame) -> DataFrame:
+        return postings.groupBy("term").agg(
+            # countDistinct is safe to SUM across shards because the shard
+            # split is BY doc_id — a doc contributes to exactly one shard
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("pos").alias("pos_checksum"),
+        )
+
+    base = partial(p.filter(F.col("doc_id") % 5 != 0))
+    delta = partial(p.filter(F.col("doc_id") % 5 == 0))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("tf_total").alias("tf_total"),
+            F.min("first_doc").alias("first_doc"),
+            F.sum("pos_checksum").alias("pos_checksum"),
+        )
+    )
+    return merged.orderBy(F.desc("df"), "term").limit(40)
+
+
 # --- contrastive hard-negative mining ------------------------------------------
 # The training-pair miner for retrieval/embedding models: for each anchor,
 # the top-k highest-cosine vectors with a DIFFERENT label — maximally
@@ -185,6 +338,98 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         c.join(broadcast(q), F.col("neg_label") != F.col("label"))
+        .select(
+            "query_id",
+            "label",
+            "neighbor_id",
+            "neg_label",
+            F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.select(
+        "*", F.row_number().over(w).cast("long").alias("rk")
+    ).filter(F.col("rk") <= 3)
+
+
+# --- hard negatives over an ANN shortlist ---------------------------------------
+# Proof of the composition q_hard_negatives' docstring claims: swap the full
+# corpus scan for an ANN candidate generator and the label-exclusion filter
+# composes unchanged. Candidates come from the SRP-LSH kernel (deterministic
+# seeded hyperplanes, multi-probe Hamming<=1 — the same bit-exact kernel
+# q_ann_srp's oracle mirrors), so the candidate set is EXACT across engines
+# and the pair is oracle-hashable: the corpus is hashed once, each anchor
+# probes 1 + n_planes buckets, and the join meets only bucket-collision
+# candidates — never the corpus per anchor. Ranking is identical to
+# q_hard_negatives (6dp-rounded cosine desc, neighbor id).
+def _hard_negatives_ann_oracle() -> str:
+    from syscol_spark.plans.northstar import _srp_bucket_sql
+
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, label, embedding, {_srp_bucket_sql(64, 6)} AS bucket
+      FROM embeddings
+    )
+    SELECT query_id, label, neighbor_id, neg_label, cosine, rk FROM (
+      SELECT q.vec_id AS query_id, q.label AS label,
+             c.vec_id AS neighbor_id, c.label AS neg_label,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS BIGINT) AS rk
+      FROM b q JOIN b c
+        ON q.vec_id < 8 AND c.label <> q.label
+       AND bit_count(xor(q.bucket, c.bucket)) <= 1)
+    WHERE rk <= 3
+    """
+
+
+@register(
+    "q_hard_negatives_ann",
+    _hard_negatives_ann_oracle(),
+    description=(
+        "hard-negative mining over an SRP-LSH shortlist: ANN candidates +"
+        " wrong-label filter + per-anchor top-3 (bucket join, no full scan)"
+    ),
+)
+def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import _pack_sign_bits, srp_gaussian_dots
+
+    n_planes = 6
+    emb = _t(spark, sf_dir, "embeddings")
+    dots = srp_gaussian_dots("embedding", 64, n_planes)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_vec"),
+        dots.alias("_dots"),
+    ).select(
+        "neighbor_id", "neg_label", "c_vec",
+        _pack_sign_bits(F.col("_dots"), n_planes).alias("bucket"),
+    )
+    b = _pack_sign_bits(F.col("_dots"), n_planes)
+    masks = [0] + [1 << p for p in range(n_planes)]
+    q = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("label"),
+            F.col("embedding").alias("q_vec"),
+            dots.alias("_dots"),
+        )
+        .select(
+            "query_id", "label", "q_vec",
+            F.explode(
+                F.array(*[b.bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+            ).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(broadcast(q), "bucket")
+        .filter(F.col("neg_label") != F.col("label"))
         .select(
             "query_id",
             "label",

@@ -52,6 +52,93 @@ def test_phrase_search_docs_really_contain_phrase(spark, sf_dir):
         assert toks[r["first_pos"] + 1] == "join"
 
 
+def test_phrase_search_k_docs_really_contain_phrase(spark, sf_dir):
+    """The k-way intersection (with a REPEATED phrase term) against a
+    driver-side replay over the raw text."""
+    from syscol_spark.plans.retrieval import _PHRASE_K
+
+    rows = _run(spark, sf_dir, "q_phrase_search_k").collect()
+    assert rows
+    hits = {r["doc_id"]: r for r in rows}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(list(hits)))
+        .select("doc_id", "text")
+        .collect()
+    }
+    k = len(_PHRASE_K)
+    for doc_id, r in hits.items():
+        toks = texts[doc_id].strip().split()
+        starts = [
+            i
+            for i in range(len(toks) - k + 1)
+            if all(toks[i + j] == _PHRASE_K[j] for j in range(k))
+        ]
+        assert len(starts) == r["n_occurrences"], (doc_id, starts, r)
+        assert starts and starts[0] == r["first_pos"], (doc_id, starts, r)
+
+
+def test_phrase_occurrences_handles_overlap_and_repeats(spark):
+    """Unit check of the kernel on a hand-built corpus: repeated terms,
+    overlapping occurrences, and a near-miss that shares k-1 slots."""
+    from syscol_spark.plans.retrieval import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b a b b"),   # "a b b" at 0 and 3
+            (2, "b b a"),          # near-miss: no occurrence
+            (3, "a b b"),          # exactly one at 0
+            (4, "a b a b"),        # none ("a b a" != phrase)
+        ],
+        "doc_id long, text string",
+    )
+    p = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term")
+    )
+    got = {
+        (r["doc_id"], r["start"])
+        for r in phrase_occurrences(p, ("a", "b", "b")).collect()
+    }
+    assert got == {(1, 0), (1, 3), (3, 0)}
+
+
+def test_inverted_delta_equals_full_rebuild(spark, sf_dir):
+    """The merge theorem, checked directly: shard/merge result == one-shot
+    index (same top-40 slice as q_inverted_index)."""
+    full = _run(spark, sf_dir, "q_inverted_index").collect()
+    merged = _run(spark, sf_dir, "q_inverted_delta").collect()
+    key = lambda r: (r["term"], r["df"], r["tf_total"], r["first_doc"], r["pos_checksum"])  # noqa: E731
+    assert sorted(map(key, merged)) == sorted(map(key, full))
+
+
+def test_hard_negatives_ann_subset_of_exact_and_label_clean(spark, sf_dir):
+    """ANN-shortlist negatives: label exclusion holds, cosines are real, and
+    every mined pair is a bucket-collision candidate — cross-checked by
+    recomputing the SRP buckets driver-side."""
+    import numpy as np
+
+    from syscol_spark.operators.similarity import _srp_plane
+
+    rows = _run(spark, sf_dir, "q_hard_negatives_ann").collect()
+    assert rows
+    emb = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    planes = np.array([_srp_plane(64, p, 42) for p in range(6)])  # (6, 64)
+
+    def bucket(v):
+        return int(sum((1 << p) for p in range(6) if float(planes[p] @ v) >= 0))
+
+    for r in rows:
+        assert r["neg_label"] != r["label"], r
+        assert -1.0 <= r["cosine"] <= 1.0
+        bq = bucket(emb[r["query_id"]][0])
+        bc = bucket(emb[r["neighbor_id"]][0])
+        assert bin(bq ^ bc).count("1") <= 1, r
+
+
 def test_hard_negatives_exclude_anchor_label(spark, sf_dir):
     rows = _run(spark, sf_dir, "q_hard_negatives").collect()
     assert rows
