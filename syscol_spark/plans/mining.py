@@ -505,8 +505,12 @@ def q_sketch_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets))
     )
     cand = li.join(broadcast(buckets), "b").drop("b")
+    # the exact confirm join is UN-hinted: the selected-orders key set is a
+    # constant FRACTION of orders (linear in SF), so only the capped bucket
+    # table above may be forced; AQE broadcasts the keys when they fit and
+    # shuffles the (already bucket-pruned) candidates when they don't
     hit = cand.join(
-        broadcast(sel.select(F.col("o_orderkey").alias("l_orderkey"))), "l_orderkey", "semi"
+        sel.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "semi"
     )
     return hit.agg(
         F.count(F.lit(1)).alias("n_lines"),
