@@ -303,6 +303,64 @@ def main() -> None:
         dt = time.time() - t0
         print(f"adcblk {k:>2}x  queries={k * 1000:>6}  topk_rows={n:>8}  wall={dt:6.2f}s")
 
+    # Retrieval-index probes. (a) inverted-index build: the copy-suffix
+    # bijection inflates VOCABULARY and postings k x together — the build is
+    # one exploded groupBy(term) with map-side partial aggregation, so wall
+    # must track postings (linear), never vocab-squared. (b) k-term phrase
+    # search: PLAIN copy inflation (text unchanged — phrase matching needs
+    # the original tokens), so the phrase terms' postings and the true
+    # occurrence count both grow exactly k x; the kernel is one selective
+    # posting filter + one groupBy(doc, start), so wall is dominated by the
+    # (linear) corpus scan, not by phrase length or candidate pairing.
+    from syscol_spark.plans.retrieval import phrase_occurrences
+
+    def postings_of(corpus):
+        return corpus.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term"),
+        )
+
+    for k in (1, 4, 16):
+        corpus = inflate(base, k)
+        t0 = time.time()
+        n_terms = (
+            postings_of(corpus)
+            .groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count(F.lit(1)).alias("tf_total"),
+                F.min("doc_id").alias("first_doc"),
+                F.sum("pos").alias("pos_checksum"),
+            )
+            .count()
+        )
+        dt = time.time() - t0
+        print(f"invidx {k:>2}x  docs={k * base.count():>6}  terms={n_terms:>8}  wall={dt:6.2f}s")
+
+    def inflate_plain(docs, k: int):
+        n = 1_000_000_000
+        return (
+            docs.select(
+                F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__copy"),
+                "doc_id",
+                "text",
+            )
+            .select(
+                (F.col("doc_id") + F.col("__copy").cast("long") * F.lit(n).cast("long")).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
+            .repartition(32)
+        )
+
+    for k in (1, 4, 16):
+        corpus = inflate_plain(base, k)
+        t0 = time.time()
+        n_occ = phrase_occurrences(postings_of(corpus), ("part", "the", "the")).count()
+        dt = time.time() - t0
+        print(f"phrase {k:>2}x  docs={k * base.count():>6}  occur={n_occ:>8}  wall={dt:6.2f}s")
+
 
 if __name__ == "__main__":
     main()
