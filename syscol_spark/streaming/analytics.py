@@ -1197,3 +1197,80 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_INVIDX_STATE = StructType(
+    [
+        StructField("df", LongType()),
+        StructField("tf_total", LongType()),
+        StructField("first_doc", LongType()),
+        StructField("pos_checksum", LongType()),
+    ]
+)
+_INVIDX_OUT = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("tf_total", LongType()),
+        StructField("first_doc", LongType()),
+        StructField("pos_checksum", LongType()),
+    ]
+)
+
+
+def streaming_inverted_index(
+    docs: DataFrame, *, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Continuous inverted-index maintenance: the streaming twin of
+    q_inverted_index / q_inverted_delta (plans/retrieval.py). Each arriving
+    document explodes to positional postings (the SAME whitespace split as
+    the batch build, so the two cannot drift), and one stateful key per TERM
+    folds the batch delta algebra incrementally: df += this batch's distinct
+    new docs, tf_total += postings, first_doc = min, pos_checksum += sum.
+
+    Exactness rests on the same contract the batch delta path states: a
+    document is ingested exactly once (doc-disjoint shards/batches), so the
+    per-batch distinct-doc count sums to the true document frequency — the
+    algebra q_inverted_delta's merge theorem proves against the full
+    rebuild. State is 4 longs per term (index-sized, never corpus-sized);
+    update mode re-emits a term's current stats whenever a batch touches it,
+    so the sink always holds the freshest posting statistics per term.
+    """
+    postings = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(content_col)), r"\s+")).alias("pos", "term"),
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            df_n, tf, first_doc, checksum = state.get
+        else:
+            df_n, tf, first_doc, checksum = 0, 0, None, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            df_n += int(pdf["doc_id"].nunique())
+            tf += int(len(pdf))
+            batch_min = int(pdf["doc_id"].min())
+            first_doc = batch_min if first_doc is None else min(first_doc, batch_min)
+            checksum += int(pdf["pos"].sum())
+        state.update((df_n, tf, first_doc, checksum))
+        yield pd.DataFrame(
+            {
+                "term": [key[0]],
+                "df": [df_n],
+                "tf_total": [tf],
+                "first_doc": [first_doc],
+                "pos_checksum": [checksum],
+            }
+        )
+
+    return postings.groupBy("term").applyInPandasWithState(
+        update,
+        outputStructType=_INVIDX_OUT,
+        stateStructType=_INVIDX_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -859,3 +859,63 @@ def test_streaming_cusum_matches_textbook_recursion(spark, sf_dir, tmp_path):
     # minute except at most the stream-tail minute must have closed
     n_real = len([m for m in seen if m != sentinel_m])
     assert n_real >= len(counts) - 1, (n_real, len(counts))
+
+
+def test_streaming_inverted_index_matches_batch_build(spark, sf_dir, tmp_path):
+    """The posting-stats state folded over three doc-disjoint triggers must
+    equal the one-shot batch index EXACTLY (the q_inverted_delta merge
+    theorem, exercised through the stateful streaming path)."""
+    from syscol_spark.streaming.analytics import streaming_inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "invidx")
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_inverted_index(stream)
+        .writeStream.format("memory")
+        .queryName("invidx")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    # update mode re-emits a touched term each trigger; tf_total only grows,
+    # so the final snapshot per term is its max-tf_total emission
+    final = {}
+    for r in spark.sql("SELECT * FROM invidx").collect():
+        prev = final.get(r["term"])
+        if prev is None or r["tf_total"] > prev["tf_total"]:
+            final[r["term"]] = r
+
+    batch = {
+        r["term"]: r
+        for r in docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("pos").alias("pos_checksum"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for term, b in batch.items():
+        s = final[term]
+        assert (s["df"], s["tf_total"], s["first_doc"], s["pos_checksum"]) == (
+            b["df"], b["tf_total"], b["first_doc"], b["pos_checksum"]
+        ), term
