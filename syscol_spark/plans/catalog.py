@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
     import syscol_spark.plans.mining  # noqa: F401
     import syscol_spark.plans.northstar  # noqa: F401
     import syscol_spark.plans.pipeline  # noqa: F401
+    import syscol_spark.plans.quality  # noqa: F401
     import syscol_spark.plans.retrieval  # noqa: F401
     import syscol_spark.plans.tpch2  # noqa: F401
     import syscol_spark.plans.tpch3  # noqa: F401

@@ -1,0 +1,495 @@
+"""Data-quality / sketch-infrastructure queries: mergeable count-min sketch
+shards, bloom-prefiltered anti join, bigram next-token language model,
+vocabulary-coverage audit, and a Benford first-digit distribution audit.
+
+These extend the sketch tier (q_hll_shards / q_quantile_shards) and the
+text/LM tier (q_lm_perplexity / q_bpe_*) with the remaining classic
+infrastructure pieces a 100 TB curation stack runs:
+
+- count-min sketch: the LINEAR frequency sketch — per-shard cell tables sum
+  cell-wise into the corpus sketch without rescans (same mergeability
+  contract as the HLL/quantile shards), and estimates only ever OVERcount.
+- bloom prefilter: the join-pushdown filter — the bit-position table is
+  capped at ``m`` rows by construction REGARDLESS of build-side key count
+  (the q_sketch_prefilter_join discipline), so it broadcasts safely at any
+  scale and turns an anti join into (cheap definite-reject) + (exact confirm
+  on the surviving sliver).
+- bigram LM: next-token statistics with add-one smoothing in exact ppm
+  integers — the n-gram counterpart of q_lm_perplexity's unigram scorer.
+- vocab coverage: the tokenizer-audit every vocab change ships with — what
+  fraction of token OCCURRENCES per language the top-K vocabulary covers.
+- Benford audit: first-significant-digit distribution vs Benford's law in
+  exact ppm — the classic synthetic-/corrupted-data screen.
+
+Every query follows the catalog parity rules (plans/catalog.py docstring):
+exact integers end-to-end (ppm scaling via integer division), engine-portable
+md5 bucketing (operators/sampling.py hash_bucket / hash_bucket_sql),
+deterministic tie-breaks. Reference scope: the syscol engine ships no sketch
+or LM code; this is north-star surface (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from syscol_spark.operators.sampling import hash_bucket, hash_bucket_sql
+from syscol_spark.plans.catalog import register
+from syscol_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- mergeable count-min sketch shards -----------------------------------------
+# The frequency counterpart of q_hll_shards: each shard builds a (depth,
+# bucket) -> count cell table (the persistable sketch), shards merge by
+# cell-wise SUM (count-min is linear — Cormode & Muthukrishnan 2005), and
+# point estimates are the MIN over depths of the key's cells. The merged
+# sketch is provably equal to the one-shot build (sum over doc-disjoint
+# shards = global cell count), which is exactly what the oracle checks: its
+# SQL is the one-shot build, the engine runs the shard/merge path. Estimates
+# can only OVERcount (collisions add, never subtract) — emitted as an
+# oracle-checked integer so a broken merge that undercounts hash-fails.
+# Scale: the cell table is depth*width rows (768) REGARDLESS of key count;
+# the heavy-key probe side is a GlobalLimit and broadcasts safely.
+_CMS_SEEDS = (11, 13, 17)  # one md5 seed per depth row
+_CMS_WIDTH = 256
+_CMS_SHARDS = 4
+
+
+def _cms_oracle() -> str:
+    cells = "\n      UNION ALL\n".join(
+        f"      SELECT {d} AS depth, {hash_bucket_sql('user_id', seed, _CMS_WIDTH)} AS bucket,"
+        f" CAST(COUNT(*) AS BIGINT) AS cell_cnt FROM events GROUP BY bucket"
+        for d, seed in enumerate(_CMS_SEEDS)
+    )
+    probes = "\n      UNION ALL\n".join(
+        f"      SELECT user_id, exact_cnt, {d} AS depth,"
+        f" {hash_bucket_sql('user_id', seed, _CMS_WIDTH)} AS bucket FROM heavy"
+        for d, seed in enumerate(_CMS_SEEDS)
+    )
+    return f"""
+    WITH cells AS (
+{cells}
+    ),
+    heavy AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT 5
+    ),
+    probes AS (
+{probes}
+    )
+    SELECT p.user_id, p.exact_cnt,
+           CAST(MIN(c.cell_cnt) AS BIGINT) AS cms_est,
+           MIN(c.cell_cnt) >= p.exact_cnt AS never_undercounts,
+           CAST({_CMS_SHARDS} AS BIGINT) AS n_shards
+    FROM probes p JOIN cells c ON p.depth = c.depth AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.exact_cnt
+    ORDER BY p.exact_cnt DESC, p.user_id
+    """
+
+
+@register(
+    "q_cms_shards",
+    _cms_oracle(),
+    description=(
+        "mergeable count-min sketch shards: per-shard cell tables sum into"
+        " the corpus sketch without rescans; top-5 key estimates"
+        " never-undercount-checked vs exact (oracle = one-shot build the"
+        " merge must equal)"
+    ),
+)
+def q_cms_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    depth_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    hash_bucket("user_id", seed, _CMS_WIDTH).alias("bucket"),
+                )
+                for d, seed in enumerate(_CMS_SEEDS)
+            ]
+        )
+    )
+    # per-shard sketch tables: what each daily job would persist
+    shard_cells = (
+        ev.select(F.pmod(F.col("event_id"), F.lit(_CMS_SHARDS)).alias("shard"), depth_cells.alias("c"))
+        .select("shard", "c.depth", "c.bucket")
+        .groupBy("shard", "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    # count-min is linear: merging shards is a cell-wise SUM, never a rescan
+    merged = shard_cells.groupBy("depth", "bucket").agg(
+        F.sum("cell_cnt").alias("cell_cnt")
+    )
+    heavy = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(5)
+    )
+    probes = heavy.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        hash_bucket("user_id", seed, _CMS_WIDTH).alias("bucket"),
+                    )
+                    for d, seed in enumerate(_CMS_SEEDS)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "exact_cnt", "c.depth", "c.bucket")
+    return (
+        merged.join(broadcast(probes), ["depth", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+            F.lit(_CMS_SHARDS).cast("long").alias("n_shards"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+    )
+
+
+# --- bloom-prefiltered anti join -------------------------------------------------
+# The join-pushdown pattern AQE's runtime bloom implements, built explicitly
+# so the sharded lifecycle is visible: each orders shard contributes the bit
+# POSITIONS its keys set (k=2 md5 hashes mod m), shards merge by DISTINCT
+# union (bit OR), and the probe side rejects a customer outright when ANY of
+# its positions is unset (bloom has no false negatives) — only the surviving
+# sliver reaches the exact confirm join. The bits table is <= m rows BY
+# CONSTRUCTION regardless of build-side key count (the capped-broadcast
+# discipline of q_sketch_prefilter_join), so the broadcast is safe at any
+# scale. The oracle replicates the md5 positions exactly, so candidate and
+# false-positive COUNTS are oracle-checked integers, and bloom_sound
+# (no order-holding customer rejected) is a hash-checked invariant.
+_BLOOM_M = 8192
+_BLOOM_SEEDS = (101, 103)
+
+
+def _bloom_oracle() -> str:
+    build_pos = "\n      UNION\n".join(
+        f"      SELECT {hash_bucket_sql('o_custkey', seed, _BLOOM_M)} AS pos FROM orders"
+        for seed in _BLOOM_SEEDS
+    )
+    probe_cols = ", ".join(
+        f"{hash_bucket_sql('c_custkey', seed, _BLOOM_M)} AS p{i}"
+        for i, seed in enumerate(_BLOOM_SEEDS)
+    )
+    return f"""
+    WITH bits AS (
+{build_pos}
+    ),
+    probe AS (
+      SELECT c_custkey, {probe_cols},
+             c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+      FROM customer c
+    ),
+    flags AS (
+      SELECT c_custkey, has_orders,
+             (p0 IN (SELECT pos FROM bits)) AND (p1 IN (SELECT pos FROM bits))
+               AS maybe
+      FROM probe
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN NOT maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_definitely_absent,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN NOT has_orders THEN 1 ELSE 0 END) AS BIGINT) AS n_truly_without_orders,
+           CAST(SUM(CASE WHEN maybe AND NOT has_orders THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           BOOL_AND(maybe OR NOT has_orders) AS bloom_sound
+    FROM flags
+    """
+
+
+@register(
+    "q_bloom_prefilter",
+    _bloom_oracle(),
+    description=(
+        "sharded bloom filter as a join prefilter: bit positions built per"
+        " shard, merged by distinct union (<= m rows regardless of key"
+        " count), probe rejects definite non-matches before the exact anti"
+        " join; soundness (no false negatives) hash-checked"
+    ),
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    # sharded build: each shard's distinct positions are its persistable
+    # filter; the merge is a distinct union (bit OR of the shard filters)
+    shard_bits = orders.select(
+        F.pmod(F.col("o_orderkey"), F.lit(4)).alias("shard"),
+        F.explode(
+            F.array(
+                *[hash_bucket("o_custkey", seed, _BLOOM_M) for seed in _BLOOM_SEEDS]
+            )
+        ).alias("pos"),
+    ).distinct()
+    bits = shard_bits.select("pos").distinct()
+    probe = cust.select(
+        "c_custkey",
+        *[
+            hash_bucket("c_custkey", seed, _BLOOM_M).alias(f"p{i}")
+            for i, seed in enumerate(_BLOOM_SEEDS)
+        ],
+    )
+    for i in range(len(_BLOOM_SEEDS)):
+        b = broadcast(bits.withColumnRenamed("pos", f"__hit{i}"))
+        probe = probe.join(b, F.col(f"p{i}") == F.col(f"__hit{i}"), "left")
+    maybe = F.col("__hit0").isNotNull() & F.col("__hit1").isNotNull()
+    truth = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    flags = probe.join(truth.withColumn("__has", F.lit(True)), "c_custkey", "left").select(
+        "c_custkey",
+        maybe.alias("maybe"),
+        F.coalesce(F.col("__has"), F.lit(False)).alias("has_orders"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(~F.col("maybe"), 1).otherwise(0)).alias("n_definitely_absent"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_candidates"),
+        F.sum(F.when(~F.col("has_orders"), 1).otherwise(0)).alias("n_truly_without_orders"),
+        F.sum(F.when(F.col("maybe") & ~F.col("has_orders"), 1).otherwise(0)).alias(
+            "n_false_positives"
+        ),
+        F.min(F.col("maybe") | ~F.col("has_orders")).alias("bloom_sound"),
+    )
+
+
+# --- bigram next-token language model --------------------------------------------
+# The n-gram counterpart of q_lm_perplexity's unigram scorer: adjacent-token
+# pair counts, per-context totals, and add-one-smoothed next-token
+# probabilities p(next|prev) = (cnt+1) / (ctx_total + V) in exact ppm
+# integers (V = distinct next-token vocabulary). Reported for the 5
+# heaviest contexts x top-3 continuations — the "what does the model predict
+# after X" audit. Plan: one corpus scan for pairs (positional self-join on
+# pos+1, the phrase-search kernel), one (prev,next) groupBy, a context
+# re-aggregate, and two bounded broadcasts (GlobalLimit-5 contexts, 1-row V).
+@register(
+    "q_ngram_lm",
+    r"""
+    WITH p AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents)
+    ),
+    bg AS (
+      SELECT a.term AS prev, b.term AS next
+      FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cnt AS (
+      SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY prev, next
+    ),
+    ctx AS (
+      SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx_total FROM cnt GROUP BY prev
+      ORDER BY ctx_total DESC, prev LIMIT 5
+    ),
+    v AS (SELECT CAST(COUNT(DISTINCT next) AS BIGINT) AS vocab FROM bg),
+    ranked AS (
+      SELECT c.prev, c.next, c.cnt, x.ctx_total,
+             CAST((c.cnt + 1) * 1000000 // (x.ctx_total + v.vocab) AS BIGINT) AS p_ppm,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.prev
+                                     ORDER BY c.cnt DESC, c.next) AS BIGINT) AS rk
+      FROM cnt c JOIN ctx x USING (prev) CROSS JOIN v
+    )
+    SELECT prev, next, cnt, ctx_total, p_ppm, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY ctx_total DESC, prev, rk
+    """,
+    description=(
+        "bigram next-token LM: add-one-smoothed p(next|prev) in exact ppm"
+        " for the 5 heaviest contexts x top-3 continuations"
+    ),
+)
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term")
+    )
+    a = p.select("doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("prev"))
+    b = p.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("term").alias("next"),
+    )
+    bg = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b")) & (F.col("pos_b") == F.col("pos_a") + 1),
+    ).select("prev", "next")
+    cnt = bg.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = (
+        cnt.groupBy("prev")
+        .agg(F.sum("cnt").alias("ctx_total"))
+        .orderBy(F.desc("ctx_total"), "prev")
+        .limit(5)
+    )
+    v = bg.agg(F.countDistinct("next").alias("vocab"))
+    ranked = (
+        cnt.join(broadcast(ctx), "prev")
+        .join(broadcast(v))
+        .select(
+            "prev",
+            "next",
+            "cnt",
+            "ctx_total",
+            F.expr("(cnt + 1) * 1000000 div (ctx_total + vocab)").alias("p_ppm"),
+        )
+    )
+    w = Window.partitionBy("prev").orderBy(F.desc("cnt"), "next")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy(F.desc("ctx_total"), "prev", "rk")
+    )
+
+
+# --- vocabulary-coverage audit ----------------------------------------------------
+# The tokenizer-audit every vocab change ships with: what fraction of token
+# OCCURRENCES per language does the top-K corpus vocabulary cover, and what
+# hits OOV. The vocab is derived ON-PLAN (top-100 tokens by corpus
+# frequency, deterministic tie-break) — no driver round-trip — and is
+# broadcast-safe BY CONSTRUCTION (GlobalLimit 100 regardless of corpus
+# vocabulary size). Coverage in exact ppm integers.
+_VOCAB_K = 100
+
+
+@register(
+    "q_vocab_coverage",
+    rf"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM tok GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT {_VOCAB_K}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+           CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS coverage_ppm
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description=(
+        f"vocabulary-coverage audit: per-language ppm of token occurrences"
+        f" covered by the on-plan top-{_VOCAB_K} corpus vocabulary"
+    ),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), "token")
+        .limit(_VOCAB_K)
+        .select("token", F.lit(1).alias("__in_v"))
+    )
+    return (
+        tok.join(broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.coalesce(F.col("__in_v"), F.lit(0))).alias("covered_tokens"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "covered_tokens",
+            F.expr("covered_tokens * 1000000 div total_tokens").alias("coverage_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Benford first-digit audit ------------------------------------------------------
+# The classic fabricated-/corrupted-data screen: the first significant digit
+# of naturally-occurring multiplicative quantities follows
+# P(d) = log10(1 + 1/d). Digits are extracted from the INTEGER part via
+# string (integer-to-string is identical across engines — no float log10
+# knife-edges at powers of ten), observed shares are exact ppm, and the
+# expected shares are plan-time literals embedded in both engines' text.
+# One scan + one 9-group aggregate; scale-free.
+_BENFORD_PPM = {d: round(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    expected = " ".join(
+        f"WHEN {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM lineitem
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT digit, n,
+           CAST(n * 1000000 // t AS BIGINT) AS observed_ppm,
+           CAST(CASE digit {expected} END AS BIGINT) AS expected_ppm,
+           CAST(ABS(n * 1000000 // t - CASE digit {expected} END) AS BIGINT)
+             AS abs_dev_ppm
+    FROM counts CROSS JOIN total
+    ORDER BY digit
+    """
+
+
+@register(
+    "q_benford",
+    _benford_oracle(),
+    description=(
+        "Benford first-digit audit: observed vs expected first-significant-"
+        "digit shares of l_extendedprice in exact ppm (fraud/corruption screen)"
+    ),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        li.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    expected = F.element_at(
+        F.create_map(
+            *[x for d, ppm in _BENFORD_PPM.items() for x in (F.lit(d), F.lit(ppm))]
+        ),
+        F.col("digit"),
+    ).cast("long")
+    return (
+        counts.join(broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div t").alias("observed_ppm"),
+            expected.alias("expected_ppm"),
+        )
+        .withColumn(
+            "abs_dev_ppm", F.abs(F.col("observed_ppm") - F.col("expected_ppm"))
+        )
+        .orderBy("digit")
+    )

@@ -209,6 +209,9 @@ _BOUNDED_AGG_BROADCAST_JUSTIFIED = {
     # group key is pmod(hash, literal): value domain capped regardless of
     # input key count (the sketch-prefilter bucket table, 2^20 rows max)
     "q_sketch_prefilter_join",
+    # bloom bit-position table: DISTINCT over pmod(md5, 8192) — <= m rows
+    # by construction regardless of build-side key count
+    "q_bloom_prefilter",
     # 256 pmod token buckets (bucket-level DSIR importance weights)
     "q_dsir_weights",
     # per-(label, dim) / per-(cluster, dim) centroid tables: label and
