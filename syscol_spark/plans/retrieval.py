@@ -499,3 +499,290 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "user_id")
         .limit(20)
     )
+
+
+# --- reciprocal-rank fusion (hybrid retrieval) ------------------------------------
+# The standard hybrid-search combiner (Cormack et al. 2009): fuse a lexical
+# ranking (BM25, the q_bm25 kernel and terms) with a semantic ranking
+# (cosine to an anchor embedding) by summing 1/(60+rank) per system —
+# robust to incomparable score scales because only RANKS cross systems.
+# Exact integers: contributions are 1000000 div (60+rank); a doc missing
+# from one system's top-20 contributes 0 (rank encoded 0 = absent, never
+# NULL, so the hash compare is total). Plan: each system is its own top-20
+# (distributed TakeOrdered), rank assignment happens on the LIMITed 20-row
+# tables (bounded single-task windows), and the fusion is a tiny full-outer
+# join — corpus-sized work never crosses systems.
+_RRF_K = 60
+_RRF_TOPN = 20
+
+
+def _rrf_oracle() -> str:
+    terms = ("join", "filter", "batch")
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE token IN {str(terms)} GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), bm AS (
+      SELECT doc_id, ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
+      GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT {_RRF_TOPN}
+    ), bm_rk AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS bm25_rank
+      FROM bm
+    ), cos AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0
+      ORDER BY cosine DESC, c.vec_id LIMIT {_RRF_TOPN}
+    ), cos_rk AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS cos_rank
+      FROM cos
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           COALESCE(b.bm25_rank, 0) AS bm25_rank,
+           COALESCE(c.cos_rank, 0) AS cos_rank,
+           CAST(COALESCE(1000000 // ({_RRF_K} + b.bm25_rank), 0)
+              + COALESCE(1000000 // ({_RRF_K} + c.cos_rank), 0) AS BIGINT) AS rrf_micro
+    FROM bm_rk b FULL OUTER JOIN cos_rk c USING (doc_id)
+    ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "q_rank_fusion",
+    _rrf_oracle(),
+    description=(
+        "reciprocal-rank fusion: BM25 top-20 + embedding-cosine top-20 fused"
+        " by sum of 1000000/(60+rank) exact integers; ranks cross systems,"
+        " scores never do"
+    ),
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.functions.text import tokens
+
+    terms = ("join", "filter", "batch")
+    k1, b_ = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b_ + b_ * F.col("dl") / F.col("avgdl"))
+    bm = (
+        tf.join(broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .join(broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6).alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    bm_rk = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), "doc_id"))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    anchor = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(broadcast(anchor))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity("q_vec", "embedding"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    cos_rk = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+        .cast("long")
+        .alias("cos_rank"),
+    )
+    fused = bm_rk.join(cos_rk, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).alias("cos_rank"),
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({_RRF_K} + bm25_rank)"), F.lit(0)
+            )
+            + F.coalesce(F.expr(f"1000000 div ({_RRF_K} + cos_rank)"), F.lit(0))
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(10)
+
+
+# --- ANN recall audit --------------------------------------------------------------
+# The serving-quality gauge every ANN deployment reports: recall@k of the
+# approximate shortlist against the exact top-k. Both sides use the SAME
+# deterministic ranking (6dp-rounded cosine desc, neighbor id) and the ANN
+# side is the bit-exact SRP multi-probe kernel (seeded hyperplanes, Hamming
+# <= 1), so the hit COUNTS are exact across engines and the whole audit is
+# oracle-hashable — unlike a sampled recall estimate. Plan: exact side is
+# one corpus scan against the broadcast 8-anchor set; ANN side meets only
+# bucket-collision candidates; the comparison joins two k-row-per-anchor
+# tables.
+_RECALL_K = 5
+_RECALL_PLANES = 6
+
+
+def _ann_recall_oracle() -> str:
+    from syscol_spark.plans.northstar import _srp_bucket_sql
+
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding, {_srp_bucket_sql(64, _RECALL_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8)
+      WHERE rk <= {_RECALL_K}
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rk
+        FROM b q JOIN b c
+          ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+         AND bit_count(xor(q.bucket, c.bucket)) <= 1)
+      WHERE rk <= {_RECALL_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) * 1000000 // {_RECALL_K} AS BIGINT) AS recall_ppm
+    FROM exact e LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+@register(
+    "q_ann_recall",
+    _ann_recall_oracle(),
+    description=(
+        f"ANN recall audit: recall@{_RECALL_K} of the SRP multi-probe"
+        " shortlist vs the exact top-k, per anchor, in exact ppm"
+        " (deterministic kernels make the audit oracle-hashable)"
+    ),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.similarity import _pack_sign_bits, srp_gaussian_dots
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    rk_w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+
+    exact = (
+        cand.join(broadcast(anchors), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    dots = srp_gaussian_dots("embedding", 64, _RECALL_PLANES)
+    hashed = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        _pack_sign_bits(dots, _RECALL_PLANES).alias("bucket"),
+    )
+    b = _pack_sign_bits(F.col("_dots"), _RECALL_PLANES)
+    masks = [0] + [1 << p for p in range(_RECALL_PLANES)]
+    probes = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            dots.alias("_dots"),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.array(*[b.bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+            ).alias("bucket"),
+        )
+    )
+    ann = (
+        hashed.join(broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select(
+            F.col("query_id").alias("ann_query_id"),
+            F.col("neighbor_id").alias("ann_neighbor_id"),
+        )
+    )
+
+    return (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("ann_query_id"))
+            & (F.col("neighbor_id") == F.col("ann_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("ann_neighbor_id").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.lit(_RECALL_K).cast("long").alias("k"),
+            F.expr(f"n_hits * 1000000 div {_RECALL_K}").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -226,6 +226,7 @@ _BOUNDED_AGG_BROADCAST_JUSTIFIED = {
     "q_pipeline_e2e",
     # per-token df over tokens FILTERED to a literal query-term list
     "q_bm25",
+    "q_rank_fusion",
     # Misra-Gries candidate set: capacity-bounded by construction
     "q_heavy_hitters",
     # benchmark n-gram set: bounded by the (small) decontamination bench

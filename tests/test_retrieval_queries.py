@@ -192,3 +192,34 @@ def test_decayed_topk_bounds(spark, sf_dir):
         assert 0 <= r["score_micro"] <= r["n_events"] * 1_000_000
     scores = [r["score_micro"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rank_fusion_contributions_and_membership(spark, sf_dir):
+    """Every fused row's rrf_micro must equal the recomputed rank
+    contributions, and rank 0 means absent-from-that-system (contributes 0)."""
+    rows = _run(spark, sf_dir, "q_rank_fusion").collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = 0
+        if r["bm25_rank"] > 0:
+            want += 1_000_000 // (60 + r["bm25_rank"])
+        if r["cos_rank"] > 0:
+            want += 1_000_000 // (60 + r["cos_rank"])
+        assert r["rrf_micro"] == want, r
+        assert r["bm25_rank"] > 0 or r["cos_rank"] > 0  # in at least one list
+        assert 0 <= r["bm25_rank"] <= 20 and 0 <= r["cos_rank"] <= 20
+    scores = [r["rrf_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_recall_bounds_and_quality(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_ann_recall").collect()
+    assert len(rows) == 8  # one row per anchor
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k"] == 5
+        assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // 5
+    # the audit's job is to report the TRUE recall, whatever it is; at the
+    # 50-vector test corpus the 6-plane multi-probe shortlist still has to
+    # find SOME exact neighbors or the kernel wiring is broken
+    mean_recall = sum(r["recall_ppm"] for r in rows) / len(rows)
+    assert mean_recall >= 100_000, mean_recall  # >= 0.1 mean recall@5
