@@ -1274,3 +1274,72 @@ def streaming_inverted_index(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- continuous count-min sketch maintenance -------------------------------------
+_CMS_STATE = StructType([StructField("cell_cnt", LongType())])
+_CMS_OUT = StructType(
+    [
+        StructField("depth", IntegerType()),
+        StructField("bucket", LongType()),
+        StructField("cell_cnt", LongType()),
+    ]
+)
+
+
+def streaming_cms(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    seeds: tuple[int, ...] = (11, 13, 17),
+    width: int = 256,
+) -> DataFrame:
+    """Continuous count-min sketch maintenance: the streaming twin of
+    q_cms_shards (plans/quality.py). Each arriving event maps to one cell
+    per depth row via the SAME engine-portable md5 bucket as the batch
+    build (operators/sampling.py hash_bucket — the two cannot drift), and
+    one stateful key per (depth, bucket) CELL folds the count. Count-min is
+    linear, so per-batch increments sum to exactly the one-shot build — the
+    same merge theorem the batch shard path proves.
+
+    State is ONE long per cell: depth x width cells total (768 at the
+    registered config) REGARDLESS of key or event count — the textbook
+    bounded-state sketch. Update mode re-emits a cell whenever a batch
+    touches it, so the sink always holds the freshest sketch; a point
+    estimate is min over depths of the key's cells, served from the sink
+    without touching the stream.
+    """
+    from syscol_spark.operators.sampling import hash_bucket
+
+    cells = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        hash_bucket(key_col, seed, width).alias("bucket"),
+                    )
+                    for d, seed in enumerate(seeds)
+                ]
+            )
+        ).alias("c")
+    ).select("c.depth", "c.bucket")
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            cnt += int(len(pdf))
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {"depth": [key[0]], "bucket": [key[1]], "cell_cnt": [cnt]}
+        )
+
+    return cells.groupBy("depth", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=_CMS_OUT,
+        stateStructType=_CMS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -919,3 +919,79 @@ def test_streaming_inverted_index_matches_batch_build(spark, sf_dir, tmp_path):
         assert (s["df"], s["tf_total"], s["first_doc"], s["pos_checksum"]) == (
             b["df"], b["tf_total"], b["first_doc"], b["pos_checksum"]
         ), term
+
+
+def test_streaming_cms_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Cell counts folded over three event-disjoint triggers must equal the
+    one-shot batch sketch EXACTLY (count-min linearity, exercised through
+    the stateful streaming path), and the served point estimate for the
+    heaviest key must match q_cms_shards."""
+    from syscol_spark.operators.sampling import hash_bucket
+    from syscol_spark.plans.catalog import query_catalog
+    from syscol_spark.streaming.analytics import streaming_cms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    src = str(tmp_path / "cms")
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_cms(stream)
+        .writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    # update mode re-emits a touched cell each trigger; counts only grow,
+    # so the final snapshot per cell is its max emission
+    final = {}
+    for r in spark.sql("SELECT * FROM cms_cells").collect():
+        key = (r["depth"], r["bucket"])
+        if key not in final or r["cell_cnt"] > final[key]:
+            final[key] = r["cell_cnt"]
+
+    batch = {
+        (r["depth"], r["bucket"]): r["cell_cnt"]
+        for r in ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("depth"),
+                            hash_bucket("user_id", seed, 256).alias("bucket"),
+                        )
+                        for d, seed in enumerate((11, 13, 17))
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.depth", "c.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+        .collect()
+    }
+    assert final == batch
+
+    # the sink-served estimate for the heaviest key equals the batch query's
+    top = query_catalog()["q_cms_shards"](spark, sf_dir).collect()[0]
+    est = min(
+        final[(d, b)]
+        for d, seed in enumerate((11, 13, 17))
+        for b in [
+            spark.range(1)
+            .select(hash_bucket(F.lit(top["user_id"]), seed, 256).alias("b"))
+            .collect()[0]["b"]
+        ]
+    )
+    assert est == top["cms_est"]
