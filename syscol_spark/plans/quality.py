@@ -493,3 +493,217 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --- recommender negative sampling --------------------------------------------------
+# The training-pair sampler on the OTHER side of q_hard_negatives: for each
+# heavy user, k pseudo-random items they did NOT interact with — the
+# uniform negatives every implicit-feedback recommender trains against.
+# Production shape at 100 TB: hash-SAMPLE the item catalog to a small
+# candidate pool first (pure map-side filter, rate-tunable), anti-join the
+# user's interactions out, rank by a deterministic per-(user,item) hash.
+# Everything is md5-derived, so the "random" sample is reproducible and
+# oracle-checkable — rerunning a failed partition selects identical rows.
+_NEG_POOL_PPM = 20_000  # ~2% of the part catalog
+_NEG_K = 3
+
+
+def _neg_sampling_oracle() -> str:
+    pool = hash_bucket_sql("p_partkey", 23)
+    rank_h = hash_bucket_sql("CAST(c AS VARCHAR) || '|' || CAST(p AS VARCHAR)", 29)
+    return f"""
+    WITH heavy AS (
+      SELECT o_custkey AS c, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+      ORDER BY n_orders DESC, c LIMIT 5
+    ),
+    pool AS (
+      SELECT p_partkey AS p FROM part WHERE {pool} < {_NEG_POOL_PPM}
+    ),
+    interacted AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    cand AS (
+      SELECT heavy.c, heavy.n_orders, pool.p,
+             {rank_h} AS h
+      FROM heavy CROSS JOIN pool
+      WHERE NOT EXISTS (SELECT 1 FROM interacted i
+                        WHERE i.c = heavy.c AND i.p = pool.p)
+    ),
+    ranked AS (
+      SELECT c, n_orders, p, h,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c ORDER BY h, p) AS BIGINT) AS rk
+      FROM cand
+    )
+    SELECT c AS custkey, n_orders, p AS neg_partkey, CAST(h AS BIGINT) AS h, rk
+    FROM ranked WHERE rk <= {_NEG_K}
+    ORDER BY custkey, rk
+    """
+
+
+@register(
+    "q_negative_sampling",
+    _neg_sampling_oracle(),
+    description=(
+        f"recommender negative sampling: per heavy user, top-{_NEG_K}"
+        " md5-ranked NON-interacted items from a hash-sampled candidate"
+        " pool — reproducible uniform negatives, anti-joined against"
+        " interactions"
+    ),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    heavy = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "custkey")
+        .limit(5)
+    )
+    pool = part.filter(hash_bucket("p_partkey", 23) < _NEG_POOL_PPM).select(
+        F.col("p_partkey").alias("neg_partkey")
+    )
+    interacted = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("neg_partkey"))
+        .distinct()
+    )
+    cand = broadcast(heavy).crossJoin(pool).join(
+        interacted, ["custkey", "neg_partkey"], "left_anti"
+    )
+    rank_h = hash_bucket(
+        F.concat(
+            F.col("custkey").cast("string"), F.lit("|"), F.col("neg_partkey").cast("string")
+        ),
+        29,
+    )
+    w = Window.partitionBy("custkey").orderBy("h", "neg_partkey")
+    return (
+        cand.withColumn("h", rank_h)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("custkey", "n_orders", "neg_partkey", "h", "rk")
+        .orderBy("custkey", "rk")
+    )
+
+
+# --- hashing-trick featurization -----------------------------------------------------
+# The stateless vectorizer (Weinberger et al. 2009): token -> one of 64
+# feature buckets via md5, sign from an independent md5 bit, weight = signed
+# token count. No vocabulary table, no fit step — the property that makes it
+# the featurizer of choice for unbounded vocabularies at stream/lake scale.
+# Emitted as sparse (doc_id, bucket, weight) rows for a bounded doc slice;
+# all integers, so the sparse vectors hash-compare exactly.
+_FH_BUCKETS = 64
+
+
+def _feature_hash_oracle() -> str:
+    bucket = hash_bucket_sql("token", 31, _FH_BUCKETS)
+    sign = hash_bucket_sql("token", 37, 2)
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE doc_id < 10
+    ),
+    feat AS (
+      SELECT doc_id,
+             {bucket} AS bucket,
+             CAST(SUM(CASE WHEN {sign} = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+      FROM tok
+      GROUP BY doc_id, bucket
+    )
+    SELECT doc_id, bucket, weight FROM feat
+    WHERE weight <> 0
+    ORDER BY doc_id, bucket
+    """
+
+
+@register(
+    "q_feature_hash",
+    _feature_hash_oracle(),
+    description=(
+        f"hashing-trick featurization: tokens to {_FH_BUCKETS} signed md5"
+        " buckets, weight = signed count — stateless sparse vectors, no"
+        " vocabulary table, exact integers"
+    ),
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    sign = F.when(hash_bucket("token", 37, 2) == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", hash_bucket("token", 31, _FH_BUCKETS).alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )
+
+
+# --- join-cardinality estimation audit -----------------------------------------------
+# The optimizer-statistics primitive: the output size of a key self-join is
+# SUM over keys of cnt(k)^2; a deterministic p-rate key SAMPLE estimates it
+# as (1/p) * SUM over sampled keys of cnt(k)^2 — the classic sampling
+# estimator a CBO runs instead of the full join. Both the exact and the
+# estimated sums are exact integers here (the md5 sample is engine-portable),
+# so the AUDIT itself is hash-checked: the estimate, the truth, and the
+# within-2x verdict all match across engines. Plan: two aggregates over one
+# scan each — the estimator never materializes the join it sizes.
+_JCE_RATE_PPM = 100_000  # 10% key sample
+
+
+def _join_card_oracle() -> str:
+    keep = hash_bucket_sql("l_partkey", 41)
+    return f"""
+    WITH cnts AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_partkey
+    ),
+    exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM cnts
+    ),
+    est AS (
+      SELECT CAST(SUM(c * c) * {1_000_000 // _JCE_RATE_PPM} AS BIGINT) AS est_pairs,
+             CAST(COUNT(*) AS BIGINT) AS n_sampled_keys
+      FROM cnts WHERE {keep} < {_JCE_RATE_PPM}
+    )
+    SELECT exact_pairs, n_keys, est_pairs, n_sampled_keys,
+           est_pairs BETWEEN exact_pairs // 2 AND exact_pairs * 2 AS within_2x
+    FROM exact CROSS JOIN est
+    """
+
+
+@register(
+    "q_join_cardinality",
+    _join_card_oracle(),
+    description=(
+        "join-cardinality estimation audit: self-join output size"
+        " sum(cnt^2) vs a deterministic 10% key-sample estimate — the CBO"
+        " statistics primitive, never materializing the join it sizes"
+    ),
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    cnts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    exact = cnts.agg(
+        F.sum(F.col("c") * F.col("c")).alias("exact_pairs"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    scale = 1_000_000 // _JCE_RATE_PPM
+    est = cnts.filter(hash_bucket("l_partkey", 41) < _JCE_RATE_PPM).agg(
+        (F.sum(F.col("c") * F.col("c")) * F.lit(scale)).alias("est_pairs"),
+        F.count(F.lit(1)).alias("n_sampled_keys"),
+    )
+    return exact.join(broadcast(est)).select(
+        "exact_pairs",
+        "n_keys",
+        "est_pairs",
+        "n_sampled_keys",
+        (
+            (F.col("est_pairs") >= F.expr("exact_pairs div 2"))
+            & (F.col("est_pairs") <= F.col("exact_pairs") * 2)
+        ).alias("within_2x"),
+    )

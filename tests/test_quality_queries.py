@@ -113,3 +113,66 @@ def test_benford_accounting_and_constants(spark, sf_dir):
     # observed ppm sums to ~1e6 (integer floor per digit)
     s = sum(r["observed_ppm"] for r in rows)
     assert 1_000_000 - 9 <= s <= 1_000_000
+
+
+def test_negative_sampling_excludes_interactions(spark, sf_dir):
+    """No sampled negative may be an item its user actually purchased, and
+    ranks must follow the deterministic hash order."""
+    rows = _run(spark, sf_dir, "q_negative_sampling").collect()
+    assert rows
+    pairs = {(r["custkey"], r["neg_partkey"]) for r in rows}
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    interacted = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in orders.join(
+            li, orders["o_orderkey"] == li["l_orderkey"]
+        )
+        .select("o_custkey", "l_partkey")
+        .filter(F.col("o_custkey").isin([c for c, _ in pairs]))
+        .distinct()
+        .collect()
+    }
+    assert pairs.isdisjoint(interacted)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["custkey"], []).append(r)
+    for urows in by_user.values():
+        urows.sort(key=lambda r: r["rk"])
+        hs = [(r["h"], r["neg_partkey"]) for r in urows]
+        assert hs == sorted(hs)  # rank = hash order, partkey tiebreak
+        assert len(urows) <= 3
+
+
+def test_feature_hash_weights_match_replay(spark, sf_dir):
+    """The sparse vectors must equal a driver-side md5 replay for one doc."""
+    rows = _run(spark, sf_dir, "q_feature_hash").collect()
+    assert rows
+    doc0 = [r for r in rows if r["doc_id"] == rows[0]["doc_id"]]
+    text = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == rows[0]["doc_id"])
+        .collect()[0]["text"]
+    )
+    want: dict[int, int] = {}
+    for tok in text.strip().split():
+        b = _md5_bucket(tok, 31, 64)
+        s = 1 if _md5_bucket(tok, 37, 2) == 0 else -1
+        want[b] = want.get(b, 0) + s
+    want = {b: w for b, w in want.items() if w != 0}
+    got = {r["bucket"]: r["weight"] for r in doc0}
+    assert got == want
+
+
+def test_join_cardinality_exact_and_estimator(spark, sf_dir):
+    r = _run(spark, sf_dir, "q_join_cardinality").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    truth = (
+        li.groupBy("l_partkey")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .collect()[0][0]
+    )
+    assert r["exact_pairs"] == truth
+    assert r["n_sampled_keys"] <= r["n_keys"]
+    assert r["est_pairs"] % 10 == 0  # 10x-scaled sample sum
