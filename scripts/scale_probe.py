@@ -361,6 +361,77 @@ def main() -> None:
         dt = time.time() - t0
         print(f"phrase {k:>2}x  docs={k * base.count():>6}  occur={n_occ:>8}  wall={dt:6.2f}s")
 
+    # Sketch-tier probes (round 9). (a) count-min build: events inflated by
+    # fresh event_ids and copy-shifted user_ids (key count grows with
+    # volume); the cell table must stay depth×width rows at every K and the
+    # wall must track the (linear) scan — the bounded-state claim. (b) bloom
+    # prefilter: orders/customer inflated with copy-shifted keys; the bit
+    # table must stay ≤ m rows at every K while definite-reject coverage
+    # holds — the capped-broadcast claim.
+    from syscol_spark.operators.sampling import hash_bucket
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    events.count()  # warm
+    for k in (1, 4, 16):
+        nbig = 1_000_000_000
+        ev = (
+            events.select(
+                F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__copy"),
+                "event_id", "user_id",
+            )
+            .select(
+                (F.col("event_id") + F.col("__copy").cast("long") * nbig).alias("event_id"),
+                (F.col("user_id") + F.col("__copy").cast("long") * nbig).alias("user_id"),
+            )
+            .repartition(32)
+        )
+        t0 = time.time()
+        cells = (
+            ev.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(d).alias("depth"),
+                            hash_bucket("user_id", seed, 256).alias("bucket"),
+                        )
+                        for d, seed in enumerate((11, 13, 17))
+                    ])
+                ).alias("c")
+            )
+            .select("c.depth", "c.bucket")
+            .groupBy("depth", "bucket")
+            .count()
+        )
+        n_cells = cells.count()
+        dt = time.time() - t0
+        print(f"cms    {k:>2}x  events={k * events.count():>7}  cells={n_cells:>5}  wall={dt:6.2f}s")
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    orders.count()  # warm
+    for k in (1, 4, 16):
+        nbig = 1_000_000_000
+        ok = (
+            orders.select(
+                F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__copy"), "o_custkey"
+            )
+            .select(
+                (F.col("o_custkey") + F.col("__copy").cast("long") * nbig).alias("o_custkey")
+            )
+            .repartition(32)
+        )
+        t0 = time.time()
+        bits = (
+            ok.select(
+                F.explode(
+                    F.array(*[hash_bucket("o_custkey", seed, 8192) for seed in (101, 103)])
+                ).alias("pos")
+            )
+            .distinct()
+        )
+        n_bits = bits.count()
+        dt = time.time() - t0
+        print(f"bloom  {k:>2}x  orders={k * orders.count():>7}  bits={n_bits:>5}  wall={dt:6.2f}s")
+
 
 if __name__ == "__main__":
     main()
