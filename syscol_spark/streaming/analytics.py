@@ -1343,3 +1343,60 @@ def streaming_cms(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- continuous (counting) bloom-filter maintenance --------------------------------
+_BLOOM_STATE = StructType([StructField("n_keys", LongType())])
+_BLOOM_OUT = StructType(
+    [
+        StructField("pos", LongType()),
+        StructField("n_keys", LongType()),
+    ]
+)
+
+
+def streaming_bloom(
+    keys: DataFrame,
+    *,
+    key_col: str = "o_custkey",
+    seeds: tuple[int, ...] = (101, 103),
+    m: int = 8192,
+) -> DataFrame:
+    """Continuous COUNTING-bloom maintenance: the streaming twin of
+    q_bloom_prefilter's build side (plans/quality.py). Each arriving key
+    sets its k md5 positions (the SAME hash_bucket as the batch build), and
+    one stateful key per POSITION folds how many build-side keys hash
+    there — a counting bloom, the variant that also supports deletes by
+    decrement. A position is "set" iff n_keys > 0, so the streamed filter's
+    set-position set equals the batch bits table exactly (distinct-union
+    merge = positions touched at least once).
+
+    State is ONE long per position: <= m longs total REGARDLESS of key
+    count — the same by-construction bound that makes the batch bits table
+    broadcast-safe. Update mode re-emits a position when a batch touches
+    it; the sink is the live filter a prefilter join reads.
+    """
+    from syscol_spark.operators.sampling import hash_bucket
+
+    pos = keys.select(
+        F.explode(
+            F.array(*[hash_bucket(key_col, seed, m) for seed in seeds])
+        ).alias("pos")
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += int(len(pdf))
+        state.update((n,))
+        yield pd.DataFrame({"pos": [key[0]], "n_keys": [n]})
+
+    return pos.groupBy("pos").applyInPandasWithState(
+        update,
+        outputStructType=_BLOOM_OUT,
+        stateStructType=_BLOOM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

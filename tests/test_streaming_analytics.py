@@ -995,3 +995,57 @@ def test_streaming_cms_matches_batch_sketch(spark, sf_dir, tmp_path):
         ]
     )
     assert est == top["cms_est"]
+
+
+def test_streaming_bloom_matches_batch_bits(spark, sf_dir, tmp_path):
+    """Set positions folded over three key-disjoint triggers must equal the
+    batch bits table exactly, and per-position key counts must sum to
+    k x n_keys (every key sets exactly k positions, collisions included)."""
+    from syscol_spark.operators.sampling import hash_bucket
+    from syscol_spark.streaming.analytics import streaming_bloom
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    src = str(tmp_path / "bloom")
+    for k in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == k).coalesce(1).write.parquet(
+            f"{src}/f{k}"
+        )
+
+    stream = (
+        spark.readStream.schema("o_orderkey long, o_custkey long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_bloom(stream)
+        .writeStream.format("memory")
+        .queryName("bloom_bits")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    final = {}
+    for r in spark.sql("SELECT * FROM bloom_bits").collect():
+        if r["pos"] not in final or r["n_keys"] > final[r["pos"]]:
+            final[r["pos"]] = r["n_keys"]
+
+    batch = {
+        r["pos"]: r["n"]
+        for r in orders.select(
+            F.explode(
+                F.array(*[hash_bucket("o_custkey", s, 8192) for s in (101, 103)])
+            ).alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
+    assert sum(final.values()) == 2 * orders.count()
