@@ -276,3 +276,36 @@ def test_bpe_trainer_corpus_touched_once(spark, sf_dir):
     # (each scan node lists exactly one Location: line in the detail section)
     assert plan.count("Location:") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_benford_scan_reads_only_price(spark, sf_dir, queries):
+    """Benford touches one column; the parquet scan must prune to it."""
+    plan = _plan(queries["q_benford"].builder(spark, sf_dir))
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_comment" not in read
+
+
+def test_sketch_tier_broadcasts_are_bounded_sides(spark, sf_dir, queries):
+    """CMS probes (GlobalLimit 5 x depths) and bloom bits (<= m distinct
+    positions) broadcast; the corpus-proportional sides never do."""
+    for name in ("q_cms_shards", "q_bloom_prefilter", "q_vocab_coverage"):
+        plan = _plan(queries[name].builder(spark, sf_dir))
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_join_cardinality_never_materializes_the_join(spark, sf_dir, queries):
+    """The estimator sizes a self-join from per-key counts: the plan may
+    only join the two 1-row aggregate summaries, never lineitem with
+    itself (no shuffle join of two corpus-sized sides)."""
+    plan = _plan(queries["q_join_cardinality"].builder(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_rank_fusion_windows_are_post_limit(spark, sf_dir, queries):
+    """Rank assignment must sit above a TakeOrderedAndProject (bounded
+    20-row input), not a global corpus sort."""
+    plan = _plan(queries["q_rank_fusion"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
