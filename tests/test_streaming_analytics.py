@@ -1049,3 +1049,80 @@ def test_streaming_bloom_matches_batch_bits(spark, sf_dir, tmp_path):
     }
     assert final == batch
     assert sum(final.values()) == 2 * orders.count()
+
+
+def test_streaming_cms_state_survives_restart(spark, sf_dir, tmp_path):
+    """Stop the CMS maintainer and restart from the same checkpoint with a
+    NEW file pending: the restarted query must process only the new shard,
+    and every cell it re-emits must carry the count INCLUDING the recovered
+    pre-restart state — i.e. equal the one-shot batch build over all three
+    shards (a cold restart would emit only the new shard's contribution)."""
+    from syscol_spark.operators.sampling import hash_bucket
+    from syscol_spark.streaming.analytics import streaming_cms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    src = str(tmp_path / "cms_src")
+    ckpt = str(tmp_path / "cms_ckpt")
+    for k in (0, 1):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    def run(out_dir):
+        # memory sinks cannot recover from a checkpoint; foreachBatch can
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            streaming_cms(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "out1"))
+
+    # new shard lands while the query is down; restart resumes from ckpt
+    ev.filter(F.col("event_id") % 3 == 2).coalesce(1).write.parquet(f"{src}/f2")
+    out2 = str(tmp_path / "out2")
+    run(out2)
+
+    emitted2 = {}
+    for r in spark.read.parquet(out2).collect():
+        key = (r["depth"], r["bucket"])
+        emitted2[key] = max(emitted2.get(key, 0), r["cell_cnt"])
+    assert emitted2, "restarted query emitted nothing"
+
+    batch = {
+        (r["depth"], r["bucket"]): r["cell_cnt"]
+        for r in ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("depth"),
+                            hash_bucket("user_id", seed, 256).alias("bucket"),
+                        )
+                        for d, seed in enumerate((11, 13, 17))
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.depth", "c.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+        .collect()
+    }
+    # every re-emitted cell equals the FULL three-shard build: the restart
+    # recovered shards 0+1 from state and added shard 2 on top
+    for key, cnt in emitted2.items():
+        assert cnt == batch[key], (key, cnt, batch[key])
