@@ -316,19 +316,22 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    p = d.select(
-        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "term")
+    # bigram pairs are generated ROW-LOCALLY from the token array (adjacent
+    # elements by index) — one corpus scan, zero joins; the posting
+    # self-join formulation (the oracle's) would shuffle the full postings
+    # twice just to rediscover adjacency the array already encodes
+    bg = (
+        d.select(F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS prev, toks[i + 1] AS next))"
+                )
+            ).alias("p")
+        )
+        .select("p.prev", "p.next")
     )
-    a = p.select("doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("prev"))
-    b = p.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("term").alias("next"),
-    )
-    bg = a.join(
-        b,
-        (F.col("doc_id") == F.col("doc_id_b")) & (F.col("pos_b") == F.col("pos_a") + 1),
-    ).select("prev", "next")
     cnt = bg.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = (
         cnt.groupBy("prev")

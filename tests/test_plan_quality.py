@@ -309,3 +309,12 @@ def test_rank_fusion_windows_are_post_limit(spark, sf_dir, queries):
     20-row input), not a global corpus sort."""
     plan = _plan(queries["q_rank_fusion"].builder(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_lm_pair_generation_is_join_free(spark, sf_dir, queries):
+    """Bigrams come from row-local array adjacency (one scan): the only
+    joins allowed are the two bounded broadcasts (top-5 contexts, 1-row
+    vocab size) — never a shuffle self-join of the postings."""
+    plan = _plan(queries["q_ngram_lm"].builder(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
