@@ -274,9 +274,11 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probabilities p(next|prev) = (cnt+1) / (ctx_total + V) in exact ppm
 # integers (V = distinct next-token vocabulary). Reported for the 5
 # heaviest contexts x top-3 continuations — the "what does the model predict
-# after X" audit. Plan: one corpus scan for pairs (positional self-join on
-# pos+1, the phrase-search kernel), one (prev,next) groupBy, a context
-# re-aggregate, and two bounded broadcasts (GlobalLimit-5 contexts, 1-row V).
+# after X" audit. Plan: one corpus scan with ROW-LOCAL pair generation
+# (transform over adjacent array elements — zero joins; the positional
+# self-join formulation survives only in the oracle SQL), one (prev,next)
+# groupBy, a context re-aggregate, and two bounded broadcasts
+# (GlobalLimit-5 contexts, 1-row V).
 @register(
     "q_ngram_lm",
     r"""
