@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
 
 
 def _floordiv_long(c: Column, divisor: int) -> Column:
@@ -139,3 +140,91 @@ def range_join_count(
         .agg(F.count(r2["__rt"]).alias(count_alias))
         .drop("__rid")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    hot_keys: DataFrame | None = None,
+    hot_top_k: int = 20,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the HOT keys ``n_salts`` ways on the
+    fact side and replicate only the hot-key dim rows, so no single shuffle
+    partition carries a whole hot key's rows.
+
+    This is the operator a user reaches for after the key-skew profiler
+    (q_skew_keys) flags a hot key: a plain ``fact.join(dim, on)`` hashes
+    every row of the hottest key into ONE shuffle task, which at 100 TB is
+    the straggler that defines job wall-clock. Here:
+
+    - ``hot_keys`` (caller-supplied, or derived on-plan as the top
+      ``hot_top_k`` fact keys by row count — a GlobalLimit-bounded
+      broadcast, never data-proportional) marks the keys worth salting;
+    - fact rows with a hot key get a DETERMINISTIC per-row salt in
+      [0, n_salts) (xxhash64 over the whole row — no rand(), so retried
+      tasks and re-runs place rows identically); cold keys keep salt 0;
+    - dim rows with a hot key are exploded into all ``n_salts`` salts
+      (replication cost: |hot| x n_salts rows, NOT |dim| x n_salts); cold
+      dim rows carry salt 0 only;
+    - the join runs on (key, salt), spreading each hot key over
+      ``n_salts`` shuffle partitions; dropping ``__salt`` afterwards
+      restores exactly the plain-join result (each fact row matches the
+      one dim replica sharing its salt).
+
+    Result is row-identical to ``fact.join(dim, on, how)`` by construction
+    for ``inner`` and ``left`` (fact-preserving) joins. Dim-preserving
+    joins would emit unmatched hot dim rows once per salt, so they are
+    rejected.
+
+    Complements (does not replace) AQE skew-split: AQE can only split a
+    skewed partition AFTER shuffling it and only for sort-merge joins;
+    salting spreads rows at map time and also covers the grouped-
+    aggregation-after-join case where AQE's split cannot apply.
+
+    Reference scope: syscol has no joins (SURVEY.md §2.10); this is
+    north-star surface (BASELINE.json: design every operator for 100 TB).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left (fact-preserving) joins, got {how!r}")
+    if n_salts < 2:
+        raise ValueError("n_salts must be >= 2")
+    for reserved in ("__salt", "__hot"):
+        if reserved in fact.columns or reserved in dim.columns:
+            raise ValueError(f"column name {reserved} is reserved by salted_join")
+    if hot_keys is None:
+        hot_keys = (
+            fact.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.desc("__c"), on)
+            .limit(hot_top_k)
+            .select(on)
+        )
+    hot = broadcast(hot_keys.select(F.col(on), F.lit(True).alias("__hot")))
+    salted_fact = (
+        fact.join(hot, on, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__hot")
+    )
+    salted_dim = (
+        dim.join(hot, on, "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(n_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot")
+    )
+    return salted_fact.join(salted_dim, [on, "__salt"], how).drop("__salt")

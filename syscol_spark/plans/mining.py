@@ -260,6 +260,48 @@ def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew-mitigated (salted) join --------------------------------------------
+# The operator a user reaches for AFTER q_skew_keys flags a hot key: the
+# orders->customer fact-dim join with the top-20 hottest custkeys salted 8
+# ways (deterministic per-row xxhash64 salt on the fact side, hot dim rows
+# replicated once per salt), then the segment revenue rollup. The result is
+# row-identical to the plain join by construction — which is exactly what
+# the oracle checks: the oracle SQL is the UNSALTED join. Scale: the hot-key
+# list is a GlobalLimit-20 broadcast (never data-proportional); dim
+# replication is |hot| x n_salts rows, not |dim| x n_salts; each hot key
+# spreads over 8 shuffle partitions instead of defining the straggler task.
+@register(
+    "q_skew_salted_join",
+    """
+    SELECT c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY mktsegment
+    """,
+    description=(
+        "skew-mitigated fact-dim join: top-20 hot custkeys salted 8 ways"
+        " (hot dim rows replicated per salt), segment revenue rollup —"
+        " result identical to the plain join by construction"
+    ),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from syscol_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    j = salted_join(o, c, on="o_custkey", n_salts=8, hot_top_k=20)
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double").alias("revenue"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
 # --- CUSUM change-point detection --------------------------------------------
 # One-sided CUSUM over the minutely event-count series. The textbook
 # recursion S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k)) is not a window

@@ -1475,3 +1475,79 @@ def test_winnow_dedup_delta_matches_full_rebuild(spark, sf_dir):
         for r in got_rows
     }
     assert got == expected and expected
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_inner(spark):
+    from syscol_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate((1, 1, 1, 1, 1, 2, 2, 3))]
+        + [(9, 99)],  # key with no dim match: dropped by inner join
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "name"])
+    plain = fact.join(dim, "k", "inner")
+    salted = salted_join(fact, dim, on="k", n_salts=4, hot_top_k=2)
+    assert salted.columns == plain.columns
+    assert _rowset(salted) == _rowset(plain)
+
+
+def test_salted_join_matches_plain_left(spark):
+    from syscol_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (1, 11), (2, 20), (9, 90)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"])
+    plain = fact.join(dim, "k", "left")
+    salted = salted_join(fact, dim, on="k", n_salts=3, hot_top_k=1, how="left")
+    assert _rowset(salted) == _rowset(plain)
+
+
+def test_salted_join_preserves_duplicate_rows(spark):
+    # identical fact rows must each survive (same salt, but two output rows)
+    from syscol_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (1, 10), (1, 10)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "a")], ["k", "name"])
+    out = salted_join(fact, dim, on="k", n_salts=4, hot_top_k=1)
+    assert out.count() == 3
+
+
+def test_salted_join_explicit_hot_keys_and_salt_spread(spark):
+    # with an explicit hot-key list, the hot key's fact rows must actually
+    # spread over >1 salt (the whole point) while output equals plain join
+    import pyspark.sql.functions as F
+
+    from syscol_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, i) for i in range(200)] + [(2, 0)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "name"])
+    hot = spark.createDataFrame([(1,)], ["k"])
+    out = salted_join(fact, dim, on="k", n_salts=8, hot_keys=hot)
+    assert _rowset(out) == _rowset(fact.join(dim, "k"))
+    # replicate the operator's deterministic salt formula to check spread
+    n_salts_used = (
+        fact.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64("k", "v"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts_used >= 4  # 200 rows over 8 salts: all 8 w.h.p., >=4 certainly
+
+
+def test_salted_join_rejects_dim_preserving_and_reserved(spark):
+    import pytest
+
+    from syscol_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "a")], ["k", "name"])
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, on="k", how="full")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(fact, dim, on="k", n_salts=1)
+    with pytest.raises(ValueError, match="reserved"):
+        salted_join(fact.withColumn("__salt", F.lit(0)), dim, on="k")

@@ -318,3 +318,20 @@ def test_ngram_lm_pair_generation_is_join_free(spark, sf_dir, queries):
     plan = _plan(queries["q_ngram_lm"].builder(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_salted_join_plan_shape(spark, sf_dir, queries):
+    """The skew-mitigation contract, pinned: the main join's condition must
+    include the salt column (each hot key spreads over n_salts shuffle
+    partitions), dim replication must be a row-local Generate/explode (hot
+    rows only — never a full-dim crossJoin), and the hot-key list must be a
+    GlobalLimit-bounded broadcast."""
+    df = queries["q_skew_salted_join"].builder(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in opt.splitlines() if ln.strip().lstrip("+-: ").startswith("Join Inner")]
+    assert any("__salt" in ln for ln in join_lines), join_lines
+    assert "Generate explode" in opt
+    assert "GlobalLimit" in opt
+    phys = _plan(df)
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
