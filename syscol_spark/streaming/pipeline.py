@@ -106,3 +106,40 @@ def build_pipeline(
     # test fallback: identical frame, parquet transport
     sink_dir = f"{checkpoint_dir}_out"
     return writer.format("parquet").option("path", sink_dir)
+
+
+def idempotent_parquet_sink(out_dir: str):
+    """Exactly-once discipline for ``foreachBatch`` sinks (K3 upgrade).
+
+    Checkpointed Structured Streaming is at-least-once at the sink: after a
+    crash mid-batch, the SAME epoch is replayed with the SAME ``batch_id``,
+    and an append-mode sink would keep whatever rows the first attempt
+    already landed — duplicates. The standard fix is to key every write by
+    ``batch_id`` and make it a replace, not an append: each batch writes
+    into its own ``batch_id=<n>`` partition with dynamic partition
+    overwrite, so a replayed epoch REPLACES its own partial output and
+    leaves every other epoch's partition untouched. Readers see exactly-once
+    output without any transaction log, on any object store.
+
+    (The built-in streaming file sink gets the same guarantee from its
+    ``_spark_metadata`` log; this pattern is for foreachBatch sinks — JDBC,
+    plain parquet dirs, anything without a txn log. For Kafka itself the
+    equivalent is an embedded ``txn_id = concat(batch_id, partition, offset)``
+    column consumers dedup on.)
+
+    Usage::
+
+        q = (df.writeStream.foreachBatch(idempotent_parquet_sink(out))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return sink

@@ -1126,3 +1126,288 @@ def test_streaming_cms_state_survives_restart(spark, sf_dir, tmp_path):
     # recovered shards 0+1 from state and added shard 2 on top
     for key, cnt in emitted2.items():
         assert cnt == batch[key], (key, cnt, batch[key])
+
+
+def test_streaming_bloom_state_survives_restart(spark, sf_dir, tmp_path):
+    """Stop the counting-bloom maintainer and restart from the checkpoint
+    with a NEW key shard pending: every position the restarted query
+    re-emits must carry the count INCLUDING the recovered pre-restart
+    shards — i.e. equal the one-shot batch position counts over all three
+    shards (a cold restart would emit only the new shard's contribution)."""
+    from syscol_spark.operators.sampling import hash_bucket
+    from syscol_spark.streaming.analytics import streaming_bloom
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    src = str(tmp_path / "bloom_src")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    for k in (0, 1):
+        orders.filter(F.col("o_orderkey") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    def run(out_dir):
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = (
+            spark.readStream.schema("o_orderkey long, o_custkey long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            streaming_bloom(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "out1"))
+    orders.filter(F.col("o_orderkey") % 3 == 2).coalesce(1).write.parquet(f"{src}/f2")
+    out2 = str(tmp_path / "out2")
+    run(out2)
+
+    emitted2 = {}
+    for r in spark.read.parquet(out2).collect():
+        emitted2[r["pos"]] = max(emitted2.get(r["pos"], 0), r["n_keys"])
+    assert emitted2, "restarted query emitted nothing"
+
+    batch = {
+        r["pos"]: r["n"]
+        for r in orders.select(
+            F.explode(
+                F.array(*[hash_bucket("o_custkey", s, 8192) for s in (101, 103)])
+            ).alias("pos")
+        )
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for pos, n in emitted2.items():
+        assert n == batch[pos], (pos, n, batch[pos])
+
+
+def test_streaming_inverted_index_state_survives_restart(spark, sf_dir, tmp_path):
+    """Restart the inverted-index maintainer from its checkpoint with a new
+    doc-disjoint shard pending: every term the restarted query re-emits
+    must carry posting stats equal to the full three-shard batch build
+    (df/tf/first_doc/pos_checksum), proving the per-term state recovered."""
+    from syscol_spark.streaming.analytics import streaming_inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "idx_src")
+    ckpt = str(tmp_path / "idx_ckpt")
+    for k in (0, 1):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    def run(out_dir):
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            streaming_inverted_index(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "out1"))
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(f"{src}/f2")
+    out2 = str(tmp_path / "out2")
+    run(out2)
+
+    # one new file => one batch => each re-emitted term appears once, but
+    # fold monotonically anyway (df/tf/checksum grow, first_doc shrinks)
+    emitted2 = {}
+    for r in spark.read.parquet(out2).collect():
+        prev = emitted2.get(r["term"])
+        cur = (r["df"], r["tf_total"], r["first_doc"], r["pos_checksum"])
+        if prev is None:
+            emitted2[r["term"]] = cur
+        else:
+            emitted2[r["term"]] = (
+                max(prev[0], cur[0]),
+                max(prev[1], cur[1]),
+                min(prev[2], cur[2]),
+                max(prev[3], cur[3]),
+            )
+    assert emitted2, "restarted query emitted nothing"
+
+    batch = {
+        r["term"]: (r["df"], r["tf_total"], r["first_doc"], r["pos_checksum"])
+        for r in docs.select(
+            F.col("doc_id"),
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("tf_total"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.sum("pos").cast("long").alias("pos_checksum"),
+        )
+        .collect()
+    }
+    for term, stats in emitted2.items():
+        assert stats == batch[term], (term, stats, batch[term])
+
+
+def test_streaming_heavy_hitters_state_survives_restart(spark, tmp_path):
+    """Restart the Misra-Gries maintainer (the most restart-fragile state
+    shape: a variable-length counter map plus the decrement tally) from its
+    checkpoint with a new shard pending. Proofs, order-independent:
+    (1) the re-emitted shard_n equals the FULL three-file row count — a
+    cold restart would count only the new file; (2) every re-emitted
+    counter still brackets the item's true total count in [lower, upper];
+    (3) the guaranteed-present property holds over the full stream."""
+    import collections
+
+    from syscol_spark.streaming.analytics import streaming_heavy_hitters
+
+    rows = []
+    seq = 0
+    for rank in range(1, 101):
+        freq = max(1, 300 // rank)
+        for _ in range(freq):
+            rows.append((seq, f"item{rank:03d}"))
+            seq += 1
+    truth = collections.Counter(it for _, it in rows)
+    df = spark.createDataFrame(rows, "seq long, item string")
+    src = str(tmp_path / "hh_src")
+    ckpt = str(tmp_path / "hh_ckpt")
+    for k in (0, 1):
+        df.filter(F.col("seq") % 3 == k).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    capacity = 16
+
+    def run(out_dir):
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = (
+            spark.readStream.schema("seq long, item string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            streaming_heavy_hitters(stream, "item", capacity=capacity, n_shards=1)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "out1"))
+    df.filter(F.col("seq") % 3 == 2).coalesce(1).write.parquet(f"{src}/f2")
+    out2 = str(tmp_path / "out2")
+    run(out2)
+
+    rows2 = spark.read.parquet(out2).collect()
+    assert rows2, "restarted query emitted nothing"
+    final_n = max(r["shard_n"] for r in rows2)
+    # state recovered: the single shard's row count spans ALL THREE files
+    assert final_n == len(rows), (final_n, len(rows))
+    final = {r["item"]: (r["lower"], r["upper"]) for r in rows2 if r["shard_n"] == final_n}
+    assert len(final) <= capacity
+    for item, (lo, hi) in final.items():
+        assert lo <= truth[item] <= hi, (item, lo, truth[item], hi)
+    for item, cnt in truth.items():
+        if cnt * capacity > len(rows):
+            assert item in final, (item, cnt)
+
+
+def test_idempotent_sink_replay_produces_no_duplicates(spark, tmp_path):
+    """The exactly-once foreachBatch discipline (K3 upgrade): a replayed
+    batch_id REPLACES its own partition instead of appending. Simulates the
+    crash-replay sequence directly: attempt 1 of batch 0 lands partial
+    output, the replay re-writes batch 0 in full, then batch 1 commits —
+    the sink dir must hold exactly batch0 ∪ batch1, no duplicate rows."""
+    from syscol_spark.streaming.pipeline import idempotent_parquet_sink
+
+    out = str(tmp_path / "sink_out")
+    sink = idempotent_parquet_sink(out)
+    batch0 = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
+    batch1 = spark.createDataFrame([(i, f"v{i}") for i in range(10, 15)], "id long, v string")
+
+    sink(batch0.filter(F.col("id") < 4), 0)  # partial first attempt (crash mid-epoch)
+    sink(batch0, 0)  # replay of the SAME batch_id
+    sink(batch1, 1)
+
+    got = sorted((r["id"], r["v"], r["batch_id"]) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        [(i, f"v{i}", 0) for i in range(10)] + [(i, f"v{i}", 1) for i in range(10, 15)]
+    )
+    assert got == want  # exactly-once: replay replaced, batch 1 untouched
+
+
+def test_idempotent_sink_streaming_epoch_replay(spark, tmp_path):
+    """End-to-end exactly-once proof through Structured Streaming itself:
+    run an availableNow query to completion, delete the checkpoint's LAST
+    commit marker (the crash-between-write-and-commit window), and restart.
+    The engine replays that epoch with the SAME batch_id; an append sink
+    would now hold duplicates, the idempotent sink must not."""
+    import glob
+    import os
+
+    from syscol_spark.streaming.pipeline import idempotent_parquet_sink
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "id long, k long")
+    src = str(tmp_path / "src")
+    for part in (0, 1):
+        df.filter(F.col("id") % 2 == part).coalesce(1).write.parquet(f"{src}/f{part}")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, k long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run()
+    first = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert first == sorted(range(100))
+
+    # crash window: sink output landed but the commit marker did not
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    assert commits, "checkpoint has no commit markers"
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):  # local-FS checksum sidecar blocks the re-commit
+        os.remove(crc)
+    run()  # replays the uncommitted epoch with the same batch_id
+
+    replayed = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert replayed == sorted(range(100)), "replayed epoch duplicated rows"
