@@ -797,8 +797,9 @@ def knn_graph(
     k: int = 3,
     dim: int = 64,
     n_bands: int = 8,
-    band_bits: int = 4,
+    band_bits: int | str = 4,
     seed: int = 42,
+    target_bucket: int = 125,
 ) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus: each vector's top-k
     neighbors among SRP band-collision candidates — the building block of
@@ -815,7 +816,22 @@ def knn_graph(
 
     Scoring is the Arrow/numpy batch path, not the column-expression fold:
     the graph build scores EVERY candidate pair (~10^6 at n=2000 already),
-    and one einsum per Arrow batch is 10-50× the interpreted fold."""
+    and one einsum per Arrow batch is 10-50× the interpreted fold.
+
+    ``band_bits="auto"`` derives the bucket width from a corpus count
+    probe: ``max(4, ceil(log2(n / target_bucket)))``, keeping the expected
+    bucket occupancy near ``target_bucket`` vectors at ANY corpus size. A
+    FIXED band_bits saturates: candidates grow ~n²/2^band_bits, and the
+    sf1 scale probe measured exactly that — a 10× corpus against
+    band_bits=4's 16 buckets/band turned the pair-scoring stage into a
+    >10-minute single-straggler quadratic blowup. The derivation is part
+    of the operator's semantics (buckets change when the derived width
+    changes), and it intentionally lands on 4 — the historical pinned
+    value — for every oracle/parity corpus up to sf0.1, so the static SQL
+    oracles keep mirroring the bucket assignment bit-for-bit there."""
+    if band_bits == "auto":
+        n = corpus.count()  # metadata-cheap count probe, one per build
+        band_bits = max(4, math.ceil(math.log2(max(1, n) / target_bucket)))
     tagged = corpus.withColumn("__blk", F.lit(1))
     cand = _srp_candidate_pairs(
         tagged, vec_col=vec_col, id_col=id_col, block_col="__blk",

@@ -1681,7 +1681,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.similarity import knn_graph
 
-    return knn_graph(_emb(spark, sf_dir), k=3, dim=64, n_bands=8, band_bits=4)
+    return knn_graph(_emb(spark, sf_dir), k=3, dim=64, n_bands=8, band_bits="auto")
 
 
 # --- edit-distance fuzzy self-join (Ed-Join prefix filtering) ----------------
@@ -1954,7 +1954,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.graph import pagerank
     from syscol_spark.operators.similarity import knn_graph
 
-    edges = knn_graph(_emb(spark, sf_dir), k=3, dim=64, n_bands=8, band_bits=4).select(
+    edges = knn_graph(_emb(spark, sf_dir), k=3, dim=64, n_bands=8, band_bits="auto").select(
         "src", F.col("nbr").alias("dst")
     )
     return pagerank(edges, damping=_PR_DAMP, iterations=_PR_ITERS)

@@ -1551,3 +1551,28 @@ def test_salted_join_rejects_dim_preserving_and_reserved(spark):
         salted_join(fact, dim, on="k", n_salts=1)
     with pytest.raises(ValueError, match="reserved"):
         salted_join(fact.withColumn("__salt", F.lit(0)), dim, on="k")
+
+
+def test_knn_graph_auto_band_bits(spark):
+    """band_bits='auto' must keep expected bucket occupancy near
+    target_bucket: the derived width is the historical pinned 4 for every
+    oracle-scale corpus (<= 2000 vectors at target 125) and grows with
+    log2(n) beyond — the fix for the fixed-width saturation the sf1 probe
+    caught (candidates ~ n^2/2^band_bits with a fixed width)."""
+    import math
+
+    # mirror the operator's formula over the corpus sizes that matter
+    derive = lambda n: max(4, math.ceil(math.log2(max(1, n) / 125)))  # noqa: E731
+    assert derive(500) == 4      # sf0.001 / sf0.01
+    assert derive(2000) == 4     # sf0.1 — oracle scales all pin to 4
+    assert derive(20_000) == 8   # sf1: 256 buckets/band, ~78 vecs/bucket
+    assert derive(2_000_000) == 14
+
+    # end-to-end: auto and the pinned width agree exactly at oracle scale
+    from syscol_spark.operators.similarity import knn_graph
+
+    rows = [(i, [float((i * 7 + j * 13) % 11 - 5) for j in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fixed = knn_graph(corpus, k=2, dim=8, n_bands=4, band_bits=4)
+    auto = knn_graph(corpus, k=2, dim=8, n_bands=4, band_bits="auto")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))
