@@ -77,6 +77,38 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - harness boundary
         print(f"# warmup: ERROR {type(exc).__name__}: {exc}", file=sys.stderr)
 
+    # ---- degraded-window calibration guard (round-9 verdict ask #1a) ----
+    # This box has externally noisy windows (r9's committed artifact was
+    # +21% like-for-like vs r8 with zero code changes on the inflated
+    # paths). Before burning the budget on a sweep that measures the
+    # weather, time a pinned reference query (q01, untouched since round 2)
+    # min-of-3 against its best committed clean-window value; if it's
+    # inflated beyond the tolerance, retry after a pause, and if the window
+    # never clears, emit a "degraded window" artifact instead of numbers
+    # that would be mistaken for a regression. Best-effort throughout: a
+    # broken guard must never zero the artifact (the r3 warmup lesson).
+    guard_info = _window_guard(spark, sf_dir)
+    if guard_info.get("degraded") and os.environ.get(
+        "SPARK_GRAFT_BENCH_GUARD", "on"
+    ) != "off":
+        line = {
+            "metric": "degraded_window_abort",
+            "value": -1,
+            "unit": "sec",
+            "sf": sf,
+            "error": (
+                "calibration query exceeded tolerance vs committed clean-window"
+                " reference; refusing to record weather as regression"
+                " (set SPARK_GRAFT_BENCH_GUARD=off to force)"
+            ),
+            **guard_info,
+        }
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(line, fh, indent=1)
+        print(json.dumps(line))
+        return
+
     # Per-query fault isolation: one broken builder must not zero the whole
     # artifact — record the error string, keep timing the rest, exit 0.
     timings: dict[str, float] = {}
@@ -182,6 +214,8 @@ def main() -> None:
         "total_median": round(
             sum(v["median"] for v in queries_spread.values()), 3
         ),
+        "window_guard": guard_info,
+        "loadavg_end": _loadavg(),
     }
     # Complete per-query artifact for the judge (the stdout line below is
     # size-capped and may omit the fastest queries).
@@ -208,6 +242,86 @@ def main() -> None:
         if len(out) <= 1900:
             break
     print(out)
+
+
+# Best demonstrated clean-window min-of-3 for the calibration query.
+# History: clean rounds r5-r8 spanned 1.03-1.20 s (r8 artifact: 1.159);
+# from round 9 onward the box settled into a persistently slower state —
+# four independent solo sessions across two days all measure q01 at
+# 1.25-1.43 s and the 202-query min-of-3 total at 230-246 s (vs r8's
+# 199 s), with JVM-side queries +8-13% and Arrow-lane queries +30-60% on
+# code-identical paths (see ARCHITECTURE.md round-10 autopsy). That is a
+# stack/host shift, not weather, so the reference pins the CURRENT
+# demonstrated-stable clean value; the guard's job is to catch windows
+# degraded relative to it (r9's worst window measured 2.1 s — still
+# cleanly outside the band).
+_CAL_QUERY = "q01_pricing_summary"
+_CAL_REF_SEC = 1.25
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except Exception:  # noqa: BLE001 - diagnostics only
+        return []
+
+
+def _mem_available_gb() -> float:
+    try:
+        with open("/proc/meminfo") as fh:
+            for ln in fh:
+                if ln.startswith("MemAvailable:"):
+                    return round(int(ln.split()[1]) / 1024 / 1024, 1)
+    except Exception:  # noqa: BLE001 - diagnostics only
+        pass
+    return -1.0
+
+
+def _window_guard(spark, sf_dir: str) -> dict:
+    """Min-of-3 the pinned calibration query and compare against the best
+    committed clean-window value. Returns diagnostics; sets "degraded" only
+    when every attempt stays past tolerance. Never raises."""
+    tol = float(os.environ.get("SPARK_GRAFT_BENCH_GUARD_PCT", "10")) / 100.0
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GUARD_ATTEMPTS", "3"))
+    info: dict = {
+        "cal_query": _CAL_QUERY,
+        "cal_ref_sec": _CAL_REF_SEC,
+        "cal_tolerance_pct": round(tol * 100, 1),
+        "loadavg_start": _loadavg(),
+        "mem_available_gb": _mem_available_gb(),
+        "degraded": False,
+    }
+    try:
+        spec = QUERIES[_CAL_QUERY]
+        cal_mins: list[float] = []
+        for attempt in range(attempts):
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                spec.builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.time() - t0)
+                _release_cached(spark)
+            cal_mins.append(round(min(ts), 3))
+            print(
+                f"# window guard attempt {attempt + 1}: {_CAL_QUERY}"
+                f" min-of-3 {cal_mins[-1]:.3f}s (ref {_CAL_REF_SEC:.3f}s,"
+                f" loadavg {_loadavg()})",
+                file=sys.stderr,
+            )
+            if cal_mins[-1] <= _CAL_REF_SEC * (1 + tol):
+                break
+            if attempt < attempts - 1:
+                time.sleep(30)  # give a transient co-tenant time to drain
+        info["cal_min_sec"] = min(cal_mins)
+        info["cal_attempts"] = cal_mins
+        info["cal_ratio"] = round(min(cal_mins) / _CAL_REF_SEC, 3)
+        info["degraded"] = min(cal_mins) > _CAL_REF_SEC * (1 + tol)
+    except Exception as exc:  # noqa: BLE001 - guard must not zero the artifact
+        info["guard_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    return info
 
 
 def _release_cached(spark) -> None:

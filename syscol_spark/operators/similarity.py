@@ -776,12 +776,18 @@ def _score_pairs_closure(pairs: DataFrame, sides: DataFrame) -> DataFrame:
     return scored.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def _score_pairs_for(pairs: DataFrame, sides: DataFrame) -> DataFrame:
+def _score_pairs_for(
+    pairs: DataFrame, sides: DataFrame, n_sides: int | None = None
+) -> DataFrame:
     """Route candidate-pair scoring: closure-shipped corpus when it fits
     _BROADCAST_SCORE_LIMIT (probe = bounded count, the k-means gate
     pattern), otherwise re-attach vectors by id join and score via the
-    Arrow batch path. ``sides`` must be (id, vec)."""
-    if sides.limit(_BROADCAST_SCORE_LIMIT + 1).count() <= _BROADCAST_SCORE_LIMIT:
+    Arrow batch path. ``sides`` must be (id, vec). Callers that already
+    counted the corpus (e.g. knn_graph's band_bits="auto" probe) pass
+    ``n_sides`` to skip the redundant limit-count job."""
+    if n_sides is None:
+        n_sides = sides.limit(_BROADCAST_SCORE_LIMIT + 1).count()
+    if n_sides <= _BROADCAST_SCORE_LIMIT:
         return _score_pairs_closure(pairs, sides)
     with_vecs = pairs.join(
         sides.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a"
@@ -829,6 +835,7 @@ def knn_graph(
     changes), and it intentionally lands on 4 — the historical pinned
     value — for every oracle/parity corpus up to sf0.1, so the static SQL
     oracles keep mirroring the bucket assignment bit-for-bit there."""
+    n = None
     if band_bits == "auto":
         n = corpus.count()  # metadata-cheap count probe, one per build
         band_bits = max(4, math.ceil(math.log2(max(1, n) / target_bucket)))
@@ -838,7 +845,7 @@ def knn_graph(
         dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed,
     )
     sides = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    pairs = _score_pairs_for(cand, sides)
+    pairs = _score_pairs_for(cand, sides, n_sides=n)
     sym = pairs.selectExpr("id_a AS src", "id_b AS nbr", "cosine").unionByName(
         pairs.selectExpr("id_b AS src", "id_a AS nbr", "cosine")
     )
