@@ -293,6 +293,7 @@ def _window_guard(spark, sf_dir: str) -> dict:
         "degraded": False,
     }
     try:
+        _ensure_loaded()  # self-sufficient: callable outside main()'s preamble
         spec = QUERIES[_CAL_QUERY]
         cal_mins: list[float] = []
         for attempt in range(attempts):

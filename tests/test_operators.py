@@ -1576,3 +1576,44 @@ def test_knn_graph_auto_band_bits(spark):
     fixed = knn_graph(corpus, k=2, dim=8, n_bands=4, band_bits=4)
     auto = knn_graph(corpus, k=2, dim=8, n_bands=4, band_bits="auto")
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))
+
+
+def test_salted_join_randomized_equivalence(spark):
+    """Fuzz the by-construction equivalence: for random fact/dim shapes,
+    skew profiles, salt counts, hot-key sources (derived and explicit) and
+    both supported join types, salted_join must produce exactly the plain
+    join's multiset of rows."""
+    import random
+
+    from syscol_spark.operators.joins import salted_join
+
+    rng = random.Random(20260815)
+    for trial in range(6):
+        n_keys = rng.randint(2, 10)
+        # skewed multiplicities: one hot key with many rows, others few
+        hot_key = rng.randrange(n_keys)
+        fact_rows = []
+        rid = 0
+        for k in range(n_keys):
+            reps = rng.randint(20, 60) if k == hot_key else rng.randint(0, 4)
+            for _ in range(reps):
+                fact_rows.append((k, rid, rng.randint(-5, 5)))
+                rid += 1
+        # some dim keys missing (exercises inner-drop / left-null paths),
+        # and dim may be empty-ish
+        dim_rows = [
+            (k, f"d{k}") for k in range(n_keys) if rng.random() < 0.8
+        ]
+        fact = spark.createDataFrame(fact_rows, "k long, rid long, v long")
+        dim = spark.createDataFrame(dim_rows or [(n_keys + 1, "dx")], "k long, name string")
+        how = rng.choice(["inner", "left"])
+        n_salts = rng.choice([2, 3, 8])
+        explicit = rng.random() < 0.5
+        kwargs = {"n_salts": n_salts, "how": how}
+        if explicit:
+            kwargs["hot_keys"] = spark.createDataFrame([(hot_key,)], "k long")
+        else:
+            kwargs["hot_top_k"] = rng.randint(1, 3)
+        got = sorted(tuple(r) for r in salted_join(fact, dim, on="k", **kwargs).collect())
+        want = sorted(tuple(r) for r in fact.join(dim, "k", how).collect())
+        assert got == want, (trial, how, n_salts, explicit)
