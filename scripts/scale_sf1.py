@@ -73,6 +73,9 @@ HEAVY = [
     "q_simhash",
     "q_dedup_clusters",
     "q_minhash_lsh",
+    # round-10 operator: hot-key derivation + dim replication must stay
+    # flat-per-row as the fact table grows
+    "q_skew_salted_join",
 ]
 
 # key columns to offset per copy, per table (consistent across tables)
