@@ -165,7 +165,13 @@ def salted_join(
       broadcast, never data-proportional) marks the keys worth salting;
     - fact rows with a hot key get a DETERMINISTIC per-row salt in
       [0, n_salts) (xxhash64 over the whole row — no rand(), so retried
-      tasks and re-runs place rows identically); cold keys keep salt 0;
+      tasks and re-runs place rows identically); cold keys keep salt 0.
+      Limitation of determinism: byte-identical duplicate rows of a hot
+      key all hash to the SAME salt, so skew made of exact duplicate rows
+      gets no spread (it degrades to the plain join). If the fact side can
+      contain mass duplicate rows, add a distinguishing column first
+      (e.g. ``monotonically_increasing_id()``) — not done here because it
+      would make retried tasks place rows differently;
     - dim rows with a hot key are exploded into all ``n_salts`` salts
       (replication cost: |hot| x n_salts rows, NOT |dim| x n_salts); cold
       dim rows carry salt 0 only;
@@ -202,7 +208,11 @@ def salted_join(
             .limit(hot_top_k)
             .select(on)
         )
-    hot = broadcast(hot_keys.select(F.col(on), F.lit(True).alias("__hot")))
+    # distinct() guards the caller-supplied path: duplicate key rows in
+    # hot_keys would multiply fact rows via the left join below (and dim
+    # replicas via explode), silently breaking row-identity with the plain
+    # join. The derived path above is already distinct (groupBy).
+    hot = broadcast(hot_keys.select(on).distinct().select(F.col(on), F.lit(True).alias("__hot")))
     salted_fact = (
         fact.join(hot, on, "left")
         .withColumn(

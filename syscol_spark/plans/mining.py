@@ -283,7 +283,10 @@ def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "skew-mitigated fact-dim join: top-20 hot custkeys salted 8 ways"
         " (hot dim rows replicated per salt), segment revenue rollup —"
-        " result identical to the plain join by construction"
+        " result identical to the plain join by construction."
+        " NOTE: at this test scale the dim side is broadcastable and a plain"
+        " broadcast join would win; the entry pins the LARGE-dim technique"
+        " (plan-shape test is the point) — don't copy it for small dims"
     ),
 )
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:

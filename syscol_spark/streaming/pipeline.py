@@ -134,6 +134,10 @@ def idempotent_parquet_sink(out_dir: str):
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if "batch_id" in batch_df.columns:
+            raise ValueError(
+                "column name batch_id is reserved by idempotent_parquet_sink"
+            )
         (
             batch_df.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")

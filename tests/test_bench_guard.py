@@ -2,7 +2,8 @@
 sensitivity: thresholds come from env overrides so a pass and a fail are
 both forced deterministically, and a broken calibration query must degrade
 to diagnostics — never an exception (the artifact-zeroing failure mode the
-r3 warmup bug taught)."""
+r3 warmup bug taught). Round 11: the guard carries TWO lanes (JVM q01 +
+Arrow q_tfidf) because the r10 autopsy showed them degrading independently."""
 
 from __future__ import annotations
 
@@ -22,32 +23,64 @@ def test_guard_passes_with_generous_tolerance(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_ATTEMPTS", "1")
     info = bench._window_guard(spark, sf_dir)
     assert info["degraded"] is False
-    assert info["cal_query"] == bench._CAL_QUERY
-    assert info["cal_min_sec"] > 0
-    assert len(info["cal_attempts"]) == 1
-    assert info["cal_ratio"] > 0
+    # both lanes measured, each once
+    assert set(info["cal_queries"]) == set(bench._CAL_QUERIES)
+    for name, entry in info["cal_queries"].items():
+        assert entry["ref_sec"] == bench._CAL_QUERIES[name]
+        assert entry["min_sec"] > 0
+        assert len(entry["attempts"]) == 1
+        assert entry["ratio"] > 0
+        assert entry["degraded"] is False
+    # legacy summary fields track the worst lane
+    assert info["cal_query"] in bench._CAL_QUERIES
+    assert info["cal_min_sec"] == info["cal_queries"][info["cal_query"]]["min_sec"]
     assert len(info["loadavg_start"]) == 3
     assert info["mem_available_gb"] > 0
 
 
 def test_guard_degrades_with_impossible_tolerance(spark, sf_dir, monkeypatch):
     # tolerance -100% => threshold 0 s => any real measurement is "degraded";
-    # attempts=2 also pins the retry loop (two recorded attempts, no raise)
+    # attempts=2 also pins the retry loop (two recorded attempts per lane,
+    # no raise)
     bench = _bench()
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_PCT", "-100")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_ATTEMPTS", "2")
     monkeypatch.setattr("time.sleep", lambda s: None)
     info = bench._window_guard(spark, sf_dir)
     assert info["degraded"] is True
-    assert len(info["cal_attempts"]) == 2
-    assert info["cal_min_sec"] == min(info["cal_attempts"])
+    for entry in info["cal_queries"].values():
+        assert entry["degraded"] is True
+        assert len(entry["attempts"]) == 2
+        assert entry["min_sec"] == min(entry["attempts"])
+
+
+def test_guard_skips_clean_lane_on_retry(spark, sf_dir, monkeypatch):
+    # One lane forced degraded (ref 0) while the other passes: the retry
+    # loop must re-measure ONLY the degraded lane, and the overall verdict
+    # is degraded with the clean lane left at one attempt.
+    bench = _bench()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_PCT", "100000")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_ATTEMPTS", "2")
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    names = list(bench._CAL_QUERIES)
+    rigged = dict(bench._CAL_QUERIES)
+    rigged[names[1]] = 1e-9  # ~zero threshold even at huge tolerance => degraded
+    monkeypatch.setattr(bench, "_CAL_QUERIES", rigged)
+    info = bench._window_guard(spark, sf_dir)
+    assert info["degraded"] is True
+    assert info["cal_queries"][names[0]]["degraded"] is False
+    assert len(info["cal_queries"][names[0]]["attempts"]) == 1
+    assert info["cal_queries"][names[1]]["degraded"] is True
+    assert len(info["cal_queries"][names[1]]["attempts"]) == 2
+    # worst-lane summary points at the degraded lane
+    assert info["cal_query"] == names[1]
 
 
 def test_guard_never_raises_on_broken_calibration(spark, sf_dir, monkeypatch):
     # unknown calibration query => guard_error diagnostics, degraded stays
     # False so the sweep still runs and the artifact is not zeroed
     bench = _bench()
-    monkeypatch.setattr(bench, "_CAL_QUERY", "q_does_not_exist")
+    monkeypatch.setattr(bench, "_CAL_QUERIES", {"q_does_not_exist": 1.0})
     info = bench._window_guard(spark, sf_dir)
     assert info["degraded"] is False
     assert "guard_error" in info

@@ -1538,6 +1538,18 @@ def test_salted_join_explicit_hot_keys_and_salt_spread(spark):
     assert n_salts_used >= 4  # 200 rows over 8 salts: all 8 w.h.p., >=4 certainly
 
 
+def test_salted_join_duplicate_hot_keys_rows(spark):
+    # caller-supplied hot_keys with DUPLICATE key rows must not multiply
+    # fact rows (the operator dedups the hot list before the marker join)
+    from syscol_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, i) for i in range(50)] + [(2, 0)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "name"])
+    hot_dup = spark.createDataFrame([(1,), (1,), (1,)], ["k"])
+    out = salted_join(fact, dim, on="k", n_salts=4, hot_keys=hot_dup)
+    assert _rowset(out) == _rowset(fact.join(dim, "k"))
+
+
 def test_salted_join_rejects_dim_preserving_and_reserved(spark):
     import pytest
 

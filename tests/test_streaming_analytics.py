@@ -1359,6 +1359,19 @@ def test_idempotent_sink_replay_produces_no_duplicates(spark, tmp_path):
     assert got == want  # exactly-once: replay replaced, batch 1 untouched
 
 
+def test_idempotent_sink_rejects_reserved_batch_id_column(spark, tmp_path):
+    # a pre-existing batch_id column would be silently REPLACED by the
+    # sink's epoch stamp, corrupting user data — fail fast instead
+    import pytest
+
+    from syscol_spark.streaming.pipeline import idempotent_parquet_sink
+
+    sink = idempotent_parquet_sink(str(tmp_path / "out"))
+    bad = spark.createDataFrame([(1, 99)], "id long, batch_id long")
+    with pytest.raises(ValueError, match="reserved"):
+        sink(bad, 0)
+
+
 def test_idempotent_sink_streaming_epoch_replay(spark, tmp_path):
     """End-to-end exactly-once proof through Structured Streaming itself:
     run an availableNow query to completion, delete the checkpoint's LAST
