@@ -78,6 +78,34 @@ HEAVY = [
     "q_skew_salted_join",
 ]
 
+
+def _select_queries() -> list[str]:
+    """Round-11 extended coverage (r10 verdict ask #1): the r10 HEAVY list
+    + the top SCALE_TOP_N (default 50) catalog queries by their committed
+    bench wall + every tier's (plan module's) heaviest 3 — so the
+    events/quality/mining/pipeline mid-tier, which had never executed above
+    sf0.1, gets probed too. The r10 probe earned this: it caught knn_graph's
+    band saturation that every plan audit had graded scale-safe."""
+    walls: dict[str, float] = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+            walls = {k: float(v) for k, v in json.load(fh).get("queries", {}).items()}
+    except Exception as exc:  # noqa: BLE001 - selection degrades to HEAVY
+        print(f"# _select_queries: no bench walls ({exc})", file=sys.stderr)
+    _ensure_loaded()
+    top_n = int(os.environ.get("SCALE_TOP_N", "50"))
+    picked = {n for n in HEAVY if n in QUERIES}
+    picked.update(sorted((n for n in walls if n in QUERIES), key=lambda n: -walls[n])[:top_n])
+    by_tier: dict[str, list[str]] = {}
+    for name, spec in QUERIES.items():
+        by_tier.setdefault(spec.builder.__module__.rsplit(".", 1)[-1], []).append(name)
+    for names in by_tier.values():
+        names.sort(key=lambda n: -walls.get(n, 0.0))
+        picked.update(names[:3])
+    # heaviest-first: if the budget trips, the queries most likely to hide
+    # a scale defect were measured first
+    return sorted(picked, key=lambda n: -walls.get(n, 0.0))
+
 # key columns to offset per copy, per table (consistent across tables)
 KEYS = {
     "customer": ["c_custkey"],
@@ -222,16 +250,26 @@ def _warmup(spark) -> None:
 def probe(spark) -> None:
     _ensure_loaded()
     _warmup(spark)
-    reps_base = int(os.environ.get("SCALE_REPS_BASE", "3"))
+    reps_base = int(os.environ.get("SCALE_REPS_BASE", "2"))
     reps_sf1 = int(os.environ.get("SCALE_REPS_SF1", "2"))
+    budget = float(os.environ.get("SCALE_BUDGET_SEC", "4200"))
+    # soft per-query cap: a discovered scale-killer (the thing this probe
+    # hunts) must cost ONE long rep, not reps_sf1 of them
+    cap = float(os.environ.get("SCALE_PER_QUERY_CAP_SEC", "120"))
+    selected = _select_queries()
+    print(f"# probing {len(selected)} queries (budget {budget:.0f}s)", file=sys.stderr)
+    t_start = time.time()
     results: dict[str, dict] = {}
-    for name in HEAVY:
-        if name not in QUERIES:
-            print(f"# {name}: not in catalog, skipped", file=sys.stderr)
+    skipped: list[str] = []
+    for name in selected:
+        if time.time() - t_start > budget:
+            skipped.append(name)
             continue
         try:
             base_ts = _time_query(spark, name, BASE, reps_base)
-            sf1_ts = _time_query(spark, name, SF1_DIR, reps_sf1)
+            sf1_ts = _time_query(spark, name, SF1_DIR, 1)
+            if sf1_ts[0] <= cap and reps_sf1 > 1:
+                sf1_ts += _time_query(spark, name, SF1_DIR, reps_sf1 - 1)
         except Exception as exc:  # noqa: BLE001 - keep probing the rest
             results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
             print(f"# {name}: ERROR {results[name]['error']}", file=sys.stderr)
@@ -245,20 +283,28 @@ def probe(spark) -> None:
             "sf1_reps": sf1_ts,
         }
         print(f"# {name}: {b:.2f}s -> {s:.2f}s ({s / b:.1f}x)", file=sys.stderr)
+    if skipped:
+        print(f"# budget tripped: {len(skipped)} queries skipped", file=sys.stderr)
+    ratios = sorted(
+        ((v["ratio"], n) for n, v in results.items() if "ratio" in v), reverse=True
+    )
     out = {
         "metric": "sf1_over_sf01_wall_ratio",
         "data_factor": K,
         "base_dir": BASE,
         "sf1_dir": SF1_DIR,
         "queries": results,
-        "max_ratio": max(
-            (v["ratio"] for v in results.values() if "ratio" in v), default=-1
-        ),
+        "n_probed": len(results),
+        "max_ratio": ratios[0][0] if ratios else -1,
+        "worst_5": [{"query": n, "ratio": r} for r, n in ratios[:5]],
         "n_errors": sum(1 for v in results.values() if "error" in v),
+        "budget_sec": budget,
+        "skipped_over_budget": skipped,
+        "reps": {"base": reps_base, "sf1": reps_sf1, "per_query_cap_sec": cap},
     }
     with open(os.path.join(REPO, "SCALE_SF1.json"), "w") as fh:
         json.dump(out, fh, indent=1)
-    print(json.dumps({k: out[k] for k in ("metric", "max_ratio", "n_errors")}))
+    print(json.dumps({k: out[k] for k in ("metric", "n_probed", "max_ratio", "n_errors")}))
 
 
 def main() -> None:
