@@ -199,6 +199,12 @@ def main() -> None:
         n: {"min": solo_min[n], "median": round(statistics.median(ts), 3)}
         for n, ts in rep_times.items()
     }
+    # Like-for-like reconciliation vs the committed reference artifact
+    # (r10 verdict ask #5): common-query totals, the delta pct, and the
+    # top movers — embedded so a round-over-round comparison never needs
+    # to be reconstructed by hand from two artifacts.
+    vs_ref = _vs_reference(solo_min)
+
     full = {
         "metric": "catalog_total_wall_sec",
         "value": round(total, 3),
@@ -219,6 +225,7 @@ def main() -> None:
             sum(v["median"] for v in queries_spread.values()), 3
         ),
         "window_guard": guard_info,
+        "vs_reference": vs_ref,
         "loadavg_end": _loadavg(),
     }
     # Complete per-query artifact for the judge (the stdout line below is
@@ -277,6 +284,48 @@ _CAL_QUERIES: dict[str, float] = {
     "q01_pricing_summary": 1.25,
     "q_tfidf": 2.0,
 }
+
+
+# The reference artifact for like-for-like deltas: the PREVIOUS run's full
+# per-query map (BENCH_FULL.json is read before this run overwrites it, and
+# the committed copy is the last clean-window round's — r10 as of round 11).
+_REF_BENCH = "BENCH_FULL.json"
+
+
+def _vs_reference(solo_min: dict[str, float]) -> dict:
+    """Per-query reconciliation vs the committed reference artifact:
+    common-query min-of-N totals, delta pct, and the top movers in each
+    direction (>=20% and >=0.3 s). Never raises."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, _REF_BENCH)) as fh:
+            data = json.load(fh)
+        ref = {k: float(v) for k, v in (data.get("queries") or {}).items()}
+        common = sorted(set(ref) & set(solo_min))
+        if not common:
+            return {"reference": _REF_BENCH, "error": "no common queries"}
+        s_ref = sum(ref[q] for q in common)
+        s_new = sum(solo_min[q] for q in common)
+        movers = sorted(
+            (
+                (round(100.0 * (solo_min[q] - ref[q]) / max(ref[q], 0.05), 1), q)
+                for q in common
+                if abs(solo_min[q] - ref[q]) >= 0.3
+                and abs(solo_min[q] - ref[q]) / max(ref[q], 0.05) >= 0.2
+            ),
+            reverse=True,
+        )
+        return {
+            "reference": _REF_BENCH,
+            "n_common": len(common),
+            "ref_total_sec": round(s_ref, 3),
+            "new_total_sec": round(s_new, 3),
+            "delta_pct": round(100.0 * (s_new - s_ref) / s_ref, 1),
+            "regressions": [{"query": q, "pct": p} for p, q in movers if p > 0][:5],
+            "improvements": [{"query": q, "pct": p} for p, q in reversed(movers) if p < 0][:5],
+        }
+    except Exception as exc:  # noqa: BLE001 - diagnostics only
+        return {"reference": _REF_BENCH, "error": f"{type(exc).__name__}: {exc}"[:200]}
 
 
 def _loadavg() -> list[float]:
