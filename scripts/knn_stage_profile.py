@@ -34,6 +34,22 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1_DIR = os.path.join(REPO, ".localdata", "sf1")
 
 
+def _release_cached(spark) -> None:
+    """Drop the eager localCheckpoint blocks each _srp_candidate_pairs
+    build leaves behind. Without this, ~14 materializations pile up in the
+    8g heap and the session ends in a GC death spiral (measured: a 22 s
+    sf1 build became a >12-minute straggler at 7.8 GB RSS)."""
+    import gc
+
+    gc.collect()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+    except Exception:  # noqa: BLE001 - cleanup is best-effort
+        pass
+
+
 def _stages(spark, sf_dir: str, reps: int = 2) -> dict:
     from pyspark.sql import Window
 
@@ -71,12 +87,14 @@ def _stages(spark, sf_dir: str, reps: int = 2) -> dict:
             t0 = time.time()
             build().write.format("noop").mode("overwrite").save()
             ts.append(time.time() - t0)
+            _release_cached(spark)
         return round(min(ts), 3)
 
     t_cand = timed(build_cand)
     t_score = timed(build_pairs)
     t_full = timed(build_full)
     n_cand = build_cand().count()
+    _release_cached(spark)
     return {
         "n_vectors": n,
         "band_bits_auto": band_bits,

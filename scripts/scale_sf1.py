@@ -102,9 +102,23 @@ def _select_queries() -> list[str]:
     for names in by_tier.values():
         names.sort(key=lambda n: -walls.get(n, 0.0))
         picked.update(names[:3])
+    # SCALE_ONLY: re-probe just these queries (comma-separated) — the
+    # targeted-remeasure path for queries whose first pass hit one of this
+    # box's externally noisy windows
+    only = [q.strip() for q in os.environ.get("SCALE_ONLY", "").split(",") if q.strip()]
+    if only:
+        picked = {n for n in only if n in QUERIES}
     # heaviest-first: if the budget trips, the queries most likely to hide
     # a scale defect were measured first
     return sorted(picked, key=lambda n: -walls.get(n, 0.0))
+
+
+def _bench_walls() -> dict[str, float]:
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+            return {k: float(v) for k, v in json.load(fh).get("queries", {}).items()}
+    except Exception:  # noqa: BLE001
+        return {}
 
 # key columns to offset per copy, per table (consistent across tables)
 KEYS = {
@@ -267,6 +281,16 @@ def probe(spark) -> None:
             continue
         try:
             base_ts = _time_query(spark, name, BASE, reps_base)
+            # adaptive re-rep: a base min far above the committed clean
+            # bench wall means THIS window (or early-session JIT ramp) is
+            # contaminating the measurement — take up to 2 extra reps
+            # before accepting it, and flag the query if it never recovers
+            wall = _bench_walls().get(name)
+            extra = 0
+            while wall and min(base_ts) > 1.8 * wall and extra < 2:
+                base_ts += _time_query(spark, name, BASE, 1)
+                extra += 1
+            suspect = bool(wall and min(base_ts) > 1.8 * wall)
             sf1_ts = _time_query(spark, name, SF1_DIR, 1)
             if sf1_ts[0] <= cap and reps_sf1 > 1:
                 sf1_ts += _time_query(spark, name, SF1_DIR, reps_sf1 - 1)
@@ -282,9 +306,29 @@ def probe(spark) -> None:
             "sf0.1_reps": base_ts,
             "sf1_reps": sf1_ts,
         }
+        if suspect:
+            results[name]["suspect_window"] = True
         print(f"# {name}: {b:.2f}s -> {s:.2f}s ({s / b:.1f}x)", file=sys.stderr)
     if skipped:
         print(f"# budget tripped: {len(skipped)} queries skipped", file=sys.stderr)
+    # SCALE_MERGE=1: fold a targeted remeasurement into the existing
+    # artifact (provenance kept: remeasured flag + the replaced numbers)
+    if os.environ.get("SCALE_MERGE") == "1":
+        try:
+            with open(os.path.join(REPO, "SCALE_SF1.json")) as fh:
+                prior = json.load(fh)
+            merged = dict(prior.get("queries", {}))
+            for name, v in results.items():
+                old = merged.get(name)
+                v = dict(v)
+                v["remeasured"] = True
+                if old and "ratio" in old:
+                    v["first_pass"] = {k: old[k] for k in ("sf0.1_sec", "sf1_sec", "ratio")}
+                merged[name] = v
+            results = merged
+            skipped = prior.get("skipped_over_budget", skipped)
+        except Exception as exc:  # noqa: BLE001 - fall back to fresh artifact
+            print(f"# merge failed, writing fresh: {exc}", file=sys.stderr)
     ratios = sorted(
         ((v["ratio"], n) for n, v in results.items() if "ratio" in v), reverse=True
     )
