@@ -28,9 +28,14 @@ from syscol_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')")
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):  # Spark-written table: a dir of part files
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
