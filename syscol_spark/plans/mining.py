@@ -1359,32 +1359,40 @@ def q_ev_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
     ),
-    sym AS (SELECT pa AS u, pb AS v FROM edges UNION ALL SELECT pb, pa FROM edges),
+    sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM edges UNION ALL SELECT pb, pa FROM edges),
     seeds AS (SELECT u AS seed FROM (SELECT DISTINCT u FROM sym) ORDER BY u LIMIT 5),
     r0 AS (SELECT seed, seed AS node FROM seeds),
-    r1 AS (
+    r1 AS MATERIALIZED (
       SELECT DISTINCT seed, node FROM (
         SELECT seed, node FROM r0
         UNION ALL
         SELECT r.seed, s.v AS node FROM r0 r JOIN sym s ON s.u = r.node)
     ),
-    r2 AS (
+    r2 AS MATERIALIZED (
       SELECT DISTINCT seed, node FROM (
         SELECT seed, node FROM r1
         UNION ALL
         SELECT r.seed, s.v AS node FROM r1 r JOIN sym s ON s.u = r.node)
     ),
-    r3 AS (
+    r3 AS MATERIALIZED (
       SELECT DISTINCT seed, node FROM (
         SELECT seed, node FROM r2
         UNION ALL
         SELECT r.seed, s.v AS node FROM r2 r JOIN sym s ON s.u = r.node)
     )
+    -- grouped joins, not per-seed correlated COUNT subqueries: DuckDB
+    -- inlines a non-materialized CTE chain once PER correlated subquery,
+    -- re-running the whole r1->r2->r3 expansion 15 times (5 seeds x 3) —
+    -- measured as an out-of-disk IOException at sf1. Each seed is a member
+    -- of its own rK set, so the inner joins are total.
     SELECT s.seed,
-           CAST((SELECT COUNT(*) FROM r1 WHERE r1.seed = s.seed) - 1 AS BIGINT) AS n_1hop,
-           CAST((SELECT COUNT(*) FROM r2 WHERE r2.seed = s.seed) - 1 AS BIGINT) AS n_2hop,
-           CAST((SELECT COUNT(*) FROM r3 WHERE r3.seed = s.seed) - 1 AS BIGINT) AS n_3hop
+           CAST(c1.n - 1 AS BIGINT) AS n_1hop,
+           CAST(c2.n - 1 AS BIGINT) AS n_2hop,
+           CAST(c3.n - 1 AS BIGINT) AS n_3hop
     FROM seeds s
+    JOIN (SELECT seed, COUNT(*) AS n FROM r1 GROUP BY seed) c1 ON c1.seed = s.seed
+    JOIN (SELECT seed, COUNT(*) AS n FROM r2 GROUP BY seed) c2 ON c2.seed = s.seed
+    JOIN (SELECT seed, COUNT(*) AS n FROM r3 GROUP BY seed) c3 ON c3.seed = s.seed
     ORDER BY s.seed
     """,
     description=(

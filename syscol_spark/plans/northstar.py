@@ -257,21 +257,31 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram Jaccard near-dup -------------------------------------------------
 @register(
     "q_ngram_jaccard",
+    # Candidates come from a full inverted index on (lang, shingle) instead
+    # of an all-pairs block self-join: J >= 0.2 > 0 implies at least one
+    # shared shingle, so the equi-join candidate set is LOSSLESS and the
+    # output is identical — but the oracle now runs at 10x data (sf1) where
+    # the quadratic form did not.
     """
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id, lang,
              list_distinct(CASE WHEN array_length(toks) >= 3
                THEN list_transform(range(1, array_length(toks) - 1),
                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                ELSE [array_to_string(toks, ' ')] END) AS shset
       FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), g AS (
+      SELECT doc_id, lang, unnest(shset) AS gram FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                 / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-          / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) >= 0.2
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+                 / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))), 6) AS jaccard
+    FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+          / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))) >= 0.2
     """,
     description="n-gram Jaccard near-dup with language blocking",
 )
@@ -317,11 +327,16 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                ELSE [array_to_string(toks, ' ')] END) AS shset
       FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), g AS (
+      SELECT doc_id, lang, unnest(shset) AS gram FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-            / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) >= 0.5
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+            / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))) >= 0.5
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -357,11 +372,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                ELSE [array_to_string(toks, ' ')] END) AS shset
       FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), g AS (
+      SELECT doc_id, lang, unnest(shset) AS gram FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-            / (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))) >= 0.5
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+            / (len(x.shset) + len(y.shset) - len(list_intersect(x.shset, y.shset))) >= 0.5
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -1654,19 +1674,65 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates (no label restriction): the SemDeDup / graph-ANN construction
 # primitive. The oracle mirrors the same deterministic sign-band candidate
 # set, both pair directions, and the (cosine desc, nbr) ranking.
+
+
+def _srp_adaptive_ctes(max_bits: int = 12) -> str:
+    """CTE block mirroring knn_graph's band_bits="auto" derivation IN SQL,
+    so the oracle stays valid at every corpus size (a static 4-bit key set
+    diverges the moment the count probe derives a wider bucket — at sf1 the
+    operator uses 8 bits and the old literal-plane oracle was unusable
+    above sf0.1). The ±1 planes are not embedded as literals; the oracle
+    recomputes rademacher_signs' splitmix-style hash bit-for-bit in HUGEINT
+    arithmetic (verified identical for every (plane, dim) pair), and the
+    band width nb = greatest(4, ceil(log2(n/125))) comes from the same
+    count probe the operator runs. max_bits=12 covers corpora up to
+    125 * 2^12 = 512k vectors (sf10's 200k needs 11). Dot products are
+    grouped SUMs of the same exact ±x_i addends the engine folds; the
+    smallest |dot| margin is ~4e-5 vs ~1e-13 float-order noise, so sign
+    bits — and the candidate set — are engine-identical. Ends with
+    `cand` = DISTINCT same-band pairs scored by exact cosine (the equi-join
+    per band replaces the OR-of-ANDs join, which planned as a nested loop)."""
+    return f"""
+    nv AS (SELECT COUNT(*) AS n FROM embeddings),
+    bp AS (SELECT greatest(4, CAST(ceil(log2(n / 125.0)) AS INTEGER)) AS nb FROM nv),
+    sg AS MATERIALIZED (
+      SELECT band, j, d,
+             CASE WHEN xor(x2, x2 >> 33) % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+      FROM (SELECT band, j, d,
+                   (x1 * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x2
+            FROM (SELECT band, j, d, xor(x0, x0 >> 33) AS x1
+                  FROM (SELECT band, j, d,
+                               ((band * nb + j)::HUGEINT * 1000003 + d::HUGEINT * 19349663
+                                + 42::HUGEINT * 83492791) % 18446744073709551616::HUGEINT AS x0
+                        FROM bp, range(8) t(band), range({max_bits}) u(j), range(64) v(d)
+                        WHERE j < nb)))
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), keys AS MATERIALIZED (
+      SELECT vec_id, band,
+             CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bk
+      FROM (SELECT e.vec_id, s.band, s.j, SUM(e.x * s.sgn) AS dot
+            FROM ex e JOIN sg s ON s.d = e.d
+            GROUP BY e.vec_id, s.band, s.j)
+      GROUP BY vec_id, band
+    ), cand AS MATERIALIZED (
+      SELECT p.src, p.nbr,
+             ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+      FROM (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+            FROM keys a JOIN keys b
+              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id) p
+      JOIN embeddings ea ON ea.vec_id = p.src
+      JOIN embeddings eb ON eb.vec_id = p.nbr
+    )"""
+
+
 @register(
     "q_knn_graph",
     f"""
-    WITH keys AS MATERIALIZED (
-      SELECT vec_id, embedding, {_SRP_KEYS_SELECT}
-      FROM embeddings
-    ), cand AS (
-      SELECT a.vec_id AS src, b.vec_id AS nbr,
-             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-      FROM keys a JOIN keys b
-        ON a.vec_id < b.vec_id AND ({_SRP_ANY_BAND})
-    ), sym AS (
+    WITH {_srp_adaptive_ctes()}, sym AS (
       SELECT src, nbr, cosine FROM cand
       UNION ALL
       SELECT nbr AS src, src AS nbr, cosine FROM cand
@@ -1676,7 +1742,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sym
     ) WHERE rk <= 3
     """,
-    description="approximate k-NN graph: per-vector top-3 via SRP band candidates (SemDeDup primitive)",
+    description="approximate k-NN graph: per-vector top-3 via SRP band candidates (SemDeDup primitive; count-adaptive band width mirrored in SQL)",
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.similarity import knn_graph
@@ -1914,16 +1980,7 @@ def _pagerank_oracle() -> str:
       ) s ON s.dst = nodes.node
     )""")
     return f"""
-    WITH keys AS MATERIALIZED (
-      SELECT vec_id, embedding, {_SRP_KEYS_SELECT}
-      FROM embeddings
-    ), cand AS (
-      SELECT a.vec_id AS src, b.vec_id AS nbr,
-             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-      FROM keys a JOIN keys b
-        ON a.vec_id < b.vec_id AND ({_SRP_ANY_BAND})
-    ), sym AS (
+    WITH {_srp_adaptive_ctes()}, sym AS (
       SELECT src, nbr, cosine FROM cand
       UNION ALL
       SELECT nbr AS src, src AS nbr, cosine FROM cand
@@ -2001,8 +2058,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = cnt.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
+    # The bigram table is ALPHABET-bounded (distinct char pairs), not
+    # corpus-proportional — broadcast it so the full bigram stream never
+    # shuffles on bg: the plan is scan + explode + broadcast join + a
+    # map-side-combined groupBy(doc_id) whose shuffle is ~one row per doc.
+    # (The shuffled join here was the whole-corpus shuffle behind the 7.05x
+    # sf1 ratio — the worst in the probe.)
     return (
-        big.join(cnt, "bg")
+        big.join(broadcast(cnt), "bg")
         .join(broadcast(model))
         .groupBy("doc_id")
         .agg(
@@ -2212,20 +2275,29 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- containment (subset/superset) near-dup ----------------------------------
 @register(
     "q_ngram_containment",
+    # Inverted-index candidates (lossless: containment >= 0.6 > 0 implies a
+    # shared shingle) instead of the quadratic block self-join — identical
+    # output, sf1-tractable oracle. Ordered pairs, so candidates keep both
+    # directions (a <> b).
     """
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id, lang,
              list_distinct(CASE WHEN array_length(toks) >= 3
                THEN list_transform(range(1, array_length(toks) - 1),
                                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                ELSE [array_to_string(toks, ' ')] END) AS shset
       FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ), g AS (
+      SELECT doc_id, lang, unnest(shset) AS gram FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id <> b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) / len(a.shset), 6)
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) / len(x.shset), 6)
              AS containment
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-    WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) / len(a.shset) >= 0.6
+    FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE) / len(x.shset) >= 0.6
     """,
     description="asymmetric containment near-dup (|A intersect B|/|A| >= 0.6): subset docs Jaccard misses",
 )
@@ -2723,12 +2795,24 @@ def _pair_parts(expr: str) -> tuple[str, str, str]:
 
 
 def _bpe_batched_ctes(n_merges: int, batch: int) -> list[str]:
-    rounds = (n_merges + batch - 1) // batch
+    # ADAPTIVE round depth: the engine keeps counting rounds until n_merges
+    # merges are learned, and a round may pick FEWER than `batch` disjoint
+    # pairs when the top candidates share symbols (first observed at sf1,
+    # where the salted vocabulary made round 1 yield 3 of 4 — the static
+    # ceil(n/batch)-round unroll then dropped a merge and numbered steps
+    # with gaps). Every round's cap, candidate window, and step base are
+    # now computed from the RUNNING merge count (cnt{t-1}); a round with
+    # a non-empty pair table and remaining budget always picks >= 1 (the
+    # greedy used-set restarts empty), so n_merges unrolled rounds cover
+    # the worst case, and exhausted rounds (done = n_merges -> cap 0) pick
+    # nothing, mirroring the engine's loop exit.
+    rounds = n_merges
     ctes = [
         "wb0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
         "'|' || regexp_replace(word, '(.)', '\\1|', 'g') AS repr "
         "FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents) "
-        "WHERE word <> '' GROUP BY word)"
+        "WHERE word <> '' GROUP BY word)",
+        "cnt0 AS (SELECT CAST(0 AS BIGINT) AS done)",
     ]
     cl, cr, cm = _pair_parts("c")
     pl, pr, _pm = _pair_parts("p")
@@ -2738,15 +2822,13 @@ def _bpe_batched_ctes(n_merges: int, batch: int) -> list[str]:
     ml, _mr, mm = _pair_parts(f"{mfilt}[1]")
     for t in range(1, rounds + 1):
         prev = f"wb{t - 1}"
-        want = min(batch, n_merges - (t - 1) * batch)
-        # candidate window MUST mirror the engine's per-round driver pull
-        # (operators/bpe.py::learn_bpe_merges passes want=min(batch,
-        # remaining) into _round_top_pairs, whose limit is max(want*4, 8)) —
-        # a constant batch-derived window would diverge on partial final
-        # rounds when n_merges % batch != 0
-        window = max(want * 4, 8)
+        # engine mirror (operators/bpe.py::learn_bpe_merges): per-round
+        # want = min(batch, n_merges - len(merges)); candidate window =
+        # max(want*4, 8) rows of the (cnt desc, pair) order
+        want = f"least({batch}, {n_merges} - done)"
+        window = f"greatest({want} * 4, 8)"
         ctes.append(
-            f"pb{t} AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
+            f"pb{t} AS MATERIALIZED (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM ("
             "SELECT freq, unnest(list_transform(range(1, len(syms)), "
             "i -> '|' || syms[i] || '|' || syms[i + 1] || '|')) AS pair FROM ("
             "SELECT freq, list_filter(string_split(repr, '|'), x -> x <> '') AS syms "
@@ -2760,18 +2842,23 @@ def _bpe_batched_ctes(n_merges: int, batch: int) -> list[str]:
             f"  OR contains(string_split(acc, '#')[2], '|' || {cm} || '|') THEN acc "
             f"ELSE string_split(acc, '#')[1] || ';' || c || '#' || string_split(acc, '#')[2] "
             f"  || {cl} || '|' || {cr} || '|' || {cm} || '|' END) AS picked "
-            f"FROM (SELECT list(pair ORDER BY cnt DESC, pair) AS cands FROM "
-            f"(SELECT pair, cnt FROM pb{t} ORDER BY cnt DESC, pair LIMIT {window})))"
+            f"FROM (SELECT done, list(pair ORDER BY cnt DESC, pair) AS cands FROM ("
+            f"SELECT done, pair, cnt FROM ("
+            f"SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn FROM pb{t}"
+            f") CROSS JOIN cnt{t - 1} WHERE rn <= {window}) GROUP BY done))"
         )
         ctes.append(
-            f"mb{t} AS (SELECT {(t - 1) * batch} + u.idx AS step, u.pair, p.cnt FROM ("
+            f"mb{t} AS MATERIALIZED (SELECT done + u.idx AS step, u.pair, p.cnt FROM ("
             "SELECT unnest(list_transform(range(1, len(ps) + 1), "
             "i -> struct_pack(idx := i, pair := ps[i]))) AS u FROM ("
             "SELECT list_filter(string_split(string_split(picked, '#')[1], ';'), x -> x <> '') AS ps "
-            f"FROM sel{t})) JOIN pb{t} p ON p.pair = u.pair)"
+            f"FROM sel{t})) JOIN pb{t} p ON p.pair = u.pair CROSS JOIN cnt{t - 1})"
         )
         ctes.append(
-            f"wb{t} AS (SELECT w.word, w.freq, "
+            f"cnt{t} AS MATERIALIZED (SELECT done + (SELECT COUNT(*) FROM mb{t}) AS done FROM cnt{t - 1})"
+        )
+        ctes.append(
+            f"wb{t} AS MATERIALIZED (SELECT w.word, w.freq, "
             "list_reduce("
             "list_prepend('|', list_filter(string_split(w.repr, '|'), x -> x <> '')), "
             f"(acc, s) -> CASE WHEN len({mfilt}) > 0 "
@@ -2782,7 +2869,7 @@ def _bpe_batched_ctes(n_merges: int, batch: int) -> list[str]:
     return ctes
 
 
-_BPE_BATCH_ROUNDS = 2  # 8 merges at batch=4
+_BPE_BATCH_ROUNDS = 8  # adaptive unroll: one CTE round per merge (worst case)
 
 
 @register(
