@@ -1751,17 +1751,57 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- edit-distance fuzzy self-join (Ed-Join prefix filtering) ----------------
-# The oracle is deliberately the BRUTE-FORCE definition (all pairs +
-# levenshtein): a hash-match proves the q-gram prefix filter missed nothing.
+# The oracle verifies with exact levenshtein but generates candidates with
+# q-gram COUNT filtering (Gravano et al., VLDB'01): ed(a,b) <= k implies the
+# positional 6-gram bags share >= max(|a|,|b|) - q + 1 - k*q occurrences, so
+# the HAVING-thresholded gram equi-join is a LOSSLESS candidate superset and
+# the final levenshtein filter makes the output identical to brute force —
+# which was quadratic (50k^2 levenshtein calls) above sf0.1. Count filtering
+# is a DIFFERENT lossless prefilter than the engine's frequency-ordered
+# prefix filter, so the hash-match still proves Ed-Join missed nothing.
+# q = 16, not the engine's 6: at 50k docs the 6-gram cells were first-word
+# hot spots (1.8B enumerated pairs, >900 s); 16-gram cells cap at ~19
+# (15M pairs, seconds). Pairs too short for the bound to prune
+# (max len < q*(k+1) = 80) fall back to the length-banded all-pairs check
+# over the <80-char heads only — a bounded corner, not a corpus join.
 @register(
     "q_fuzzy_edit",
     """
-    WITH s AS (SELECT doc_id, substr(trim(text), 1, 128) AS s FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.s, b.s) AS BIGINT) AS ed
-    FROM s a JOIN s b
-      ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 4
-    WHERE levenshtein(a.s, b.s) <= 4
+    WITH s AS MATERIALIZED (SELECT doc_id, substr(trim(text), 1, 128) AS s FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, length(s) AS len, u.i AS pos, u.i // 5 AS pb,
+             substr(s, CAST(u.i AS INTEGER), 16) AS gram
+      FROM s, unnest(range(1, greatest(length(s) - 15, 0) + 1)) u(i)
+    ), gb AS MATERIALIZED (
+      -- probe side exploded to its 3 neighbor buckets so the join KEY is
+      -- (gram, bucket): |Δpos| <= 4 matches live in the same or adjacent
+      -- width-5 bucket, and for any occurrence pair exactly one exploded
+      -- key collides, so no occurrence pair is double-counted
+      SELECT doc_id, len, pos, pb + d.d AS key, gram
+      FROM g, (VALUES (-1), (0), (1)) d(d)
+    ), cand AS (
+      -- positional count filter (|Δpos| <= k variant): an unedited gram
+      -- survives shifted by at most k, so the threshold is unchanged while
+      -- the bucketed equi-join stops a hot gram from enumerating its full
+      -- df^2 (measured >900 s at sf1 with the position-free bag join)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN gb b
+        ON a.gram = b.gram AND a.pb = b.key
+       AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 4
+      WHERE abs(a.pos - b.pos) <= 4
+      GROUP BY a.doc_id, b.doc_id, a.len, b.len
+      HAVING COUNT(*) >= greatest(a.len, b.len) - 15 - 64
+    ), shorts AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b
+        ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 4
+      WHERE greatest(length(a.s), length(b.s)) < 80
+    ), allc AS (
+      SELECT id_a, id_b FROM cand UNION SELECT id_a, id_b FROM shorts
+    )
+    SELECT c.id_a, c.id_b, CAST(levenshtein(x.s, y.s) AS BIGINT) AS ed
+    FROM allc c JOIN s x ON x.doc_id = c.id_a JOIN s y ON y.doc_id = c.id_b
+    WHERE levenshtein(x.s, y.s) <= 4
     """,
     description="Levenshtein<=k self-join via frequency-ordered q-gram prefix filtering (Ed-Join)",
 )
