@@ -235,10 +235,16 @@ def test_triangles_all_joins_are_equi(spark, sf_dir, queries):
 
 
 def test_lm_model_aggregate_is_broadcast(spark, sf_dir, queries):
-    """The (total, vocab) one-row model joins every bigram row via broadcast,
-    not a shuffled join."""
+    """Both model-side joins are broadcasts: the 1-row (total, vocab) model
+    AND the alphabet-bounded bigram count table. The corpus-sized bigram
+    stream must never shuffle into a SortMergeJoin/ShuffledHashJoin — its
+    only exchange is the map-side-combined groupBy(doc_id), so the plan's
+    sole shuffled joins are none at all (the 7.05x sf1 ratio came from
+    shuffling the full char explode on bg)."""
     plan = _plan(queries["q_lm_perplexity"].builder(spark, sf_dir))
     assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
     assert "BatchEvalPython" not in plan
 
 
