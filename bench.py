@@ -107,9 +107,7 @@ def main() -> None:
             ),
             **guard_info,
         }
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
-            json.dump(line, fh, indent=1)
+        _write_abort_record(line)
         print(json.dumps(line))
         return
 
@@ -290,6 +288,17 @@ _CAL_QUERIES: dict[str, float] = {
 # per-query map (BENCH_FULL.json is read before this run overwrites it, and
 # the committed copy is the last clean-window round's — r10 as of round 11).
 _REF_BENCH = "BENCH_FULL.json"
+
+# Degraded-window aborts are recorded HERE, never in BENCH_FULL.json:
+# BENCH_FULL.json doubles as _REF_BENCH, and r11's abort clobbered it,
+# leaving a tree where the next clean run reconciled against {}.
+_ABORT_RECORD = "BENCH_ABORT.json"
+
+
+def _write_abort_record(line: dict) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, _ABORT_RECORD), "w") as fh:
+        json.dump(line, fh, indent=1)
 
 
 def _vs_reference(solo_min: dict[str, float]) -> dict:

@@ -108,7 +108,22 @@ def _stages(spark, sf_dir: str, reps: int = 2) -> dict:
     }
 
 
+_SCALE_DIRS = {
+    "sf0.1": BASE,
+    "sf1": SF1_DIR,
+    "sf10": os.path.join(REPO, ".localdata", "sf10"),
+}
+
+
 def main() -> None:
+    # SPARK_GRAFT_KNN_SCALES picks which scales to (re)measure; results
+    # MERGE into the existing KNN_STAGES.json so the r11 sf0.1/sf1 columns
+    # survive an sf10-only run (the r11 verdict ask: "KNN_STAGES.json gains
+    # an sf10 column"). Ratios are recomputed between adjacent measured
+    # scales. SPARK_GRAFT_KNN_REPS=1 keeps a multi-minute sf10 build to one
+    # rep per stage.
+    scales = os.environ.get("SPARK_GRAFT_KNN_SCALES", "sf0.1,sf1").split(",")
+    reps = int(os.environ.get("SPARK_GRAFT_KNN_REPS", "2"))
     spark = get_session("knn_stages")
     # warm both lanes with a tiny full build so first-touch latency doesn't
     # land on the first timed stage
@@ -117,15 +132,22 @@ def main() -> None:
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet").limit(500)
     knn_graph(emb, k=3, dim=64).write.format("noop").mode("overwrite").save()
 
-    out = {
-        "metric": "knn_graph_stage_breakdown",
-        "sf0.1": _stages(spark, BASE),
-        "sf1": _stages(spark, SF1_DIR),
-    }
-    for s in ("stage_band_sec", "stage_score_sec", "stage_topk_sec"):
-        b, s1 = out["sf0.1"][s], out["sf1"][s]
-        out[f"ratio_{s.removesuffix('_sec')}"] = round(s1 / b, 2) if b > 0 else -1
-    with open(os.path.join(REPO, "KNN_STAGES.json"), "w") as fh:
+    path = os.path.join(REPO, "KNN_STAGES.json")
+    out = {"metric": "knn_graph_stage_breakdown"}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        out.update({k: v for k, v in prev.items() if k in _SCALE_DIRS})
+    for sc in scales:
+        out[sc.strip()] = _stages(spark, _SCALE_DIRS[sc.strip()], reps=reps)
+    order = [sc for sc in ("sf0.1", "sf1", "sf10") if sc in out]
+    for lo, hi in zip(order, order[1:]):
+        for s in ("stage_band_sec", "stage_score_sec", "stage_topk_sec"):
+            b, h = out[lo][s], out[hi][s]
+            out[f"ratio_{s.removesuffix('_sec')}_{hi}_vs_{lo}"] = (
+                round(h / b, 2) if b > 0 else -1
+            )
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
 

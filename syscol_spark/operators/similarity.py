@@ -634,12 +634,29 @@ def _srp_candidate_pairs(
     n_bands: int,
     band_bits: int,
     seed: int,
+    bucket_cap: int | None = None,
+    cap_window: int = 64,
 ) -> DataFrame:
     """Distinct candidate id pairs (id_a < id_b) sharing the block key and
     at least one SRP sign band. Narrow posting rows (id, block, band, key)
     go through the index join — the vectors are re-attached to the (much
     smaller) candidate set by callers, so 512-byte arrays never travel
-    through the n_bands-exploded join."""
+    through the n_bands-exploded join.
+
+    ``bucket_cap`` bounds the quadratic term: a (block, band, key) bucket
+    of B members contributes B(B-1)/2 pairs, and over a corpus with tight
+    near-duplicate clusters the bucket-size tail dominates — band WIDENING
+    cannot fix it (cluster members agree on every plane sign: the sf10
+    probe measured 2.95e9 pre-dedup pairs at the auto width and only -15%
+    per extra bit, max bucket still ~6k at 16 bits). With a cap, buckets
+    of B <= bucket_cap pair exhaustively as before, while each member of an
+    OVERSIZED bucket pairs with only its ``cap_window`` forward neighbors
+    in the bucket's vec-id ordering — an offset-explode EQUI-join, so no
+    B^2 term survives anywhere in the plan (same sf10 probe: 149M capped
+    pairs, a 20x cut). The cap is part of the operator's approximate
+    semantics (a deterministic candidate-recall bound, like n_bands /
+    band_bits) and is mirrored verbatim in the SQL oracles; callers that
+    pass bucket_cap=None keep the exact pre-cap behavior."""
     # Bind the (expensive, interpreted) plane-sum fold ONCE via a lambda
     # variable: transform over a 1-element array makes every key reference a
     # lambda-bound value instead of a copy of the fold. A plain aliased
@@ -663,26 +680,65 @@ def _srp_candidate_pairs(
     # materialize the posting rows ONCE: the self-join consumes them twice,
     # and each evaluation re-runs the Arrow plane-sum pass over the whole
     # corpus; the materialized frame is narrow (id, block, band, key)
-    exploded = (
-        df.select(
-            F.col(id_col).alias("id"), F.col(block_col).alias("block"),
-            F.explode(bands).alias("bb"),
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block"),
+        F.explode(bands).alias("bb"),
+    ).select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    if bucket_cap is None:
+        exploded = exploded.localCheckpoint()
+        a, b = exploded.alias("a"), exploded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    # Bucket-capped path: size + rank every posting row inside its bucket
+    # (one shuffle on the bucket key — the window ALSO restores full
+    # cluster-wide parallelism downstream: the uncapped plan inherited the
+    # scan's partition count, which throttled the sf10 join to 16 tasks).
+    unord = Window.partitionBy("block", "band", "key")
+    byid = unord.orderBy("id")
+    sized = (
+        exploded.withColumn("bsz", F.count(F.lit(1)).over(unord))
+        .withColumn("rn", F.row_number().over(byid).cast("long"))
         .localCheckpoint()
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    small = sized.filter(F.col("bsz") <= bucket_cap)
+    sa, sb = small.alias("a"), small.alias("b")
+    small_pairs = sa.join(
+        sb,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # Oversized buckets: member rn pairs with (rn+1 .. rn+cap_window) via an
+    # offset explode, then an EQUI-join on (block, band, key, rn) — at most
+    # cap_window * postings rows, never B^2. rn is ordered by id, so
+    # id_a < id_b holds by construction.
+    big = sized.filter(F.col("bsz") > bucket_cap)
+    src = big.select(
+        "id", "block", "band", "key",
+        F.explode(
+            F.expr(
+                f"IF(rn < bsz, sequence(rn + 1L, least(rn + {int(cap_window)}L, "
+                "CAST(bsz AS BIGINT))), CAST(array() AS ARRAY<BIGINT>))"
+            )
+        ).alias("rn2"),
     )
+    dst = big.select(
+        F.col("id").alias("id_b_"), "block", "band", "key", F.col("rn").alias("rn2")
+    )
+    big_pairs = src.join(dst, ["block", "band", "key", "rn2"]).select(
+        F.col("id").alias("id_a"), F.col("id_b_").alias("id_b")
+    )
+    return small_pairs.unionByName(big_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def _score_pairs_arrow(pairs_with_vecs: DataFrame) -> DataFrame:
@@ -730,7 +786,21 @@ def _score_pairs_arrow(pairs_with_vecs: DataFrame) -> DataFrame:
 #: ~512 MB of float64 at dim=64, the same driver-safety regime as the
 #: k-means _LOCAL_TRAIN_LIMIT. Above it, the shuffle-join path is the only
 #: scale-correct option (a 100 TB corpus cannot be shipped per task).
-_BROADCAST_SCORE_LIMIT = 1_000_000
+# Closure-scoring bound: the corpus matrix rides to every Python worker, so
+# the per-worker cost is n * dim * 8 bytes (float64) — 128 MB at 250k x 64,
+# ~4 GB across 32 local workers. The old 1M bound allowed a 512 MB closure
+# per worker (16 GB fleet-wide), which is driver/worker-proportional in
+# corpus size — exactly the scaling defect the join-attach fallback exists
+# to avoid. sf10's 200k vectors stay (intentionally) under the bound.
+_BROADCAST_SCORE_LIMIT = 250_000
+
+# knn_graph's bucket-size cap (shared with the SQL oracles in
+# plans/northstar.py so engine and oracle stay one definition): buckets over
+# KNN_BUCKET_CAP members pair each member with only its KNN_CAP_WINDOW
+# forward id-neighbors. The cap exceeds the largest measured bucket at every
+# oracle/parity scale through sf1 (1431), so it only engages at >= sf10.
+KNN_BUCKET_CAP = 2048
+KNN_CAP_WINDOW = 64
 
 
 def _score_pairs_closure(pairs: DataFrame, sides: DataFrame) -> DataFrame:
@@ -747,11 +817,17 @@ def _score_pairs_closure(pairs: DataFrame, sides: DataFrame) -> DataFrame:
     DuckDB oracles hold for either."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    rows = sides.collect()
-    ids = np.array([r[0] for r in rows])
+    # Arrow collect (toPandas), not Row collect: at the 250k bound a Row
+    # collect builds ~1 GB of boxed Python objects on the driver before the
+    # matrix exists; the Arrow path lands as numpy float32 cells and the
+    # float32 -> float64 widening is exact, so cosines are unchanged.
+    pdf = sides.toPandas()
+    ids = pdf.iloc[:, 0].to_numpy()
     order = np.argsort(ids)
     ids_sorted = ids[order]
-    mat = np.array([[float(x) for x in r[1]] for r in rows], dtype="float64")[order]
+    mat = np.array(
+        [np.asarray(v, dtype="float64") for v in pdf.iloc[:, 1]], dtype="float64"
+    )[order]
 
     in_schema = pairs.schema
     out_schema = StructType(
@@ -806,6 +882,8 @@ def knn_graph(
     band_bits: int | str = 4,
     seed: int = 42,
     target_bucket: int = 125,
+    bucket_cap: int = KNN_BUCKET_CAP,
+    cap_window: int = KNN_CAP_WINDOW,
 ) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus: each vector's top-k
     neighbors among SRP band-collision candidates — the building block of
@@ -834,7 +912,23 @@ def knn_graph(
     of the operator's semantics (buckets change when the derived width
     changes), and it intentionally lands on 4 — the historical pinned
     value — for every oracle/parity corpus up to sf0.1, so the static SQL
-    oracles keep mirroring the bucket assignment bit-for-bit there."""
+    oracles keep mirroring the bucket assignment bit-for-bit there.
+
+    ``bucket_cap``/``cap_window`` bound the OTHER quadratic: band width
+    controls the EXPECTED bucket size, but a clustered corpus concentrates
+    near-identical vectors into buckets no extra bit can split (their
+    plane signs all agree), and sum-of-B^2 over that tail — not E[B] —
+    drives the pair count. The sf10 probe (200k vectors) measured 2.95e9
+    pre-dedup pairs at the auto width (max bucket 9.6k vs expected 98) and
+    only ~15%/bit relief out to 16 bits; the uncapped build GC-thrashed an
+    8g heap in the candidate dedup. Buckets over ``bucket_cap`` therefore
+    pair each member with only its ``cap_window`` forward id-neighbors
+    (deterministic, SQL-mirrored; 149M pairs at sf10, a 20x cut) — inside
+    a near-duplicate cluster any ~2*cap_window mates are interchangeable
+    top-k candidates, and diverse candidates still arrive via the other
+    bands' sub-cap buckets. The default cap exceeds the largest measured
+    bucket at every oracle/parity scale through sf1 (1431), so outputs
+    below sf10 scale are bit-identical to the uncapped build."""
     n = None
     if band_bits == "auto":
         n = corpus.count()  # metadata-cheap count probe, one per build
@@ -843,6 +937,7 @@ def knn_graph(
     cand = _srp_candidate_pairs(
         tagged, vec_col=vec_col, id_col=id_col, block_col="__blk",
         dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed,
+        bucket_cap=bucket_cap, cap_window=cap_window,
     )
     sides = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     pairs = _score_pairs_for(cand, sides, n_sides=n)

@@ -33,6 +33,7 @@ from syscol_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from syscol_spark.operators import similarity as _sim
 from syscol_spark.operators.similarity import brute_force_topk, srp_topk
 from syscol_spark.plans.catalog import register
 from syscol_spark.sources.tables import load_table
@@ -1717,13 +1718,26 @@ def _srp_adaptive_ctes(max_bits: int = 12) -> str:
             FROM ex e JOIN sg s ON s.d = e.d
             GROUP BY e.vec_id, s.band, s.j)
       GROUP BY vec_id, band
+    ), sized AS MATERIALIZED (
+      -- bucket-size cap, mirrored from knn_graph (KNN_BUCKET_CAP /
+      -- KNN_CAP_WINDOW in operators/similarity.py): oversized buckets pair
+      -- each member with only its cap_window forward id-neighbors, killing
+      -- the sum-of-B^2 blowup over near-duplicate clusters that band
+      -- widening cannot split. Inert below sf10: the cap exceeds every
+      -- measured bucket through sf1.
+      SELECT vec_id, band, bk,
+             ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY band, bk) AS bsz
+      FROM keys
     ), cand AS MATERIALIZED (
       SELECT p.src, p.nbr,
              ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                           CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
       FROM (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
-            FROM keys a JOIN keys b
-              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id) p
+            FROM sized a JOIN sized b
+              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+              AND (a.bsz <= {_sim.KNN_BUCKET_CAP}
+                   OR b.rn - a.rn <= {_sim.KNN_CAP_WINDOW})) p
       JOIN embeddings ea ON ea.vec_id = p.src
       JOIN embeddings eb ON eb.vec_id = p.nbr
     )"""
@@ -1753,7 +1767,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- edit-distance fuzzy self-join (Ed-Join prefix filtering) ----------------
 # The oracle verifies with exact levenshtein but generates candidates with
 # q-gram COUNT filtering (Gravano et al., VLDB'01): ed(a,b) <= k implies the
-# positional 6-gram bags share >= max(|a|,|b|) - q + 1 - k*q occurrences, so
+# positional q-gram bags share >= max(|a|,|b|) - q + 1 - k*q occurrences, so
 # the HAVING-thresholded gram equi-join is a LOSSLESS candidate superset and
 # the final levenshtein filter makes the output identical to brute force —
 # which was quadratic (50k^2 levenshtein calls) above sf0.1. Count filtering
@@ -2924,7 +2938,7 @@ _BPE_BATCH_ROUNDS = 8  # adaptive unroll: one CTE round per merge (worst case)
            cnt AS freq
     FROM ({" UNION ALL ".join(f"SELECT step, pair, cnt FROM mb{t}" for t in range(1, _BPE_BATCH_ROUNDS + 1))})
     """,
-    description="batched parallel-BPE: top-4 symbol-disjoint merges per counting round (2 rounds for 8 merges), greedy disjoint selection + one-pass multi-merge fold replayed exactly in the oracle",
+    description="batched parallel-BPE: top-4 symbol-disjoint merges per counting round, greedy disjoint selection + one-pass multi-merge fold; the oracle unrolls up to 8 adaptive rounds (one per merge worst-case) driven by the running merge count",
 )
 def q_bpe_vocab_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syscol_spark.operators.bpe import learn_bpe_merges

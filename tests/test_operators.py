@@ -1629,3 +1629,55 @@ def test_salted_join_randomized_equivalence(spark):
         got = sorted(tuple(r) for r in salted_join(fact, dim, on="k", **kwargs).collect())
         want = sorted(tuple(r) for r in fact.join(dim, "k", how).collect())
         assert got == want, (trial, how, n_salts, explicit)
+
+
+def test_srp_bucket_cap_inert_when_buckets_small(spark):
+    """bucket_cap larger than every bucket must be a no-op: the capped plan
+    and the uncapped plan produce the identical candidate-pair set (this is
+    the property that keeps every proven parity scale through sf1
+    bit-identical — the default cap of 2048 exceeds sf1's max measured
+    bucket of 1431)."""
+    from syscol_spark.operators.similarity import _srp_candidate_pairs
+
+    rows = [(i, [float((i * 7 + j * 13) % 11 - 5) for j in range(8)]) for i in range(80)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").withColumn(
+        "__blk", F.lit(1)
+    )
+    kw = dict(vec_col="embedding", id_col="vec_id", block_col="__blk",
+              dim=8, n_bands=4, band_bits=2, seed=42)
+    uncapped = _srp_candidate_pairs(corpus, **kw)
+    capped = _srp_candidate_pairs(corpus, **kw, bucket_cap=10_000, cap_window=4)
+    assert _rowset(capped) == _rowset(uncapped)
+
+
+def test_srp_bucket_cap_windows_oversized_buckets(spark):
+    """A cluster of identical vectors lands in ONE bucket per band; with the
+    cap engaged each member must pair with exactly its cap_window forward
+    id-neighbors (the deterministic rule the SQL oracle mirrors), so pair
+    count is linear in cluster size, never B^2."""
+    from syscol_spark.operators.similarity import _srp_candidate_pairs
+
+    n, w = 60, 4
+    rows = [(i, [1.0, -2.0, 3.0, 0.5, -1.0, 2.0, -0.5, 1.5]) for i in range(n)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").withColumn(
+        "__blk", F.lit(1)
+    )
+    pairs = _srp_candidate_pairs(
+        corpus, vec_col="embedding", id_col="vec_id", block_col="__blk",
+        dim=8, n_bands=4, band_bits=2, seed=42, bucket_cap=8, cap_window=w,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(i, j) for i in range(n) for j in range(i + 1, min(i + w, n - 1) + 1)}
+    assert got == want
+
+
+def test_knn_graph_capped_equals_uncapped_at_small_scale(spark):
+    """End-to-end: the default cap must leave a small corpus's k-NN graph
+    identical to an effectively-uncapped build."""
+    from syscol_spark.operators.similarity import knn_graph
+
+    rows = [(i, [float((i * 5 + j * 17) % 13 - 6) for j in range(8)]) for i in range(70)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    default_cap = knn_graph(corpus, k=2, dim=8, n_bands=4, band_bits=4)
+    huge_cap = knn_graph(corpus, k=2, dim=8, n_bands=4, band_bits=4, bucket_cap=10**9)
+    assert sorted(map(tuple, default_cap.collect())) == sorted(map(tuple, huge_cap.collect()))

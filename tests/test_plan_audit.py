@@ -227,6 +227,9 @@ _BOUNDED_AGG_BROADCAST_JUSTIFIED = {
     # per-token df over tokens FILTERED to a literal query-term list
     "q_bm25",
     "q_rank_fusion",
+    # char-bigram count table: group key is a 2-char substring, so the
+    # table is alphabet^2-bounded regardless of corpus size
+    "q_lm_perplexity",
     # Misra-Gries candidate set: capacity-bounded by construction
     "q_heavy_hitters",
     # benchmark n-gram set: bounded by the (small) decontamination bench
