@@ -60,10 +60,16 @@ def _stages(spark, sf_dir: str, reps: int = 2) -> dict:
     band_bits = max(4, math.ceil(math.log2(max(1, n) / 125)))  # knn_graph's auto rule
 
     def build_cand():
+        # mirror knn_graph exactly, INCLUDING the bucket-size cap (without
+        # it this profiles a plan the operator no longer runs: at sf10 the
+        # uncapped build generates 1.29B distinct pairs vs 99M capped)
+        from syscol_spark.operators.similarity import KNN_BUCKET_CAP, KNN_CAP_WINDOW
+
         tagged = emb.withColumn("__blk", F.lit(1))
         return _srp_candidate_pairs(
             tagged, vec_col="embedding", id_col="vec_id", block_col="__blk",
             dim=64, n_bands=8, band_bits=band_bits, seed=42,
+            bucket_cap=KNN_BUCKET_CAP, cap_window=KNN_CAP_WINDOW,
         )
 
     sides = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
@@ -72,7 +78,11 @@ def _stages(spark, sf_dir: str, reps: int = 2) -> dict:
         return _score_pairs_for(build_cand(), sides, n_sides=n)
 
     def build_full():
-        pairs = build_pairs()
+        # mirror knn_graph EXACTLY, including the post-scoring repartition:
+        # it both dedups the Python scoring stage across the two union
+        # branches (ReusedExchange) and keeps WindowGroupLimit's local sort
+        # out of the Python-runner tasks (the sf10 stall/crash fix)
+        pairs = build_pairs().repartition("id_a", "id_b")
         sym = pairs.selectExpr("id_a AS src", "id_b AS nbr", "cosine").unionByName(
             pairs.selectExpr("id_b AS src", "id_a AS nbr", "cosine")
         )

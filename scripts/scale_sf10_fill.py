@@ -1,0 +1,71 @@
+"""Fill the two SCALE_SF10.json gaps: q_knn_graph and q_pagerank.
+
+The r11 probe projection-skipped both (their sf1 walls projected past the
+per-query cap, and the then-uncapped knn_graph build OOM-shut an 8g
+session). With the bucket-size cap in operators/similarity.py the candidate
+set is linear again, so this measures ONLY these two at sf1 + sf10 (same
+session, same warmup, same discipline as scale_sf10.py) and MERGES the
+rows into the existing SCALE_SF10.json, recomputing the summary fields.
+
+Run ALONE (bench discipline):
+    python scripts/scale_sf10_fill.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import scale_sf1  # noqa: E402
+
+from syscol_spark.plans.catalog import _ensure_loaded  # noqa: E402
+from syscol_spark.session import get_session  # noqa: E402
+
+SF10_DIR = os.path.join(REPO, ".localdata", "sf10")
+FILL = ["q_knn_graph", "q_pagerank"]
+
+
+def main() -> int:
+    _ensure_loaded()
+    spark = get_session("scale_sf10_fill")
+    scale_sf1._warmup(spark)
+    path = os.path.join(REPO, "SCALE_SF10.json")
+    with open(path) as fh:
+        out = json.load(fh)
+    for name in FILL:
+        row: dict = {}
+        try:
+            t0 = time.time()
+            row["sf1_s"] = scale_sf1._time_query(spark, name, scale_sf1.SF1_DIR, 1)[0]
+            row["sf10_s"] = scale_sf1._time_query(spark, name, SF10_DIR, 1)[0]
+            row["ratio_10x_step"] = round(row["sf10_s"] / max(row["sf1_s"], 1e-9), 2)
+            row["status"] = "ok"
+            print(f"# {name}: {row} (wall {time.time() - t0:.0f}s)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 - record, keep probing
+            row["status"] = f"error: {exc}"[:300]
+        out["queries"][name] = row
+    ratios = [r["ratio_10x_step"] for r in out["queries"].values() if "ratio_10x_step" in r]
+    out["n_probed"] = len(ratios)
+    out["max_ratio_10x_step"] = max(ratios) if ratios else None
+    out["note"] = (
+        "100x the committed artifact scale (60M-row lineitem, 500k docs, 200k"
+        " vectors). knn_graph/pagerank filled in by scale_sf10_fill.py after the"
+        " SRP bucket-size cap fix (the r11 uncapped build generated 2.95B"
+        " candidate pairs from near-duplicate clusters and OOM-shut an 8g"
+        " session; capped: 149M pairs, default memory)."
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -707,6 +707,17 @@ def _srp_candidate_pairs(
     sized = (
         exploded.withColumn("bsz", F.count(F.lit(1)).over(unord))
         .withColumn("rn", F.row_number().over(byid).cast("long"))
+        # Restore id-grouped row order after the bucket-keyed window shuffle.
+        # This is a measured 6x on the candidate dedup, not a nicety: the
+        # self-join streams probe rows in checkpoint order, and a pair that
+        # collides in several bands is emitted once per band — id-grouped
+        # order puts those duplicates within a few consecutive probe rows,
+        # so the partial dedup aggregate hits a cache-hot map entry, while
+        # bucket order scatters them across the whole stream and every
+        # lookup becomes a cold random probe into a multi-GB map (sf1:
+        # 36 s -> 6 s for the identical 52.7M-row dedup).
+        .repartition(F.col("id"))
+        .sortWithinPartitions("id")
         .localCheckpoint()
     )
     small = sized.filter(F.col("bsz") <= bucket_cap)
@@ -786,13 +797,19 @@ def _score_pairs_arrow(pairs_with_vecs: DataFrame) -> DataFrame:
 #: ~512 MB of float64 at dim=64, the same driver-safety regime as the
 #: k-means _LOCAL_TRAIN_LIMIT. Above it, the shuffle-join path is the only
 #: scale-correct option (a 100 TB corpus cannot be shipped per task).
-# Closure-scoring bound: the corpus matrix rides to every Python worker, so
-# the per-worker cost is n * dim * 8 bytes (float64) — 128 MB at 250k x 64,
-# ~4 GB across 32 local workers. The old 1M bound allowed a 512 MB closure
-# per worker (16 GB fleet-wide), which is driver/worker-proportional in
-# corpus size — exactly the scaling defect the join-attach fallback exists
-# to avoid. sf10's 200k vectors stay (intentionally) under the bound.
-_BROADCAST_SCORE_LIMIT = 250_000
+# Closure-scoring bound: the corpus matrix is captured in the python-UDF
+# command and re-shipped per task, so the bound is a CLOSURE-SIZE budget —
+# 65,536 vectors * 64 dims * 8 B = 32 MB — not a row-count convenience. Two
+# measured failure modes above it (sf10, 200k vectors = 102 MB): (a) raw
+# closure capture wedged the runner outright (workers never finished
+# set-up); (b) a Spark broadcast variable avoided the per-task copy but
+# sporadically deadlocked the worker-REUSE protocol (a reused worker blocks
+# reading broadcast bookkeeping the JVM never sends, until the output
+# socket times out and kills the job). Above the bound the join-attach path
+# re-attaches vectors with plain JVM-side joins (broadcast-hash at these
+# side sizes) — no python-protocol payload at all, and the right plan on a
+# real cluster anyway.
+_BROADCAST_SCORE_LIMIT = 65_536
 
 # knn_graph's bucket-size cap (shared with the SQL oracles in
 # plans/northstar.py so engine and oracle stay one definition): buckets over
@@ -941,6 +958,18 @@ def knn_graph(
     )
     sides = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     pairs = _score_pairs_for(cand, sides, n_sides=n)
+    # End the Python scoring stage at a shuffle write — for two reasons.
+    # (1) Reuse: the sym mirror below consumes `pairs` in BOTH union
+    # branches, and without an exchange between them each branch re-executes
+    # the scoring stage (ReusedExchange only kicks in at a shuffle) — the
+    # repartition halves the scoring cost at every scale. (2) Stability at
+    # scale: without it, Spark 4's WindowGroupLimit pushdown plants a local
+    # sort in the SAME task that drains the Python runner, and at sf10
+    # (99M scored pairs, 32 concurrent runner+sort pipelines in one 8g heap)
+    # the drain stalled long enough for worker output sockets to hit TCP
+    # timeouts and kill the job. With the exchange, the Python stage is a
+    # pure map stage and the partial top-k sort runs on plain shuffled rows.
+    pairs = pairs.repartition("id_a", "id_b")
     sym = pairs.selectExpr("id_a AS src", "id_b AS nbr", "cosine").unionByName(
         pairs.selectExpr("id_b AS src", "id_a AS nbr", "cosine")
     )
