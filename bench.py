@@ -228,8 +228,7 @@ def main() -> None:
     }
     # Complete per-query artifact for the judge (the stdout line below is
     # size-capped and may omit the fastest queries).
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+    with open(os.path.join(_ARTIFACT_DIR, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1)
 
     # The driver captures only the LAST 2000 chars of stdout and parses the
@@ -294,10 +293,13 @@ _REF_BENCH = "BENCH_FULL.json"
 # leaving a tree where the next clean run reconciled against {}.
 _ABORT_RECORD = "BENCH_ABORT.json"
 
+# Where bench artifacts land; module-level so tests can point it at a tmp dir
+# without monkeypatching os.path internals.
+_ARTIFACT_DIR = os.path.dirname(os.path.abspath(__file__))
+
 
 def _write_abort_record(line: dict) -> None:
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, _ABORT_RECORD), "w") as fh:
+    with open(os.path.join(_ARTIFACT_DIR, _ABORT_RECORD), "w") as fh:
         json.dump(line, fh, indent=1)
 
 
@@ -306,8 +308,7 @@ def _vs_reference(solo_min: dict[str, float]) -> dict:
     common-query min-of-N totals, delta pct, and the top movers in each
     direction (>=20% and >=0.3 s). Never raises."""
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, _REF_BENCH)) as fh:
+        with open(os.path.join(_ARTIFACT_DIR, _REF_BENCH)) as fh:
             data = json.load(fh)
         ref = {k: float(v) for k, v in (data.get("queries") or {}).items()}
         common = sorted(set(ref) & set(solo_min))

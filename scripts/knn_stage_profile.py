@@ -132,7 +132,17 @@ def main() -> None:
     # an sf10 column"). Ratios are recomputed between adjacent measured
     # scales. SPARK_GRAFT_KNN_REPS=1 keeps a multi-minute sf10 build to one
     # rep per stage.
-    scales = os.environ.get("SPARK_GRAFT_KNN_SCALES", "sf0.1,sf1").split(",")
+    scales = [
+        sc.strip()
+        for sc in os.environ.get("SPARK_GRAFT_KNN_SCALES", "sf0.1,sf1").split(",")
+        if sc.strip()
+    ]
+    bad = [sc for sc in scales if sc not in _SCALE_DIRS]
+    if bad:
+        raise SystemExit(
+            f"unknown scale(s) {bad} in SPARK_GRAFT_KNN_SCALES; "
+            f"valid: {sorted(_SCALE_DIRS)}"
+        )
     reps = int(os.environ.get("SPARK_GRAFT_KNN_REPS", "2"))
     spark = get_session("knn_stages")
     # warm both lanes with a tiny full build so first-touch latency doesn't
@@ -149,7 +159,9 @@ def main() -> None:
             prev = json.load(fh)
         out.update({k: v for k, v in prev.items() if k in _SCALE_DIRS})
     for sc in scales:
-        out[sc.strip()] = _stages(spark, _SCALE_DIRS[sc.strip()], reps=reps)
+        row = _stages(spark, _SCALE_DIRS[sc], reps=reps)
+        row["reps"] = reps
+        out[sc] = row
     order = [sc for sc in ("sf0.1", "sf1", "sf10") if sc in out]
     for lo, hi in zip(order, order[1:]):
         for s in ("stage_band_sec", "stage_score_sec", "stage_topk_sec"):

@@ -49,7 +49,14 @@ def main() -> int:
             print(f"# {name}: {row} (wall {time.time() - t0:.0f}s)", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 - record, keep probing
             row["status"] = f"error: {exc}"[:300]
-        out["queries"][name] = row
+        prior = out["queries"].get(name)
+        if row["status"] != "ok" and isinstance(prior, dict) and prior.get("status") == "ok":
+            # Never clobber a previously successful measurement with an error
+            # row (a re-run that fails at sf10 would otherwise erase the
+            # committed evidence); keep the ok row and attach the failure.
+            prior["last_rerun_error"] = row["status"]
+        else:
+            out["queries"][name] = row
     ratios = [r["ratio_10x_step"] for r in out["queries"].values() if "ratio_10x_step" in r]
     out["n_probed"] = len(ratios)
     out["max_ratio_10x_step"] = max(ratios) if ratios else None

@@ -792,11 +792,6 @@ def _score_pairs_arrow(pairs_with_vecs: DataFrame) -> DataFrame:
     return scored.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-#: corpora at or below this row count ship their (id, vec) matrix inside the
-#: scoring task closure instead of joining vectors onto candidate pairs —
-#: ~512 MB of float64 at dim=64, the same driver-safety regime as the
-#: k-means _LOCAL_TRAIN_LIMIT. Above it, the shuffle-join path is the only
-#: scale-correct option (a 100 TB corpus cannot be shipped per task).
 # Closure-scoring bound: the corpus matrix is captured in the python-UDF
 # command and re-shipped per task, so the bound is a CLOSURE-SIZE budget —
 # 65,536 vectors * 64 dims * 8 B = 32 MB — not a row-count convenience. Two
@@ -834,9 +829,10 @@ def _score_pairs_closure(pairs: DataFrame, sides: DataFrame) -> DataFrame:
     DuckDB oracles hold for either."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    # Arrow collect (toPandas), not Row collect: at the 250k bound a Row
-    # collect builds ~1 GB of boxed Python objects on the driver before the
-    # matrix exists; the Arrow path lands as numpy float32 cells and the
+    # Arrow collect (toPandas), not Row collect: at the _BROADCAST_SCORE_LIMIT
+    # bound a Row collect builds hundreds of MB of boxed Python objects on the
+    # driver before the matrix exists; the Arrow path lands as numpy float32
+    # cells and the
     # float32 -> float64 widening is exact, so cosines are unchanged.
     pdf = sides.toPandas()
     ids = pdf.iloc[:, 0].to_numpy()

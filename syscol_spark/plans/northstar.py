@@ -1775,9 +1775,11 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix filter, so the hash-match still proves Ed-Join missed nothing.
 # q = 16, not the engine's 6: at 50k docs the 6-gram cells were first-word
 # hot spots (1.8B enumerated pairs, >900 s); 16-gram cells cap at ~19
-# (15M pairs, seconds). Pairs too short for the bound to prune
-# (max len < q*(k+1) = 80) fall back to the length-banded all-pairs check
-# over the <80-char heads only — a bounded corner, not a corpus join.
+# (15M pairs, seconds). Pairs too short for the 16-gram bound to prune
+# (max len < q*(k+1) = 80) re-run the same lossless count filter at q=8
+# (bound max-39, power down to len 40); only the sub-40-char tail — where
+# the count bound is <= 0 at any q >= 2 — stays length-banded all-pairs,
+# bounded to ~36 length classes of tiny heads, not a corpus join.
 @register(
     "q_fuzzy_edit",
     """
@@ -1805,13 +1807,42 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE abs(a.pos - b.pos) <= 4
       GROUP BY a.doc_id, b.doc_id, a.len, b.len
       HAVING COUNT(*) >= greatest(a.len, b.len) - 15 - 64
-    ), shorts AS (
+    ), sp AS MATERIALIZED (
+      -- short-pair pool: heads too short for the 16-gram bound (max len < 80)
+      SELECT doc_id, s, length(s) AS len FROM s WHERE length(s) < 80
+    ), sg AS MATERIALIZED (
+      -- 8-grams of the pool, same width-5 position bucketing as g/gb
+      SELECT doc_id, len, u.i AS pos, u.i // 5 AS pb,
+             substr(s, CAST(u.i AS INTEGER), 8) AS gram
+      FROM sp, unnest(range(1, greatest(len - 7, 0) + 1)) u(i)
+    ), sgb AS (
+      SELECT doc_id, len, pos, pb + d.d AS key, gram
+      FROM sg, (VALUES (-1), (0), (1)) d(d)
+    ), shorts_mid AS (
+      -- 40 <= max(len) < 80: the q=8 count bound max-7-32 = max-39 >= 1 has
+      -- pruning power, so the same lossless positional count filter applies
+      -- (both sides have len >= 36 >= 8, so neither is gram-less)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM s a JOIN s b
-        ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 4
-      WHERE greatest(length(a.s), length(b.s)) < 80
+      FROM sg a JOIN sgb b
+        ON a.gram = b.gram AND a.pb = b.key
+       AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 4
+      WHERE abs(a.pos - b.pos) <= 4
+      GROUP BY a.doc_id, b.doc_id, a.len, b.len
+      HAVING COUNT(*) >= greatest(a.len, b.len) - 39
+         AND greatest(a.len, b.len) >= 40
+    ), shorts_tiny AS (
+      -- max(len) < 40: the count bound is <= 0 — no lossless gram filter
+      -- exists at q >= 2, so this corner stays all-pairs, but it is now
+      -- bounded to sub-40-char heads within a +-4 length band (worst case
+      -- ~36 length classes x class^2, not pool^2)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sp a JOIN sp b
+        ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 4
+      WHERE greatest(a.len, b.len) < 40
     ), allc AS (
-      SELECT id_a, id_b FROM cand UNION SELECT id_a, id_b FROM shorts
+      SELECT id_a, id_b FROM cand
+      UNION SELECT id_a, id_b FROM shorts_mid
+      UNION SELECT id_a, id_b FROM shorts_tiny
     )
     SELECT c.id_a, c.id_b, CAST(levenshtein(x.s, y.s) AS BIGINT) AS ed
     FROM allc c JOIN s x ON x.doc_id = c.id_a JOIN s y ON y.doc_id = c.id_b

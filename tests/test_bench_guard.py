@@ -93,16 +93,13 @@ def test_abort_record_never_touches_reference_artifact(tmp_path, monkeypatch):
     # run in the same tree reconciled against {}. The abort must go to
     # BENCH_ABORT.json and leave BENCH_FULL.json byte-identical.
     import json
-    import os
 
     bench = _bench()
     assert bench._ABORT_RECORD != bench._REF_BENCH
     ref = tmp_path / bench._REF_BENCH
     ref.write_text('{"queries": {"q01_pricing_summary": 1.0}}')
     before = ref.read_bytes()
-    monkeypatch.setattr(
-        os.path, "dirname", lambda p, _d=os.path.dirname: str(tmp_path)
-    )
+    monkeypatch.setattr(bench, "_ARTIFACT_DIR", str(tmp_path))
     bench._write_abort_record({"metric": "degraded_window_abort", "value": -1})
     assert ref.read_bytes() == before
     rec = json.loads((tmp_path / bench._ABORT_RECORD).read_text())
