@@ -651,12 +651,26 @@ def _srp_candidate_pairs(
     per extra bit, max bucket still ~6k at 16 bits). With a cap, buckets
     of B <= bucket_cap pair exhaustively as before, while each member of an
     OVERSIZED bucket pairs with only its ``cap_window`` forward neighbors
-    in the bucket's vec-id ordering — an offset-explode EQUI-join, so no
-    B^2 term survives anywhere in the plan (same sf10 probe: 149M capped
-    pairs, a 20x cut). The cap is part of the operator's approximate
-    semantics (a deterministic candidate-recall bound, like n_bands /
-    band_bits) and is mirrored verbatim in the SQL oracles; callers that
-    pass bucket_cap=None keep the exact pre-cap behavior."""
+    in each of the bucket's TWO PROJECTION orderings — members sorted by
+    round(plane-0 dot, 6) and independently by round(plane-1 dot, 6), id
+    tiebreak — via offset-explode EQUI-joins, so no B^2 term survives
+    anywhere in the plan (the r12 id-order single-window probe measured
+    149M capped pairs vs 2.95B uncapped at sf10; the dual windows scale
+    that by 2*cap_window/64, still linear in postings). Projection order,
+    not id order, decides who a capped member still meets: a 1-D
+    random-projection sort puts high-cosine mates at adjacent ranks, and
+    the second independent order catches mates that happen to sort far
+    apart in the first (measured sf10 near-dup detection recall,
+    scripts/knn_recall.py: id-order 0.36, single-proj 0.48, dual-proj
+    0.70 against the 0.82 SRP-banding ceiling). The 1e-6 quantization
+    makes the rank orderings engine/oracle-identical: the two sides' dot
+    products differ only by float summation order (~1e-13), far inside one
+    quantum — same measured-margin discipline as the sign bits
+    (srp_plane_sums). The cap
+    is part of the operator's approximate semantics (a deterministic
+    candidate-recall bound, like n_bands / band_bits) and is mirrored
+    verbatim in the SQL oracles; callers that pass bucket_cap=None keep
+    the exact pre-cap behavior."""
     # Bind the (expensive, interpreted) plane-sum fold ONCE via a lambda
     # variable: transform over a 1-element array makes every key reference a
     # lambda-bound value instead of a copy of the fold. A plain aliased
@@ -673,19 +687,33 @@ def _srp_candidate_pairs(
                     F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
                 )
             out.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
-        return F.array(*out)
+        # the capped path also needs the plane-0/plane-1 dots as SCALARS:
+        # computing them here, inside the same bind-once lambda, reuses the
+        # one fold evaluation (element_at(sums, i) outside it would re-run
+        # the whole plane-sum pass)
+        return F.struct(
+            F.round(F.element_at(s, 1), 6).alias("proj"),
+            F.round(F.element_at(s, 2), 6).alias("proj2"),
+            F.array(*out).alias("bb"),
+        )
 
     sums = srp_plane_sums(vec_col, dim, n_bands * band_bits, seed)
-    bands = F.element_at(F.transform(F.array(sums), keys_of), 1)
+    packed = F.element_at(F.transform(F.array(sums), keys_of), 1)
     # materialize the posting rows ONCE: the self-join consumes them twice,
     # and each evaluation re-runs the Arrow plane-sum pass over the whole
-    # corpus; the materialized frame is narrow (id, block, band, key)
+    # corpus; the materialized frame is narrow (id, block, proj, band, key)
     exploded = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"),
-        F.explode(bands).alias("bb"),
-    ).select("id", "block", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+        packed.alias("pk"),
+    ).select(
+        "id", "block", F.col("pk.proj").alias("proj"),
+        F.col("pk.proj2").alias("proj2"), F.explode("pk.bb").alias("bb")
+    ).select(
+        "id", "block", "proj", "proj2",
+        F.col("bb.band").alias("band"), F.col("bb.key").alias("key"),
+    )
     if bucket_cap is None:
-        exploded = exploded.localCheckpoint()
+        exploded = exploded.drop("proj", "proj2").localCheckpoint()
         a, b = exploded.alias("a"), exploded.alias("b")
         return (
             a.join(
@@ -703,10 +731,14 @@ def _srp_candidate_pairs(
     # cluster-wide parallelism downstream: the uncapped plan inherited the
     # scan's partition count, which throttled the sf10 join to 16 tasks).
     unord = Window.partitionBy("block", "band", "key")
-    byid = unord.orderBy("id")
     sized = (
         exploded.withColumn("bsz", F.count(F.lit(1)).over(unord))
-        .withColumn("rn", F.row_number().over(byid).cast("long"))
+        .withColumn(
+            "rna", F.row_number().over(unord.orderBy("proj", "id")).cast("long")
+        )
+        .withColumn(
+            "rnb", F.row_number().over(unord.orderBy("proj2", "id")).cast("long")
+        )
         # Restore id-grouped row order after the bucket-keyed window shuffle.
         # This is a measured 6x on the candidate dedup, not a nicety: the
         # self-join streams probe rows in checkpoint order, and a pair that
@@ -729,26 +761,39 @@ def _srp_candidate_pairs(
         & (F.col("a.key") == F.col("b.key"))
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    # Oversized buckets: member rn pairs with (rn+1 .. rn+cap_window) via an
-    # offset explode, then an EQUI-join on (block, band, key, rn) — at most
-    # cap_window * postings rows, never B^2. rn is ordered by id, so
-    # id_a < id_b holds by construction.
+    # Oversized buckets: member rank r pairs with (r+1 .. r+cap_window) in
+    # EACH of the two projection orders, via an offset explode + EQUI-join
+    # on (block, band, key, rank) — at most 2 * cap_window * postings rows,
+    # never B^2. Two independent 1-D orders because one is not enough: a
+    # mate pair far apart in plane-0 order (many bucket members between
+    # their projections) is usually adjacent in the independent plane-1
+    # order — measured at sf10, dual windows lift near-dup detection the
+    # same as a single 4x-wider window at half its pair budget. Ranks are
+    # projection-ordered, so emitted ids are normalized to id_a < id_b for
+    # the dedup with the small-bucket pairs.
     big = sized.filter(F.col("bsz") > bucket_cap)
-    src = big.select(
-        "id", "block", "band", "key",
-        F.explode(
-            F.expr(
-                f"IF(rn < bsz, sequence(rn + 1L, least(rn + {int(cap_window)}L, "
-                "CAST(bsz AS BIGINT))), CAST(array() AS ARRAY<BIGINT>))"
-            )
-        ).alias("rn2"),
-    )
-    dst = big.select(
-        F.col("id").alias("id_b_"), "block", "band", "key", F.col("rn").alias("rn2")
-    )
-    big_pairs = src.join(dst, ["block", "band", "key", "rn2"]).select(
-        F.col("id").alias("id_a"), F.col("id_b_").alias("id_b")
-    )
+
+    def window_pairs(rank_col: str) -> DataFrame:
+        src = big.select(
+            "id", "block", "band", "key",
+            F.explode(
+                F.expr(
+                    f"IF({rank_col} < bsz, sequence({rank_col} + 1L, "
+                    f"least({rank_col} + {int(cap_window)}L, CAST(bsz AS BIGINT))), "
+                    "CAST(array() AS ARRAY<BIGINT>))"
+                )
+            ).alias("rr"),
+        )
+        dst = big.select(
+            F.col("id").alias("id_b_"), "block", "band", "key",
+            F.col(rank_col).alias("rr"),
+        )
+        return src.join(dst, ["block", "band", "key", "rr"]).select(
+            F.least("id", "id_b_").alias("id_a"),
+            F.greatest("id", "id_b_").alias("id_b"),
+        )
+
+    big_pairs = window_pairs("rna").unionByName(window_pairs("rnb"))
     return small_pairs.unionByName(big_pairs).dropDuplicates(["id_a", "id_b"])
 
 
@@ -809,10 +854,16 @@ _BROADCAST_SCORE_LIMIT = 65_536
 # knn_graph's bucket-size cap (shared with the SQL oracles in
 # plans/northstar.py so engine and oracle stay one definition): buckets over
 # KNN_BUCKET_CAP members pair each member with only its KNN_CAP_WINDOW
-# forward id-neighbors. The cap exceeds the largest measured bucket at every
-# oracle/parity scale through sf1 (1431), so it only engages at >= sf10.
+# forward neighbors in EACH of two independent projection orders. The cap
+# exceeds the largest measured bucket at every oracle/parity scale through
+# sf1 (1431), so it only engages at >= sf10. The window default sits at the
+# measured knee of the sf10 recall/cost curve (scripts/knn_recall.py;
+# near-dup detection recall vs the 0.818 SRP ceiling): id-order single-64
+# 0.477, dual-proj 64 0.591, dual-proj 128 0.705 @ 2.4x the r12 capped-pair
+# budget, dual-proj 256 0.750 @ 4.8x — 128 buys 86% of the ceiling before
+# the curve flattens.
 KNN_BUCKET_CAP = 2048
-KNN_CAP_WINDOW = 64
+KNN_CAP_WINDOW = 128
 
 
 def _score_pairs_closure(pairs: DataFrame, sides: DataFrame) -> DataFrame:
@@ -935,13 +986,19 @@ def knn_graph(
     pre-dedup pairs at the auto width (max bucket 9.6k vs expected 98) and
     only ~15%/bit relief out to 16 bits; the uncapped build GC-thrashed an
     8g heap in the candidate dedup. Buckets over ``bucket_cap`` therefore
-    pair each member with only its ``cap_window`` forward id-neighbors
-    (deterministic, SQL-mirrored; 149M pairs at sf10, a 20x cut) — inside
-    a near-duplicate cluster any ~2*cap_window mates are interchangeable
-    top-k candidates, and diverse candidates still arrive via the other
-    bands' sub-cap buckets. The default cap exceeds the largest measured
-    bucket at every oracle/parity scale through sf1 (1431), so outputs
-    below sf10 scale are bit-identical to the uncapped build."""
+    pair each member with only its ``cap_window`` forward neighbors in
+    each of two PROJECTION orders (deterministic, SQL-mirrored, linear in
+    postings) — the 1-D projection sorts put a member's high-cosine mates
+    at adjacent ranks, so the windows keep the mates that matter. The
+    first cut of the cap used vec-id order; scripts/knn_recall.py measured
+    its sf10 near-dup detection recall at 0.36 (id-neighbors in a
+    hash-degenerate mega-bucket are random vectors) and the retune curve
+    landed on dual-projection windows of 128 at 0.70 vs the 0.82 SRP
+    ceiling (full curve at KNN_CAP_WINDOW). Diverse candidates still
+    arrive via the other bands' sub-cap buckets. The default cap exceeds
+    the largest measured bucket at every oracle/parity scale through sf1
+    (1431), so outputs below sf10 scale are bit-identical to the uncapped
+    build."""
     n = None
     if band_bits == "auto":
         n = corpus.count()  # metadata-cheap count probe, one per build

@@ -1711,33 +1711,54 @@ def _srp_adaptive_ctes(max_bits: int = 12) -> str:
       SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings
+    ), dots AS MATERIALIZED (
+      SELECT e.vec_id, s.band, s.j, SUM(e.x * s.sgn) AS dot
+      FROM ex e JOIN sg s ON s.d = e.d
+      GROUP BY e.vec_id, s.band, s.j
     ), keys AS MATERIALIZED (
       SELECT vec_id, band,
              CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bk
-      FROM (SELECT e.vec_id, s.band, s.j, SUM(e.x * s.sgn) AS dot
-            FROM ex e JOIN sg s ON s.d = e.d
-            GROUP BY e.vec_id, s.band, s.j)
+      FROM dots
       GROUP BY vec_id, band
+    ), proj AS MATERIALIZED (
+      -- plane-0 / plane-1 dots, quantized to 1e-6: the capped branch
+      -- orders oversized buckets by each projection so a member's
+      -- cap_window meets its nearest mates in TWO independent 1-D orders
+      -- (a mate far away in one order is usually adjacent in the other),
+      -- not random id-neighbors. Engine and oracle dots differ only by
+      -- float summation order (~1e-13 << one quantum), so the rank orders
+      -- are mirrored exactly — same measured-margin argument as the sign
+      -- bits above.
+      SELECT vec_id,
+             round(max(CASE WHEN j = 0 THEN dot END), 6) AS pj,
+             round(max(CASE WHEN j = 1 THEN dot END), 6) AS pj2
+      FROM dots WHERE band = 0 AND j IN (0, 1) GROUP BY vec_id
     ), sized AS MATERIALIZED (
       -- bucket-size cap, mirrored from knn_graph (KNN_BUCKET_CAP /
       -- KNN_CAP_WINDOW in operators/similarity.py): oversized buckets pair
-      -- each member with only its cap_window forward id-neighbors, killing
-      -- the sum-of-B^2 blowup over near-duplicate clusters that band
-      -- widening cannot split. Inert below sf10: the cap exceeds every
-      -- measured bucket through sf1.
-      SELECT vec_id, band, bk,
-             ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY vec_id) AS rn,
-             COUNT(*) OVER (PARTITION BY band, bk) AS bsz
-      FROM keys
+      -- each member with only its cap_window forward neighbors per
+      -- projection order, killing the sum-of-B^2 blowup over
+      -- near-duplicate clusters that band widening cannot split. Inert
+      -- below sf10: the cap exceeds every measured bucket through sf1.
+      SELECT k.vec_id, k.band, k.bk,
+             ROW_NUMBER() OVER (PARTITION BY k.band, k.bk
+                                ORDER BY p.pj, k.vec_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY k.band, k.bk
+                                ORDER BY p.pj2, k.vec_id) AS rnb,
+             COUNT(*) OVER (PARTITION BY k.band, k.bk) AS bsz
+      FROM keys k JOIN proj p ON p.vec_id = k.vec_id
     ), cand AS MATERIALIZED (
       SELECT p.src, p.nbr,
              ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                           CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
-      FROM (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+      FROM (SELECT DISTINCT least(a.vec_id, b.vec_id) AS src,
+                   greatest(a.vec_id, b.vec_id) AS nbr
             FROM sized a JOIN sized b
-              ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
-              AND (a.bsz <= {_sim.KNN_BUCKET_CAP}
-                   OR b.rn - a.rn <= {_sim.KNN_CAP_WINDOW})) p
+              ON a.band = b.band AND a.bk = b.bk
+              AND ((a.bsz <= {_sim.KNN_BUCKET_CAP} AND a.vec_id < b.vec_id)
+                   OR (a.bsz > {_sim.KNN_BUCKET_CAP}
+                       AND (b.rna - a.rna BETWEEN 1 AND {_sim.KNN_CAP_WINDOW}
+                            OR b.rnb - a.rnb BETWEEN 1 AND {_sim.KNN_CAP_WINDOW})))) p
       JOIN embeddings ea ON ea.vec_id = p.src
       JOIN embeddings eb ON eb.vec_id = p.nbr
     )"""
