@@ -50,7 +50,16 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
         ref = json.load(fh).get("queries", {})
 
+    # MERGE into an existing artifact so successive targeted runs accumulate
+    # instead of erasing each other's rows
+    art = os.path.join(REPO, "RETIME.json")
     out = {"metric": "solo_retime", "sf_dir": sf_dir, "reps": reps, "queries": {}}
+    if os.path.exists(art):
+        prev = json.load(open(art))
+        if prev.get("sf_dir") == sf_dir:
+            out["queries"] = prev.get("queries", {})
+            if "note" in prev:
+                out["note"] = prev["note"]
     for name in names:
         times = []
         for _ in range(reps):
