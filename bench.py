@@ -357,11 +357,47 @@ def _mem_available_gb() -> float:
     return -1.0
 
 
+def _await_idle_window() -> dict:
+    """Refuse to calibrate on a busy box: sleep-retry (bounded) until the
+    1-min loadavg drops under the threshold. Min-of-3 calibration
+    demonstrably does NOT catch a draining box (r12 rank_fusion/bm25,
+    r13's five >30% phantom rows both calibrated green at loadavg 6-12 and
+    inflated first-rep-heavy queries); the load gate is the cheap check
+    that would have rejected both windows. Returns diagnostics; "passed"
+    False means the box never drained within the wait budget."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600"))
+    poll = 20.0
+    gate: dict = {"threshold_1min": threshold, "max_wait_sec": max_wait, "samples": []}
+    waited = 0.0
+    while True:
+        la = _loadavg()
+        gate["samples"].append({"waited_sec": round(waited, 1), "loadavg": la})
+        # empty loadavg (unreadable /proc) => pass open: the gate is an
+        # extra tripwire, not a new single point of failure
+        if not la or la[0] <= threshold:
+            gate["passed"] = True
+            break
+        if waited >= max_wait:
+            gate["passed"] = False
+            break
+        print(
+            f"# idle gate: 1-min loadavg {la[0]:.2f} > {threshold:.1f},"
+            f" sleeping {poll:.0f}s ({waited:.0f}/{max_wait:.0f}s waited)",
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+        waited += poll
+    gate["waited_sec"] = round(waited, 1)
+    return gate
+
+
 def _window_guard(spark, sf_dir: str) -> dict:
     """Min-of-3 each pinned calibration query (one JVM lane, one Arrow lane)
     and compare against the best committed clean-window values. Returns
     diagnostics; sets "degraded" only when some lane stays past tolerance
-    across every attempt. Never raises."""
+    across every attempt — or when the idle-window load gate never clears.
+    Never raises."""
     tol = float(os.environ.get("SPARK_GRAFT_BENCH_GUARD_PCT", "10")) / 100.0
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_GUARD_ATTEMPTS", "3"))
     info: dict = {
@@ -374,6 +410,11 @@ def _window_guard(spark, sf_dir: str) -> dict:
         "degraded": False,
     }
     try:
+        info["idle_gate"] = _await_idle_window()
+        if not info["idle_gate"]["passed"]:
+            info["degraded"] = True
+            info["degraded_reason"] = "idle gate: loadavg never drained"
+            return info
         _ensure_loaded()  # self-sufficient: callable outside main()'s preamble
 
         def _lane_ok(name: str) -> bool:

@@ -17,8 +17,15 @@ def _bench():
     return bench
 
 
+def _idle(monkeypatch):
+    # pytest itself keeps 32 threads busy — force the idle gate open so the
+    # calibration-lane tests don't stall on the suite's own load
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "1e9")
+
+
 def test_guard_passes_with_generous_tolerance(spark, sf_dir, monkeypatch):
     bench = _bench()
+    _idle(monkeypatch)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_PCT", "100000")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_ATTEMPTS", "1")
     info = bench._window_guard(spark, sf_dir)
@@ -43,6 +50,7 @@ def test_guard_degrades_with_impossible_tolerance(spark, sf_dir, monkeypatch):
     # attempts=2 also pins the retry loop (two recorded attempts per lane,
     # no raise)
     bench = _bench()
+    _idle(monkeypatch)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_PCT", "-100")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_ATTEMPTS", "2")
     monkeypatch.setattr("time.sleep", lambda s: None)
@@ -59,6 +67,7 @@ def test_guard_skips_clean_lane_on_retry(spark, sf_dir, monkeypatch):
     # loop must re-measure ONLY the degraded lane, and the overall verdict
     # is degraded with the clean lane left at one attempt.
     bench = _bench()
+    _idle(monkeypatch)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_PCT", "100000")
     monkeypatch.setenv("SPARK_GRAFT_BENCH_GUARD_ATTEMPTS", "2")
     monkeypatch.setattr("time.sleep", lambda s: None)
@@ -80,6 +89,7 @@ def test_guard_never_raises_on_broken_calibration(spark, sf_dir, monkeypatch):
     # unknown calibration query => guard_error diagnostics, degraded stays
     # False so the sweep still runs and the artifact is not zeroed
     bench = _bench()
+    _idle(monkeypatch)
     monkeypatch.setattr(bench, "_CAL_QUERIES", {"q_does_not_exist": 1.0})
     info = bench._window_guard(spark, sf_dir)
     assert info["degraded"] is False
@@ -104,3 +114,49 @@ def test_abort_record_never_touches_reference_artifact(tmp_path, monkeypatch):
     assert ref.read_bytes() == before
     rec = json.loads((tmp_path / bench._ABORT_RECORD).read_text())
     assert rec["metric"] == "degraded_window_abort"
+
+
+def test_idle_gate_rejects_busy_box(monkeypatch):
+    # r13 failure mode: loadavg 12 at sweep start, calibration min-of-3
+    # still passed, five untouched queries recorded >30% slower. The gate
+    # must refuse the window BEFORE burning calibration attempts.
+    bench = _bench()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "2.0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "40")
+    monkeypatch.setattr(bench, "_loadavg", lambda: [12.0, 6.2, 10.5])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    info = bench._window_guard(None, "/nonexistent")  # spark unused pre-gate
+    assert info["degraded"] is True
+    assert info["degraded_reason"].startswith("idle gate")
+    assert info["idle_gate"]["passed"] is False
+    # bounded wait: samples at 0/20/40s then give up
+    assert info["idle_gate"]["waited_sec"] >= 40
+    # calibration never ran — no attempts burned on a rejected window
+    for entry in info["cal_queries"].values():
+        assert entry["attempts"] == []
+
+
+def test_idle_gate_waits_for_draining_box(monkeypatch):
+    # busy, busy, then idle: the gate must sleep-retry and pass, recording
+    # each sample and the total wait
+    bench = _bench()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "2.0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600")
+    seq = iter([[5.0, 4.0, 3.0], [3.1, 3.5, 3.2], [0.4, 2.1, 2.8]])
+    monkeypatch.setattr(bench, "_loadavg", lambda: next(seq))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    gate = bench._await_idle_window()
+    assert gate["passed"] is True
+    assert len(gate["samples"]) == 3
+    assert gate["waited_sec"] == 40.0
+
+
+def test_idle_gate_passes_open_on_unreadable_loadavg(monkeypatch):
+    # the gate is a tripwire, not a new single point of failure: if
+    # /proc/loadavg is unreadable the gate passes immediately
+    bench = _bench()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOADAVG", "2.0")
+    monkeypatch.setattr(bench, "_loadavg", lambda: [])
+    gate = bench._await_idle_window()
+    assert gate["passed"] is True
+    assert gate["waited_sec"] == 0.0
