@@ -663,14 +663,33 @@ def _srp_candidate_pairs(
     apart in the first (measured sf10 near-dup detection recall,
     scripts/knn_recall.py: id-order 0.36, single-proj 0.48, dual-proj
     0.70 against the 0.82 SRP-banding ceiling). The 1e-6 quantization
-    makes the rank orderings engine/oracle-identical: the two sides' dot
-    products differ only by float summation order (~1e-13), far inside one
-    quantum — same measured-margin discipline as the sign bits
-    (srp_plane_sums). The cap
+    narrows cross-engine rank divergence to dots within the ~1e-13
+    summation-order discrepancy of a rounding boundary; unlike the sign
+    bits (min margin 4.1e-5 — five orders above noise, rank-proof at any
+    scale) boundary distances are uniform in the quantum, so the margin
+    is measured per corpus: scripts/rounding_margin.py /
+    ROUNDING_MARGIN.json record zero dots within 1x the noise bound at
+    every generated scale (rank orders identical under the model), but at
+    sf10 the min distance (6.9e-13) is only ~1.6x the bound and 3 of 400k
+    dots sit within 10x of a boundary — at larger corpora single
+    adjacent-rank transpositions engine-vs-oracle become expected. The
+    residual effect is bounded: one window member swapped per transposed
+    rank, never a scored cosine (those share one rounding definition
+    downstream). The cap
     is part of the operator's approximate semantics (a deterministic
     candidate-recall bound, like n_bands / band_bits) and is mirrored
     verbatim in the SQL oracles; callers that pass bucket_cap=None keep
     the exact pre-cap behavior."""
+    if bucket_cap is not None and band_bits < 2:
+        # The two capped-path orderings read plane sums 1 and 2 as band-0's
+        # planes 0 and 1; with band_bits=1 element 2 is band-1/plane-0, which
+        # would silently diverge from the SQL oracle's band-0/j-1 (NULL
+        # there). No registered query can reach this (auto floors at 4), but
+        # the operator API could.
+        raise ValueError(
+            f"bucket_cap requires band_bits >= 2 (got {band_bits}): the dual "
+            "projection orderings use band 0's first two plane sums"
+        )
     # Bind the (expensive, interpreted) plane-sum fold ONCE via a lambda
     # variable: transform over a 1-element array makes every key reference a
     # lambda-bound value instead of a copy of the fold. A plain aliased

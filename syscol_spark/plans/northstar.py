@@ -1726,9 +1726,13 @@ def _srp_adaptive_ctes(max_bits: int = 12) -> str:
       -- cap_window meets its nearest mates in TWO independent 1-D orders
       -- (a mate far away in one order is usually adjacent in the other),
       -- not random id-neighbors. Engine and oracle dots differ only by
-      -- float summation order (~1e-13 << one quantum), so the rank orders
-      -- are mirrored exactly — same measured-margin argument as the sign
-      -- bits above.
+      -- float summation order (~1e-13); rank orders mirror whenever no
+      -- dot sits within that discrepancy of a rounding boundary —
+      -- measured per corpus (scripts/rounding_margin.py: zero dots
+      -- within 1x the noise bound at every generated scale, 3 of 400k
+      -- within 10x at sf10; residual risk beyond that is a single
+      -- adjacent-rank transposition, i.e. one window member, never a
+      -- scored cosine).
       SELECT vec_id,
              round(max(CASE WHEN j = 0 THEN dot END), 6) AS pj,
              round(max(CASE WHEN j = 1 THEN dot END), 6) AS pj2

@@ -1651,10 +1651,14 @@ def test_srp_bucket_cap_inert_when_buckets_small(spark):
 
 
 def test_srp_bucket_cap_windows_oversized_buckets(spark):
-    """A cluster of identical vectors lands in ONE bucket per band; with the
-    cap engaged each member must pair with exactly its cap_window forward
-    id-neighbors (the deterministic rule the SQL oracle mirrors), so pair
-    count is linear in cluster size, never B^2."""
+    """A cluster of IDENTICAL vectors lands in ONE bucket per band; both
+    projection orders tie, so the id tiebreak makes each order degenerate
+    to id order and each member must pair with exactly its cap_window
+    forward id-neighbors (both windows coincide). This pins the tie/window
+    arithmetic and the linear-in-B pair count; the non-degenerate rank
+    semantics (distinct projections, two genuinely different orders) are
+    pinned against the DuckDB oracle branch in
+    test_srp_bucket_cap_dual_projection_vs_oracle."""
     from syscol_spark.operators.similarity import _srp_candidate_pairs
 
     n, w = 60, 4
@@ -1669,6 +1673,101 @@ def test_srp_bucket_cap_windows_oversized_buckets(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     want = {(i, j) for i in range(n) for j in range(i + 1, min(i + w, n - 1) + 1)}
     assert got == want
+
+
+def test_srp_bucket_cap_dual_projection_vs_oracle(spark):
+    """Non-degenerate proof of the capped branch's DUAL-PROJECTION window
+    rule: 60 DISTINCT vectors engineered into one oversized bucket per band
+    (shared sign pattern, but distinct plane-0/plane-1 dots whose two rank
+    orders genuinely differ), bucket_cap=8, cap_window=5. The engine's
+    capped pair set must equal the SQL oracle's bsz>cap leg
+    (plans/northstar.py `sized`/`cand` CTEs: ROW_NUMBER per projection
+    order with id tiebreak, forward window per order, least/greatest
+    normalization) executed in DuckDB over the same quantized dots — a
+    change to EITHER side's window rule alone fails this."""
+    import duckdb
+    import numpy as np
+
+    from syscol_spark.operators.similarity import (
+        _srp_candidate_pairs,
+        rademacher_signs,
+    )
+
+    dim, n, cap, w = 16, 60, 8, 5
+    # base vector chosen (seed-searched offline) for min |<u, plane_p>| =
+    # 21.1 across the 8 banded planes; per-component perturbations of
+    # <= 0.1 move any plane dot by <= 0.73, so every vector keeps u's sign
+    # pattern -> one 60-member bucket per band, while the dots stay distinct
+    u = np.array([
+        -6.7812, -0.4841, -1.968, -1.2858, -5.2025, 5.3919, -5.9554,
+        -9.2271, 4.0023, 4.85, -5.2248, -6.5319, 1.6106, 8.3926, -4.9203,
+        0.8001,
+    ])
+    deltas = np.random.RandomState(11).uniform(-0.1, 0.1, (n, dim))
+    mat = u[None, :] + deltas
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).withColumn("__blk", F.lit(1))
+
+    # fixture sanity — the properties that make this non-degenerate
+    planes = np.array([rademacher_signs(dim, p) for p in range(8)])
+    dots = mat @ planes.T
+    assert (np.sign(dots) == np.sign(dots[0])).all(), "bucket split"
+    pj, pj2 = np.round(dots[:, 0], 6), np.round(dots[:, 1], 6)
+    assert len(set(pj)) == n and len(set(pj2)) == n, "tied projections"
+    assert (np.argsort(pj) != np.argsort(pj2)).any(), "orders identical"
+
+    pairs = _srp_candidate_pairs(
+        corpus, vec_col="embedding", id_col="vec_id", block_col="__blk",
+        dim=dim, n_bands=4, band_bits=2, seed=42, bucket_cap=cap, cap_window=w,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE postings(id BIGINT, pj DOUBLE, pj2 DOUBLE)")
+    con.executemany(
+        "INSERT INTO postings VALUES (?, ?, ?)",
+        [(i, float(pj[i]), float(pj2[i])) for i in range(n)],
+    )
+    want = set(
+        con.sql(
+            f"""
+            WITH sized AS (
+              SELECT id,
+                     ROW_NUMBER() OVER (ORDER BY pj, id) AS rna,
+                     ROW_NUMBER() OVER (ORDER BY pj2, id) AS rnb
+              FROM postings)
+            SELECT DISTINCT least(a.id, b.id) AS id_a,
+                   greatest(a.id, b.id) AS id_b
+            FROM sized a JOIN sized b
+              ON (b.rna - a.rna BETWEEN 1 AND {w}
+                  OR b.rnb - a.rnb BETWEEN 1 AND {w})
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # and the two orders really contributed differently: the union is
+    # strictly larger than either single window alone would be (5 forward
+    # neighbors x 60 members caps each single order at 275 distinct pairs)
+    assert len(got) > 275
+
+
+def test_srp_bucket_cap_requires_two_planes(spark):
+    """bucket_cap with band_bits=1 must be rejected: plane sum #2 would be
+    band-1/plane-0 in the engine but band-0/j-1 (NULL) in the SQL oracle."""
+    import pytest
+
+    from syscol_spark.operators.similarity import _srp_candidate_pairs
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])], "vec_id long, embedding array<double>"
+    ).withColumn("__blk", F.lit(1))
+    with pytest.raises(ValueError, match="band_bits >= 2"):
+        _srp_candidate_pairs(
+            corpus, vec_col="embedding", id_col="vec_id", block_col="__blk",
+            dim=2, n_bands=2, band_bits=1, seed=42, bucket_cap=4,
+        )
 
 
 def test_knn_graph_capped_equals_uncapped_at_small_scale(spark):
