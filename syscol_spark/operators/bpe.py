@@ -143,6 +143,85 @@ def _round_top_pairs(words: DataFrame, batch: int) -> list[tuple[str, int]]:
     return [(r["pair"], int(r["cnt"])) for r in rows]
 
 
+#: driver bound for the local trainer: 200k (word, freq) rows is a few MB
+#: of strings — the kmeans_centroids `_LOCAL_TRAIN_LIMIT` pattern. A lake
+#: corpus' 10-100M-word vocabulary exceeds it and takes the distributed path.
+_BPE_LOCAL_LIMIT = 200_000
+
+
+#: characters Java's regex `.` does NOT match — _char_repr leaves them
+#: un-delimited, so they glue onto the following symbol; the local twin
+#: must reproduce that byte-for-byte (only U+0085/U+2028/U+2029 can actually
+#: reach a word: \n and \r are Java \s and tokens() splits on \s+)
+_JAVA_DOT_EXCLUDED = frozenset({"\n", "\r", "\u0085", "\u2028", "\u2029"})
+
+
+def _char_syms_local(word: str) -> list[str]:
+    """Pure-Python twin of _char_repr + _syms: build the '|c|c|...' repr
+    (appending '|' only after characters Java `.` matches) and split it —
+    including the engine's behavior for '|' inside a word (it is consumed
+    as a delimiter, not kept as a symbol)."""
+    rep = "|" + "".join(
+        c if c in _JAVA_DOT_EXCLUDED else c + "|" for c in word
+    )
+    return [x for x in rep.split("|") if x]
+
+
+def _apply_merges_local(syms: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python twin of _apply_merges_fold: left-to-right merge-with-skip
+    over a word's symbol list. Replicates the fold's WHEN chain exactly —
+    the first merge in ``merges`` order whose (acc endswith '|l|', next==r)
+    condition holds rewrites the tail (with pairwise-disjoint merges at most
+    one can match, so the order is moot, but the replication is literal)."""
+    acc = "|"
+    for s in syms:
+        nxt = acc + s + "|"
+        for left_sym, right_sym in merges:
+            tail = "|" + left_sym + "|"
+            if s == right_sym and acc.endswith(tail):
+                nxt = acc[: len(acc) - len(left_sym) - 1] + left_sym + right_sym + "|"
+                break
+        acc = nxt
+    return [x for x in acc.split("|") if x]
+
+
+def _learn_bpe_local(
+    rows: list, n_merges: int, batch: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local trainer on a collected (word, freq) table — the same
+    greedy algorithm as the distributed rounds, byte-for-byte: per round,
+    weighted adjacent-pair counts, the top max(want*4, 8) slice in
+    (count desc, pair asc) order (the SAME truncation _round_top_pairs
+    applies, so the greedy disjointness filter sees an identical candidate
+    list), _select_disjoint, then one merge-with-skip pass over every word.
+    Integer counts and binary string order make this bit-identical to the
+    distributed path (UTF-8 byte order == code-point order)."""
+    vocab = [
+        (_char_syms_local(r["word"]), int(r["freq"])) for r in rows
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        counts: dict[str, int] = {}
+        for syms, freq in vocab:
+            for a, b in zip(syms, syms[1:]):
+                key = f"|{a}|{b}|"
+                counts[key] = counts.get(key, 0) + freq
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : max(want * 4, 8)
+        ]
+        picked = _select_disjoint(top, want)
+        if not picked:
+            break
+        for left_sym, right_sym, cnt in picked:
+            merges.append(
+                (len(merges) + 1, left_sym, right_sym, left_sym + right_sym, cnt)
+            )
+        pairs = [(l, r) for l, r, _ in picked]
+        vocab = [(_apply_merges_local(syms, pairs), freq) for syms, freq in vocab]
+    return merges
+
+
 def learn_bpe_merges(
     df: DataFrame, content_col: str, *, n_merges: int = 8, batch: int = 1
 ) -> DataFrame:
@@ -163,6 +242,21 @@ def learn_bpe_merges(
     if batch <= 0:
         raise ValueError("batch must be positive")
     spark = df.sparkSession
+    schema = "step int, left_sym string, right_sym string, merged string, freq long"
+    wf = word_freq_table(df, content_col)
+    # Driver-local fast path (r14, the kmeans_centroids pattern): the merge
+    # rounds only ever touch the VOCABULARY-sized (word, freq) table, so
+    # when it fits the driver bound, pull it once and run every round in
+    # pure Python — ONE Spark action total instead of one checkpoint plus
+    # one collect-round per merge batch (the 8-merge queries ran ~9 actions
+    # over a table of a few thousand rows). The bounded limit(N+1) collect
+    # is the probe AND the fetch; above the bound the rows are discarded
+    # and the distributed rounds below run unchanged.
+    local_rows = wf.limit(_BPE_LOCAL_LIMIT + 1).collect()
+    if len(local_rows) <= _BPE_LOCAL_LIMIT:
+        return spark.createDataFrame(
+            _learn_bpe_local(local_rows, n_merges, batch), schema
+        )
     # Materialize the word-frequency table EAGERLY: each merge round is its
     # own Spark action, and without the checkpoint every round would re-run
     # the corpus scan + shuffle from lineage (one corpus scan per round
@@ -170,7 +264,7 @@ def learn_bpe_merges(
     # q_minhash_lsh). The checkpoint also resets lineage so round t's plan
     # is t folds deep over a vocab-sized table, not t replays of the corpus.
     words = (
-        word_freq_table(df, content_col)
+        wf
         .withColumn("repr", _char_repr("word"))
         .localCheckpoint()
     )

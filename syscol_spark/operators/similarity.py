@@ -326,12 +326,9 @@ def kmeans_centroids(
     # DESIGN (that's what the stride sample is for — ~1000 points/centroid),
     # so when it fits the bound, pull it once and run Lloyd's in numpy:
     # zero Spark jobs per iteration instead of a collect-roundtrip each.
-    # The size probe is limit(N+1).count() — a COUNT, not a collect: at lake
-    # scale the decision costs a bounded scan and transfers 8 bytes, and the
-    # (id, vec) rows cross to the driver only when they all fit the bound
-    # (so which-rows nondeterminism of limit can't leak in either).
-    if train.limit(_LOCAL_TRAIN_LIMIT + 1).count() <= _LOCAL_TRAIN_LIMIT:
-        return _kmeans_local(train.collect(), k, max_iter)
+    sample = _bounded_sample(train)
+    if sample is not None:
+        return _kmeans_local(sample, k, max_iter)
     # Distributed path: training re-scans the (sampled) corpus max_iter+2
     # times (dim probe, seed pick, one assignment+sum per iteration).
     # Persist the projected (id, vec) slice for the duration so only the
@@ -367,6 +364,22 @@ def kmeans_centroids(
 
 
 _LOCAL_TRAIN_LIMIT = 200_000  # ≈100 MB of float64 at dim=64 — driver-safe
+
+
+def _bounded_sample(train: DataFrame) -> list | None:
+    """The training rows when they fit _LOCAL_TRAIN_LIMIT, else None.
+
+    ONE Spark action (limit(N+1).collect()) decides the bound AND fetches
+    the rows — r14: the previous shape was a limit(N+1).count() probe
+    followed by a separate full collect(), i.e. two actions and two scans
+    of the (possibly lake-sized) train frame per quantizer training; the
+    merged form halves that. The transfer stays bounded at N+1 rows
+    (~100 MB at dim=64) whichever path wins, and when len(rows) <= N the
+    limit returned EVERY row, so which-rows nondeterminism of limit cannot
+    leak into the local path (it only truncates on the over-bound branch,
+    where the rows are discarded)."""
+    rows = train.limit(_LOCAL_TRAIN_LIMIT + 1).collect()
+    return rows if len(rows) <= _LOCAL_TRAIN_LIMIT else None
 
 # ADC serving collects the query side to the driver to build distance tables
 # and broadcasts them; "queries are small by contract" is enforced, not just
@@ -418,6 +431,23 @@ def _kmeans_local(rows: list, k: int, max_iter: int) -> list[list[float]]:
             break
         c = new_c
     return [[float(v) for v in row] for row in c]
+
+
+def _matrix_lit(matrix: list[list[float]]) -> Column:
+    """array<array<double>> literal built as ONE parsed SQL expression.
+    Constructing it as nested F.array(F.lit(...)) costs one py4j round trip
+    per element — ~0.7 s of DRIVER wall for a 16x64 coarse-centroid matrix
+    (measured r14), paid once per index build AND once per serve; the
+    single F.expr parse is ~5 ms. repr(float) is the shortest round-trip
+    decimal and CAST('<repr>' AS DOUBLE) re-parses it to identical bits
+    (verified bitwise incl. -0.0 and subnormals), so the evaluated plan
+    values are unchanged."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in row) + ")"
+            for row in matrix
+        ) + ")"
+    )
 
 
 def _assign_nearest(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
@@ -885,7 +915,9 @@ KNN_BUCKET_CAP = 2048
 KNN_CAP_WINDOW = 128
 
 
-def _score_pairs_closure(pairs: DataFrame, sides: DataFrame) -> DataFrame:
+def _score_pairs_closure(
+    pairs: DataFrame, sides: DataFrame, pdf=None
+) -> DataFrame:
     """Score (id_a, id_b) candidate pairs WITHOUT attaching vectors to them:
     the whole (id, vec) corpus rides to executors in the task closure and
     each Arrow batch gathers its rows by binary search. Candidates are
@@ -904,7 +936,10 @@ def _score_pairs_closure(pairs: DataFrame, sides: DataFrame) -> DataFrame:
     # driver before the matrix exists; the Arrow path lands as numpy float32
     # cells and the
     # float32 -> float64 widening is exact, so cosines are unchanged.
-    pdf = sides.toPandas()
+    # ``pdf``: _score_pairs_for already collected the (complete) corpus when
+    # it routed here through its merged bound-probe — don't collect twice.
+    if pdf is None:
+        pdf = sides.toPandas()
     ids = pdf.iloc[:, 0].to_numpy()
     order = np.argsort(ids)
     ids_sorted = ids[order]
@@ -939,13 +974,20 @@ def _score_pairs_for(
     pairs: DataFrame, sides: DataFrame, n_sides: int | None = None
 ) -> DataFrame:
     """Route candidate-pair scoring: closure-shipped corpus when it fits
-    _BROADCAST_SCORE_LIMIT (probe = bounded count, the k-means gate
-    pattern), otherwise re-attach vectors by id join and score via the
-    Arrow batch path. ``sides`` must be (id, vec). Callers that already
-    counted the corpus (e.g. knn_graph's band_bits="auto" probe) pass
-    ``n_sides`` to skip the redundant limit-count job."""
+    _BROADCAST_SCORE_LIMIT (bounded probe, the k-means gate pattern),
+    otherwise re-attach vectors by id join and score via the Arrow batch
+    path. ``sides`` must be (id, vec). Callers that already counted the
+    corpus (e.g. knn_graph's band_bits="auto" probe) pass ``n_sides`` to
+    skip the probe. r14: the probe is ONE bounded Arrow collect
+    (limit(N+1).toPandas()) that doubles as the closure path's corpus pull
+    — the previous limit-count + toPandas shape scanned ``sides`` twice;
+    when len <= N the limit returned every row, so the closure path sees
+    the complete corpus exactly as before."""
     if n_sides is None:
-        n_sides = sides.limit(_BROADCAST_SCORE_LIMIT + 1).count()
+        pdf = sides.limit(_BROADCAST_SCORE_LIMIT + 1).toPandas()
+        if len(pdf) <= _BROADCAST_SCORE_LIMIT:
+            return _score_pairs_closure(pairs, sides, pdf=pdf)
+        n_sides = len(pdf)
     if n_sides <= _BROADCAST_SCORE_LIMIT:
         return _score_pairs_closure(pairs, sides)
     with_vecs = pairs.join(
@@ -1057,6 +1099,7 @@ def _pq_codebooks(
     n_centroids: int,
     max_iter: int,
     train_stride: int,
+    sample_rows: list | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace PQ codebooks. Trains ALL subspaces from ONE pull of the
     stride sample when it fits the driver bound (n_subspaces separate
@@ -1064,18 +1107,23 @@ def _pq_codebooks(
     the per-subspace distributed trainer remains the fallback above the
     bound. _kmeans_local on numpy slices is numerically identical to
     slicing inside the engine (float32→float64 widening is elementwise).
-    ``df`` must be (id, vec)."""
+    ``df`` must be (id, vec). ``sample_rows`` (r14): a caller that already
+    holds the EXACT (id, vec) stride sample this function would collect
+    (build_ivfpq_index's non-residual path — same source frame, same
+    stride) passes it to skip the collect entirely: zero Spark actions."""
     if dim % n_subspaces:
         raise ValueError(
             f"dim={dim} not divisible by n_subspaces={n_subspaces}: the trailing "
             f"{dim % n_subspaces} dimensions would be silently dropped from every code"
         )
     sub = dim // n_subspaces
-    train = df.select("id", "vec")
-    if train_stride > 1:
-        train = train.filter(_stride_predicate(train, "id", train_stride))
-    if train.limit(_LOCAL_TRAIN_LIMIT + 1).count() <= _LOCAL_TRAIN_LIMIT:
-        rows = train.collect()
+    if sample_rows is None:
+        train = df.select("id", "vec")
+        if train_stride > 1:
+            train = train.filter(_stride_predicate(train, "id", train_stride))
+        sample_rows = _bounded_sample(train)
+    rows = sample_rows
+    if rows is not None:
         return [
             _kmeans_local(
                 [(r[0], r[1][s * sub : (s + 1) * sub]) for r in rows],
@@ -1473,18 +1521,30 @@ def build_ivfpq_index(
     meta carries the coarse centroids, PQ codebooks and hyperparameters —
     everything ivfpq_serve needs, and what save_ivfpq_index persists."""
     df = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # coarse quantizer → inverted-list assignment (one scan)
-    coarse = kmeans_centroids(
-        corpus, vec_col=vec_col, id_col=id_col, k=n_lists,
-        max_iter=coarse_iter, train_stride=coarse_stride,
+    # coarse quantizer → inverted-list assignment (one scan). The stride
+    # sample is pulled HERE (one bounded action) so the non-residual PQ
+    # codebook training below can reuse the identical rows instead of
+    # re-collecting them — r14: the build previously cost 2 probe + 2
+    # collect actions (4 passes over the sample); now 1 collect when the
+    # sample fits the driver bound and the strides match.
+    train = df if coarse_stride <= 1 else df.filter(
+        _stride_predicate(df, "id", coarse_stride)
     )
+    sample = _bounded_sample(train)
+    if sample is not None:
+        coarse = _kmeans_local(sample, n_lists, coarse_iter)
+    else:
+        coarse = kmeans_centroids(
+            corpus, vec_col=vec_col, id_col=id_col, k=n_lists,
+            max_iter=coarse_iter, train_stride=coarse_stride,
+        )
     assigned = _assign_nearest(df, "vec", coarse).select(
         "id", "vec", F.col("__cluster").alias("list_id")
     )
     if residual:
         # residual to the assigned coarse centroid, as one column expression
         # against the plan-time centroid matrix literal — no extra scan/join
-        cmat = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in coarse])
+        cmat = _matrix_lit(coarse)
         enc_src = assigned.select(
             "id",
             F.zip_with(
@@ -1502,6 +1562,13 @@ def build_ivfpq_index(
     codebooks = _pq_codebooks(
         enc_src.select("id", "vec"), dim=dim, n_subspaces=n_subspaces,
         n_centroids=pq_centroids, max_iter=pq_iter, train_stride=pq_stride,
+        # non-residual: enc_src's (id, vec) IS df's — same frame, same
+        # stride ⇒ the collected coarse sample is row-for-row the PQ
+        # training sample (residual codebooks train on engine-computed
+        # residual vectors, so they keep their own collect)
+        sample_rows=(
+            sample if (not residual and pq_stride == coarse_stride) else None
+        ),
     )
     codes = pq_codes(
         enc_src, vec_col="vec", id_col="id", dim=dim,
@@ -1550,7 +1617,7 @@ def ivfpq_append(
         "id", "vec", F.col("__cluster").alias("list_id")
     )
     if meta["residual"]:
-        cmat = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in coarse])
+        cmat = _matrix_lit(coarse)
         enc_src = assigned.select(
             "id",
             F.zip_with(
@@ -1592,7 +1659,7 @@ def ivfpq_residual_stats(
     assigned = _assign_nearest(df, "vec", coarse).select(
         "vec", F.col("__cluster").alias("list_id")
     )
-    cmat = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in coarse])
+    cmat = _matrix_lit(coarse)
     res = F.zip_with(
         F.col("vec"), F.element_at(cmat, F.col("list_id") + 1), lambda a, b: a.cast("double") - b
     )
@@ -1847,7 +1914,7 @@ def ivfpq_serve_bulk(
         "query_id", "__qvec", F.explode(probes).alias("__p")
     ).select("query_id", "__qvec", F.col("__p.idx").alias("list_id"))
     if residual:
-        cmat = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in coarse])
+        cmat = _matrix_lit(coarse)
         qp = qp.select(
             "query_id",
             "list_id",

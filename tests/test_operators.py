@@ -1196,7 +1196,9 @@ def test_bpe_batched_equals_sequential(spark):
 
 def test_bpe_batched_runs_fewer_rounds(spark, monkeypatch):
     """The probe for VERDICT #2's 'done' bar: 32 merges at batch=8 must
-    take ≥4× fewer counting rounds (Spark actions) than sequential."""
+    take ≥4× fewer counting rounds (Spark actions) than sequential.
+    _BPE_LOCAL_LIMIT is forced to -1 so the DISTRIBUTED rounds (the path
+    this test probes) engage despite the r14 driver-local fast path."""
     import syscol_spark.operators.bpe as bpe
 
     calls = {"n": 0}
@@ -1207,6 +1209,7 @@ def test_bpe_batched_runs_fewer_rounds(spark, monkeypatch):
         return real(words, batch)
 
     monkeypatch.setattr(bpe, "_round_top_pairs", counting)
+    monkeypatch.setattr(bpe, "_BPE_LOCAL_LIMIT", -1)
     df = spark.createDataFrame(
         [("the quick brown fox jumps over the lazy dog while many other words "
           "keep pair counts diverse enough for thirty two merges to exist",)],
@@ -1221,6 +1224,34 @@ def test_bpe_batched_runs_fewer_rounds(spark, monkeypatch):
     assert seq == 32 and bat == 32
     assert seq_rounds == 32
     assert bat_rounds * 4 <= seq_rounds, (seq_rounds, bat_rounds)
+
+
+def test_bpe_local_trainer_matches_distributed(spark, monkeypatch):
+    """r14: learn_bpe_merges grew a driver-local fast path (bounded collect
+    of the vocab table + pure-Python rounds). It must be bit-identical to
+    the distributed rounds — same merges, same order, same counts — at
+    batch=1 AND batch>1, including merge-with-skip corners (consecutive
+    pairs) and the '|' / multi-char symbol handling."""
+    import syscol_spark.operators.bpe as bpe
+
+    df = spark.createDataFrame(
+        [("banana bandana abab ababab the the the quick brown fox ba|na",),
+         ("low lower lowest newest widest banana abab cabab",)],
+        "text string",
+    )
+
+    def table(batch):
+        return [
+            (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["freq"])
+            for r in bpe.learn_bpe_merges(df, "text", n_merges=10, batch=batch).collect()
+        ]
+
+    local_seq, local_bat = table(1), table(4)
+    monkeypatch.setattr(bpe, "_BPE_LOCAL_LIMIT", -1)  # force distributed
+    dist_seq, dist_bat = table(1), table(4)
+    assert local_seq == dist_seq
+    assert local_bat == dist_bat
+    assert len(local_seq) == 10
 
 
 def test_vocab_tokenize_longest_maximal_munch(spark):
