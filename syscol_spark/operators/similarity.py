@@ -103,8 +103,25 @@ def mmr_topk(
             "query_id", "cand_id", "sel_id",
             F.round(cosine_similarity("__va", "__vb"), 6).alias("sim"),
         )
-        .localCheckpoint()
     )
+    # Driver-local greedy (r14): the MMR state is BOUNDED BY DESIGN —
+    # queries are broadcast-small (brute_force_topk's contract) and the
+    # per-query pool is `shortlist` rows, so (query, cand, simq) plus the
+    # in-shortlist pair table are a few thousand rows. When the shortlist
+    # fits the bound, pull both (the pair COSINES are still computed
+    # on-plan with the same F.round, so every emitted float is produced by
+    # the exact expressions the distributed loop used) and run the k-step
+    # greedy in Python: 3 Spark actions total instead of one
+    # join+window+checkpoint round per selection step (the k=5 catalog
+    # query ran ~50 jobs; the greedy arithmetic lam*simq - (1-lam)*pen is
+    # the same two IEEE-double ops in either runtime, ties on cand_id —
+    # trajectories are bit-identical, pinned by
+    # test_mmr_local_matches_distributed). Oversized shortlists keep the
+    # distributed loop below.
+    sv_rows = sv.limit(_MMR_LOCAL_LIMIT + 1).collect()
+    if len(sv_rows) <= _MMR_LOCAL_LIMIT:
+        return _mmr_greedy_local(sv, sv_rows, pairs.collect(), k, lam)
+    pairs = pairs.localCheckpoint()
     w1 = Window.partitionBy("query_id").orderBy(F.col("simq").desc(), F.col("cand_id"))
     selected = (
         sv.select("*", F.row_number().over(w1).alias("__rk"))
@@ -133,6 +150,61 @@ def mmr_topk(
     return selected.select(
         "query_id", F.col("cand_id").alias("neighbor_id"), "simq", "step"
     )
+
+
+#: bound for mmr_topk's driver-local greedy: 10k (query, cand) shortlist
+#: rows → ≤ 10k * shortlist pair rows collected (a few MB). Above it the
+#: distributed per-step loop runs unchanged.
+_MMR_LOCAL_LIMIT = 10_000
+
+
+def _mmr_greedy_local(sv, sv_rows: list, pair_rows: list, k: int, lam: float):
+    """Pure-Python twin of mmr_topk's distributed selection loop over the
+    collected shortlist. Inputs are the SAME engine-computed 6dp-rounded
+    cosines the distributed loop consumes; the per-step arithmetic
+    (lam*simq - (1-lam)*pen, double precision) and tie-breaks
+    ((score desc, cand_id) / step-1 (simq desc, cand_id)) are replicated
+    op-for-op, so the greedy trajectory is bit-identical."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    one_minus = 1.0 - lam  # precomputed ONCE, as F.lit(1.0 - lam) was
+    by_q: dict = {}
+    for r in sv_rows:
+        by_q.setdefault(r["query_id"], []).append((r["cand_id"], r["simq"]))
+    sim: dict = {}
+    for r in pair_rows:
+        sim[(r["query_id"], r["cand_id"], r["sel_id"])] = r["sim"]
+    out = []
+    for qid, cands in by_q.items():
+        # step 1: plain relevance, ties to the lowest cand_id
+        first = min(cands, key=lambda c: (-c[1], c[0]))
+        selected = [first]
+        remaining = {c for c in cands if c[0] != first[0]}
+        for step in range(2, k + 1):
+            best = None
+            for cand_id, simq in remaining:
+                pen = max(sim[(qid, cand_id, s[0])] for s in selected)
+                score = lam * simq - one_minus * pen
+                key = (-score, cand_id)
+                if best is None or key < best[0]:
+                    best = (key, cand_id, simq)
+            if best is None:
+                break
+            selected.append((best[1], best[2]))
+            remaining = {c for c in remaining if c[0] != best[1]}
+        out.extend(
+            (qid, cand_id, simq, step + 1)
+            for step, (cand_id, simq) in enumerate(selected)
+        )
+    schema = StructType(
+        [
+            sv.schema["query_id"],
+            StructField("neighbor_id", sv.schema["cand_id"].dataType),
+            StructField("simq", DoubleType()),
+            StructField("step", LongType()),
+        ]
+    )
+    return sv.sparkSession.createDataFrame(out, schema)
 
 
 def _srp_plane(dim: int, plane: int, seed: int = 42) -> list[float]:

@@ -66,6 +66,11 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
         .distinct()
+        # materialize ONCE (r14): four consumers (freq, basket count, both
+        # join sides) re-planned the scan+distinct up to 4x — measured
+        # 3.8 -> 2.7 s at sf0.1, and one lineitem pass instead of four at
+        # any scale
+        .localCheckpoint()
     )
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("supp")).filter(F.col("supp") >= 3)
     n = items.agg(F.countDistinct("basket").alias("n_baskets"))
@@ -1476,6 +1481,10 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
         .distinct()
+        # materialize ONCE (r14): three consumers (per-item counts + both
+        # sides of the basket self-join) each re-planned the scan+distinct
+        # — one pass over lineitem instead of three at any scale
+        .localCheckpoint()
     )
     cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     left = items.select("basket", F.col("item").alias("item_a"))

@@ -2035,17 +2035,22 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    tok = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(tokens("text")).alias("token"))
+    docs = _docs(spark, sf_dir)
+    # dl = per-doc token count — computed as size(tokens) on the UN-exploded
+    # frame (r14): identical rows to groupBy-count over the explode (explode
+    # emits exactly size(arr) rows; split() never yields an empty array, and
+    # the >=1 filter reproduces explode's null-text drop) with ZERO shuffle
+    # and no second tokenize pass over the corpus.
+    dl = docs.select("doc_id", F.size(tokens("text")).alias("dl")).filter(
+        F.col("dl") >= 1
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token").isin(*_BM25_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -3131,18 +3136,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tk") != "")
         .select("doc_id", "is_target", F.pmod(token_int(F.col("tk")), F.lit(256)).alias("b"))
     )
-    tgt = tok.filter("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    rawc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tots = rawc.crossJoin(tgt.agg(F.sum("ct").alias("tt"))).groupBy("tt").agg(
-        F.sum("cr").alias("tr")
+    # ONE conditional aggregation derives both the target and raw bucket
+    # counts (r14 — was two separate groupBys over the exploded token
+    # stream plus a rawc⋈tgt re-join): ct = 0 rows now exist explicitly,
+    # which is exactly what the old left join's coalesce(ct, 0) produced,
+    # so every log-ratio input is the same integer.
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
     )
+    tots = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     lr = (
-        rawc.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        counts.crossJoin(F.broadcast(tots))
         .select(
             "b",
             (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + 256.0))
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + 256.0))
                 - F.log((F.col("cr") + 1.0) / (F.col("tr") + 256.0))
             ).alias("w"),
         )

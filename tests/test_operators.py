@@ -145,6 +145,30 @@ def test_dedup_clusters_two_components(spark):
     assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
 
 
+def test_dedup_clusters_local_matches_distributed(spark, monkeypatch):
+    """r14: dedup_clusters grew a driver-local union-find under an edge
+    bound. Labels, sizes, and schema must match the distributed min-label
+    propagation on a graph with a chain (diameter > 1), a triangle-with-
+    tail, and singleton-free isolation."""
+    import syscol_spark.operators.dedup as D
+
+    edges = [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (11, 12), (10, 12),
+             (12, 13), (20, 21)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    def run():
+        out = D.dedup_clusters(pairs)
+        assert [f.name for f in out.schema.fields] == ["id", "cluster", "cluster_size"]
+        assert out.schema["cluster_size"].dataType.simpleString() == "bigint"
+        return sorted((r["id"], r["cluster"], r["cluster_size"]) for r in out.collect())
+
+    local = run()
+    monkeypatch.setattr(D, "_CC_LOCAL_LIMIT", -1)  # force distributed rounds
+    dist = run()
+    assert local == dist
+    assert local[0] == (1, 1, 5)
+
+
 def test_cosine_similarity_known_values(spark):
     from syscol_spark.functions.vectors import cosine_similarity
 
@@ -1252,6 +1276,36 @@ def test_bpe_local_trainer_matches_distributed(spark, monkeypatch):
     assert local_seq == dist_seq
     assert local_bat == dist_bat
     assert len(local_seq) == 10
+
+
+def test_mmr_local_matches_distributed(spark, monkeypatch):
+    """r14: mmr_topk grew a driver-local greedy under a shortlist bound.
+    The selection trajectory (ids, steps, simq) must be bit-identical to
+    the distributed join+window loop on a corpus with near-duplicate
+    clusters (so the diversity penalty actually changes picks)."""
+    import math
+
+    import syscol_spark.operators.similarity as sim
+
+    rows = []
+    for i in range(40):
+        base = [math.sin(0.7 * i + 0.13 * j) for j in range(8)]
+        rows.append((i, [float(v) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id < 3")
+
+    def run():
+        out = sim.mmr_topk(df, queries, k=4, shortlist=10, lam=0.6)
+        return sorted(
+            (r["query_id"], r["step"], r["neighbor_id"], r["simq"])
+            for r in out.collect()
+        )
+
+    local = run()
+    monkeypatch.setattr(sim, "_MMR_LOCAL_LIMIT", -1)  # force distributed loop
+    dist = run()
+    assert local == dist
+    assert len(local) == 3 * 4
 
 
 def test_vocab_tokenize_longest_maximal_munch(spark):
