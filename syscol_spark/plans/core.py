@@ -707,17 +707,26 @@ def q_hll_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "shard", F.pmod(F.col("l_orderkey"), F.lit(3))
     )
+    # Dedup EARLY and materialize once (r14): both consumers (per-shard
+    # sketches and the exact corpus count) only need DISTINCT
+    # (flag, shard, part) triples — HLL updates are idempotent per value,
+    # so a sketch over the deduped rows is byte-identical, and countDistinct
+    # is unchanged by construction. One lineitem scan + one distinct
+    # shuffle instead of two full scans each re-aggregating raw rows.
+    base = (
+        li.select("l_returnflag", "shard", "l_partkey").distinct().localCheckpoint()
+    )
     # per-shard sketch table: what each daily job would persist
-    shard_sketches = li.groupBy("l_returnflag", "shard").agg(
+    shard_sketches = base.groupBy("l_returnflag", "shard").agg(
         F.hll_sketch_agg("l_partkey", 14).alias("sketch"),
-        F.countDistinct("l_partkey").alias("shard_exact"),
+        F.count(F.lit(1)).alias("shard_exact"),
     )
     merged = shard_sketches.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_est"),
         F.count(F.lit(1)).alias("n_shards"),
         F.sum("shard_exact").alias("sum_shard_exact"),
     )
-    exact = li.groupBy("l_returnflag").agg(
+    exact = base.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts")
     )
     return exact.join(merged, "l_returnflag").select(

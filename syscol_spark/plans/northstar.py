@@ -1974,7 +1974,15 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Materialize tf once (r14): its three consumers (dfreq, the n_docs
+    # 1-row aggregate, and the scored join) each re-planned the corpus
+    # scan + explode + groupBy — 3 document scans and 3 token shuffles for
+    # one logical pass. Same rows, one pass.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
@@ -2169,7 +2177,11 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
     ).select("doc_id", F.expr("substr(text, i, 2)").alias("bg"))
-    cnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # Materialize the ALPHABET-bounded bigram-count model once (r14): its
+    # two consumers (the broadcast model join and the total/vocab 1-row
+    # aggregate) each re-planned the whole-corpus char explode — 3 corpus
+    # explodes for 2 logical passes. Same rows, one training pass.
+    cnt = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     model = cnt.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
@@ -3059,16 +3071,34 @@ def q_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     vocab = [r["merged"] for r in learn_bpe_merges(d, "text", n_merges=8).collect()]
-    tok = vocab_tokenize_longest(d, "text", vocab).select(
-        "source",
-        F.size(F.filter(tokens("text"), lambda x: x != "")).alias("n_words"),
+    # Segment each DISTINCT word once, not every corpus occurrence (r14,
+    # guide §8 "decide on small rows"): maximal munch depends only on the
+    # word, so run the char-level fold over the vocabulary-sized distinct
+    # table and join the per-word (n_toks, n_multi) back onto exact
+    # per-(source, word) occurrence counts. Sums are exact integers —
+    # sum(cnt * per_word) == sum over occurrences — so the result is
+    # identical by construction.
+    occ = (
+        d.select("source", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg = vocab_tokenize_longest(
+        occ.select("word").distinct().withColumnRenamed("word", "text"), "text", vocab
+    ).select(
+        F.col("text").alias("word"),
         F.size("vocab_syms").alias("n_syms"),
         F.size(F.filter(F.col("vocab_syms"), lambda t: F.length(t) > 1)).alias("n_multi"),
     )
-    return tok.groupBy("source").agg(
-        F.sum("n_words").alias("n_words"),
-        F.sum("n_syms").alias("n_symbols"),
-        F.sum("n_multi").alias("n_multi_tokens"),
+    return (
+        occ.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms")).alias("n_symbols"),
+            F.sum(F.col("cnt") * F.col("n_multi")).alias("n_multi_tokens"),
+        )
     )
 
 
@@ -3281,19 +3311,40 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["left_sym"], r["right_sym"])
         for r in learn_bpe_merges(d, "text", n_merges=8).collect()
     ]
-    tok = apply_bpe_merges(d, "text", merges).select(
-        "source",
-        F.size("bpe_syms").alias("syms"),
-        F.size(F.filter(tokens("text"), lambda x: x != "")).alias("n_words"),
-        F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).alias("chrs"),
+    # Replay the merge chain on each DISTINCT word once (r14, guide §8):
+    # BPE application depends only on the word, so the per-char fold runs
+    # over the vocabulary-sized distinct table and per-word symbol/char
+    # counts join back onto exact (source, word) occurrence counts. All
+    # sums are exact integers (n_chars per doc == sum of token lengths),
+    # so every output value is identical by construction.
+    occ = (
+        d.select("source", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return tok.groupBy("source").agg(
-        F.sum("n_words").alias("n_words"),
-        F.sum("chrs").alias("n_chars"),
-        F.sum("syms").alias("n_symbols"),
-        F.floor(F.lit(1_000_000.0) * F.sum("syms") / F.sum("chrs"))
-        .cast("long")
-        .alias("sym_per_char_micro"),
+    seg = apply_bpe_merges(
+        occ.select("word").distinct().withColumnRenamed("word", "text"), "text", merges
+    ).select(
+        F.col("text").alias("word"),
+        F.size("bpe_syms").alias("syms"),
+        F.length("text").alias("chrs"),
+    )
+    return (
+        occ.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("chrs")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("syms")).alias("n_symbols"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.sum(F.col("cnt") * F.col("syms"))
+                / F.sum(F.col("cnt") * F.col("chrs"))
+            )
+            .cast("long")
+            .alias("sym_per_char_micro"),
+        )
     )
 
 
@@ -3538,13 +3589,20 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adjacent pairs WITHOUT a self-join: lead() over the in-doc order —
     # one shuffle on doc_id instead of re-shuffling the token table twice
     w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = (
+    # ONE corpus pass (r14): every token position appears exactly once in
+    # the windowed frame, so the (token, next-token-or-null) count table
+    # determines BOTH the bigram counts (w2 not null) and the exact unigram
+    # counts (sum over w2) — previously uni/bi/tots each re-planned the
+    # scan+explode (5 document scans). The vocab²-bounded count table is
+    # materialized once and all four consumers read it.
+    bi_n = (
         tok.withColumn("w2", F.lead("token").over(w))
-        .filter(F.col("w2").isNotNull())
         .groupBy(F.col("token").alias("w1"), "w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint()
     )
-    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    bi = bi_n.filter(F.col("w2").isNotNull())
+    uni = bi_n.groupBy(F.col("w1").alias("token")).agg(F.sum("n_ab").alias("n"))
     tots = uni.agg(F.sum("n").alias("n_uni")).crossJoin(
         bi.agg(F.sum("n_ab").alias("n_bi"))
     )

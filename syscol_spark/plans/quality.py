@@ -334,14 +334,23 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.prev", "p.next")
     )
-    cnt = bg.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus pass (r14): materialize the bigram-vocabulary-bounded count
+    # table; its three consumers (ctx top-5, the vocab 1-row aggregate, and
+    # the ranked join) each re-planned the corpus scan + explode. vocab =
+    # COUNT(DISTINCT next) is identical over cnt and over the raw pair
+    # stream by construction (grouping preserves the distinct key set).
+    cnt = (
+        bg.groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     ctx = (
         cnt.groupBy("prev")
         .agg(F.sum("cnt").alias("ctx_total"))
         .orderBy(F.desc("ctx_total"), "prev")
         .limit(5)
     )
-    v = bg.agg(F.countDistinct("next").alias("vocab"))
+    v = cnt.agg(F.countDistinct("next").alias("vocab"))
     ranked = (
         cnt.join(broadcast(ctx), "prev")
         .join(broadcast(v))
@@ -401,19 +410,32 @@ _VOCAB_K = 100
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    # ONE corpus pass (r14): aggregate to the (lang, token) count table
+    # first and derive BOTH the top-K vocabulary and the per-language
+    # coverage from it — previously the vocab subtree and the coverage
+    # aggregate each re-planned the corpus scan + explode. All sums are
+    # exact integers over the same token multiset, so the output is
+    # identical by construction.
+    lt = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()
+    )
     vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        lt.groupBy("token")
+        .agg(F.sum("__c").alias("__n"))
         .orderBy(F.desc("__n"), "token")
         .limit(_VOCAB_K)
         .select("token", F.lit(1).alias("__in_v"))
     )
     return (
-        tok.join(broadcast(vocab), "token", "left")
+        lt.join(broadcast(vocab), "token", "left")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("total_tokens"),
-            F.sum(F.coalesce(F.col("__in_v"), F.lit(0))).alias("covered_tokens"),
+            F.sum("__c").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("__in_v"), F.lit(0)) * F.col("__c")).alias(
+                "covered_tokens"
+            ),
         )
         .select(
             "lang",
@@ -473,10 +495,13 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.substring(
         F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
     ).cast("int")
+    # 9-row count table materialized once (r14): the total subtree
+    # re-planned the full lineitem scan for a SUM over 9 rows.
     counts = (
         li.select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     total = counts.agg(F.sum("n").alias("t"))
     expected = F.element_at(
