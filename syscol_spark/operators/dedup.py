@@ -372,20 +372,26 @@ def simhash(
     else:
         h = F.xxhash64("tok")
     hashed = exploded.select("id", h.alias("h"))
-    # bit-63 mask as a signed-long literal is MIN_LONG (two's complement)
-    masks = [(1 << bit) - (1 << 64 if bit == 63 else 0) for bit in range(n_bits)]
+    # The n_bits aggregate expressions and the n_bits-term OR fold are built
+    # as PARSED SQL strings, not Column-API calls: each F.when/bitwiseOR/lit
+    # chain costs py4j round trips, and 2x60 of them measured ~1.8s of pure
+    # DRIVER wall per build (r14, same finding as _matrix_lit). shiftleft(1L,
+    # bit) is the same signed-long mask the two's-complement literal list
+    # produced (bit 63 -> MIN_LONG), constant-folded at optimization time, so
+    # the evaluated plan is unchanged.
     sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
-        ).alias(f"_b{i}")
-        for i, m in enumerate(masks)
+        F.expr(
+            f"sum(CASE WHEN (h & shiftleft(1L, {bit})) != 0 THEN 1 ELSE -1 END)"
+        ).alias(f"_b{bit}")
+        for bit in range(n_bits)
     ]
     agged = hashed.groupBy("id").agg(*sums)
-    fingerprint = F.lit(0).cast("long")
-    for i, m in enumerate(masks):
-        fingerprint = fingerprint.bitwiseOR(
-            F.when(F.col(f"_b{i}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+    fingerprint = F.expr(
+        "0L | " + " | ".join(
+            f"(CASE WHEN _b{bit} > 0 THEN shiftleft(1L, {bit}) ELSE 0L END)"
+            for bit in range(n_bits)
         )
+    )
     return agged.select("id", fingerprint.alias("simhash"))
 
 

@@ -1261,18 +1261,17 @@ def pq_codes(
             df.select("id", "vec"), dim=dim, n_subspaces=n_subspaces,
             n_centroids=n_centroids, max_iter=max_iter, train_stride=train_stride,
         )
-    code_cols = []
-    for s in range(n_subspaces):
-        sliced = F.slice(F.col("vec"), s * sub + 1, sub)
-        df = (
-            _assign_nearest(df.withColumn("__sub", sliced), "__sub", codebooks[s])
-            .withColumnRenamed("__cluster", f"c{s}")
-            .drop("__sub")
-        )
-        code_cols.append(f"c{s}")
+    # one fused Arrow crossing for all n_subspaces assignments (bit-identical
+    # to the former per-subspace _assign_nearest chain — see _pq_assign_codes)
+    df = df.withColumn("__codes", _pq_assign_codes(F.col("vec"), codebooks, sub))
+    code_cols = [
+        F.element_at("__codes", s + 1).alias(f"c{s}") for s in range(n_subspaces)
+    ]
     packed = F.lit(0).cast("long")
     for s in range(n_subspaces):
-        packed = packed.bitwiseOR(F.shiftleft(F.col(f"c{s}").cast("long"), s * bits))
+        packed = packed.bitwiseOR(
+            F.shiftleft(F.element_at("__codes", s + 1).cast("long"), s * bits)
+        )
     return df.select(
         F.col("id").alias(id_col), *code_cols, packed.alias("pq_code"), *passthrough
     )
@@ -1405,6 +1404,64 @@ def matrix_sqdists(vec: Column | str, matrix: list[list[float]]) -> Column:
     return _sqd(F.col(vec) if isinstance(vec, str) else vec)
 
 
+def _pq_assign_codes(vec: Column | str, codebooks: list[list[list[float]]], sub: int) -> Column:
+    """ALL n_subspaces PQ code assignments in ONE Arrow crossing, as an
+    array<int> column — replaces the chained per-subspace
+    slice → _assign_nearest loop, whose ~40 DataFrame/py4j transformations
+    cost a measured ~1.3 s of pure DRIVER plan-construction wall per index
+    build (r14). Arithmetic is replicated step-for-step so the codes are
+    bit-identical to the loop's: the sub-slice is made contiguous before
+    the same (batch, sub) @ (sub, k) dgemm matrix_dots ran, the half-norms
+    are the same Python-float sums _assign_nearest embedded as literals
+    (subtracted elementwise in float64, same as the JVM zip_with), and
+    np.argmax takes the first maximum exactly like
+    array_position(score, array_max(score)))."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats_t = [np.array(cb, dtype="float64").T for cb in codebooks]  # (sub, k) views
+    halfs = [
+        np.array([sum(x * x for x in row) / 2.0 for row in cb], dtype="float64")
+        for cb in codebooks
+    ]
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        b = np.stack(v.to_numpy()).astype("float64")  # (batch, dim)
+        out = np.empty((b.shape[0], len(mats_t)), dtype="int32")
+        for s, m_t in enumerate(mats_t):
+            sl = np.ascontiguousarray(b[:, s * sub:(s + 1) * sub])
+            score = sl @ m_t - halfs[s][None, :]
+            out[:, s] = np.argmax(score, axis=1)
+        return pd.Series(list(out))
+
+    return _codes(F.col(vec) if isinstance(vec, str) else vec)
+
+
+def _pq_dist_tables(vec: Column | str, codebooks: list[list[list[float]]], sub: int) -> Column:
+    """ALL n_subspaces ADC distance tables in ONE Arrow crossing, as an
+    array<array<double>> column (subspace-major) — replaces the
+    per-subspace slice → matrix_sqdists withColumn loop for the same
+    driver-wall reason as _pq_assign_codes. Per subspace the arithmetic is
+    matrix_sqdists' own ((b - m)**2).sum(axis=2) float64 broadcast over a
+    contiguous slice, so every table value is bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.array(cb, dtype="float64") for cb in codebooks]  # (k, sub)
+
+    @pandas_udf("array<array<double>>")
+    def _tables(v: pd.Series) -> pd.Series:
+        b = np.stack(v.to_numpy()).astype("float64")  # (batch, dim)
+        per_sub = []
+        for s, m in enumerate(mats):
+            sl = np.ascontiguousarray(b[:, s * sub:(s + 1) * sub])
+            per_sub.append(((sl[:, None, :] - m[None, :, :]) ** 2).sum(axis=2))
+        stacked = np.stack(per_sub, axis=1)  # (batch, n_subspaces, k)
+        # tolist(): exact float64 -> Python float -> Arrow double round trip
+        return pd.Series(stacked.tolist())
+
+    return _tables(F.col(vec) if isinstance(vec, str) else vec)
+
+
 def _adc_sum_fixed_order() -> Column:
     """Order-independent ADC distance aggregate for the bulk scorers: the
     per-subspace lookup terms are collected as (subspace, dist) structs,
@@ -1468,15 +1525,10 @@ def pq_adc_topk_bulk(
         max_iter=max_iter, train_stride=train_stride, codebooks=codebooks,
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    for s in range(n_subspaces):
-        q = q.withColumn(
-            f"__t{s}",
-            matrix_sqdists(F.slice(F.col("__qvec"), s * sub + 1, sub), codebooks[s]),
-        )
     tables = (
         q.select(
             "query_id",
-            F.posexplode(F.array(*[F.col(f"__t{s}") for s in range(n_subspaces)]))
+            F.posexplode(_pq_dist_tables(F.col("__qvec"), codebooks, sub))
             .alias("__ts", "__dists"),
         )
         .select(
@@ -1996,16 +2048,11 @@ def ivfpq_serve_bulk(
                 lambda a, b: a.cast("double") - b,
             ).alias("__qvec"),
         )
-    for s in range(n_subspaces):
-        qp = qp.withColumn(
-            f"__t{s}",
-            matrix_sqdists(F.slice(F.col("__qvec"), s * sub + 1, sub), codebooks[s]),
-        )
     tables = (
         qp.select(
             "query_id",
             "list_id",
-            F.posexplode(F.array(*[F.col(f"__t{s}") for s in range(n_subspaces)]))
+            F.posexplode(_pq_dist_tables(F.col("__qvec"), codebooks, sub))
             .alias("__ts", "__dists"),
         )
         .select(

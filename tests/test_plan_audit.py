@@ -227,9 +227,10 @@ _BOUNDED_AGG_BROADCAST_JUSTIFIED = {
     # per-token df over tokens FILTERED to a literal query-term list
     "q_bm25",
     "q_rank_fusion",
-    # char-bigram count table: group key is a 2-char substring, so the
-    # table is alphabet^2-bounded regardless of corpus size
-    "q_lm_perplexity",
+    # q_lm_perplexity dropped from this list in r14: its alphabet^2-bounded
+    # char-bigram count table is now materialised via localCheckpoint, so the
+    # audit no longer sees a grouped aggregation beneath the broadcast hint
+    # (the boundedness argument is unchanged, recorded at the builder).
     # Misra-Gries candidate set: capacity-bounded by construction
     "q_heavy_hitters",
     # benchmark n-gram set: bounded by the (small) decontamination bench
