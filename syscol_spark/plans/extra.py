@@ -625,25 +625,12 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="triangle counting on the co-purchase graph (edge weight >= 2)",
 )
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .drop("w")
-        # materialize ONCE: the triangle join consumes the edge list three
-        # times (e1/e2/e3), and the distinct + self-join + groupBy that
-        # builds it would otherwise run per consumer
-        .localCheckpoint()
-    )
+    # edges via the shared basket-array pair stream (r14): one shuffle, no
+    # per-basket self-join — see mining._pairs_from_arrays. Checkpointed
+    # because the triangle join consumes the edge list three times.
+    from syscol_spark.plans.mining import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))

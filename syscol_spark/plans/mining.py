@@ -22,6 +22,59 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _basket_arrays(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """One row per basket with its DEDUPED, SORTED item array (`__items`).
+    The single groupBy(basket) shuffle replaces the distinct-projection
+    exchange that every basket-pair consumer used to pay separately; the
+    per-basket set is bounded by max basket size, so the array is too."""
+    return df.groupBy(F.col(basket_col).alias("__basket")).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+
+
+def _pairs_from_arrays(arrays: DataFrame) -> DataFrame:
+    """(pa, pb) with pa < pb, one row per (basket, unordered pair) — the
+    exact pair multiset of the former self-join `a JOIN b ON same basket
+    AND a.item < b.item` over DISTINCT (basket, item), produced array-side
+    with NO join (r14, guide §2.4): the sorted deduped array emits each
+    pair once via nested transform, so the distinct exchange + two-sided
+    join exchange + SortMergeJoin collapse into _basket_arrays' single
+    shuffle. The quadratic step stays bounded by max basket size, exactly
+    as the join's per-key bucket was. `__items` is an aggregate output
+    attribute, not an inlined expression, so lambda re-evaluation
+    (CollapseProject) cannot multiply work."""
+    return arrays.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("__p")
+    ).select("__p.pa", "__p.pb")
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared co-purchase edge list (pa < pb, co-occurrence >= 2),
+    CHECKPOINTED — q_label_prop / q_bfs_khop / q_copurchase_triangles all
+    consume it repeatedly (both directions x rounds, or three triangle
+    sides)."""
+    pairs = _pairs_from_arrays(
+        _basket_arrays(
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            "l_orderkey",
+            "l_partkey",
+        )
+    )
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+        .localCheckpoint()
+    )
+
+
 # --- association rules (market basket) ---------------------------------------
 # Apriori-shaped frequent-pair mining over order baskets: frequent single
 # items first (support prune — the classic anti-monotone cut), THEN pair
@@ -62,34 +115,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     description="Apriori frequent-pair association rules with confidence/lift over order baskets",
 )
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
-        .distinct()
-        # materialize ONCE (r14): four consumers (freq, basket count, both
-        # join sides) re-planned the scan+distinct up to 4x — measured
-        # 3.8 -> 2.7 s at sf0.1, and one lineitem pass instead of four at
-        # any scale
-        .localCheckpoint()
+    # basket arrays materialized ONCE (r14): freq, the basket count and the
+    # pair stream all read the checkpointed per-basket item sets — one
+    # lineitem pass + one groupBy(basket) shuffle replaces the former
+    # distinct checkpoint + two-sided basket self-join (guide §2.4).
+    baskets = _basket_arrays(
+        _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ),
+        "basket",
+        "item",
+    ).localCheckpoint()
+    freq = (
+        baskets.select(F.explode("__items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 3)
     )
-    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("supp")).filter(F.col("supp") >= 3)
-    n = items.agg(F.countDistinct("basket").alias("n_baskets"))
+    # one row per basket by construction, so COUNT(*) == COUNT(DISTINCT basket)
+    n = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     # The frequent-item table scales with the part catalog (linear in SF —
     # ~20e9 items at the 100 TB point), far beyond broadcastable: leave the
     # equi-joins UN-hinted and let AQE broadcast when the runtime size fits,
     # shuffle when it doesn't. Only the 1-row global count is hinted.
     fa = freq.select(F.col("item").alias("item_a"), F.col("supp").alias("supp_a"))
     fb = freq.select(F.col("item").alias("item_b"), F.col("supp").alias("supp_b"))
-    left = items.join(freq.select("item"), "item").select(
-        "basket", F.col("item").alias("item_a")
-    )
-    right = items.join(freq.select("item"), "item").select(
-        "basket", F.col("item").alias("item_b")
-    )
+    # pair counts no longer prefilter to frequent items: pair_supp of any
+    # surviving pair is the basket co-occurrence count either way, and the
+    # inner joins on fa/fb below apply exactly the old frequent-only cut.
+    # (With a fixed support floor the Apriori prune removes a vanishing
+    # fraction at scale, while pair volume stays basket-size-bounded.)
     pairs = (
-        left.join(right, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        _pairs_from_arrays(baskets)
+        .groupBy(F.col("pa").alias("item_a"), F.col("pb").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("pair_supp"))
         .filter(F.col("pair_supp") >= 2)
     )
@@ -876,36 +934,26 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="3-round synchronous label propagation on the co-purchase graph (deterministic ties)",
 )
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .drop("w")
-        # consumed twice (both directions) per round x 3 rounds
-        .localCheckpoint()
-    )
+    # edges via the shared basket-array pair stream (r14): one shuffle,
+    # no self-join — see _copurchase_edges / _pairs_from_arrays
+    edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     lbl = sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    top1 = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
     for _ in range(3):
         cnt = (
             sym.join(lbl.select(F.col("node").alias("v"), "lbl"), "v")
             .groupBy(F.col("u").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        lbl = (
-            cnt.withColumn("rk", F.row_number().over(top1))
-            .filter(F.col("rk") == 1)
-            .select("node", "lbl")
+        # argmax by (c DESC, lbl ASC) as ONE aggregate (r14): max_by over
+        # the struct (c, -lbl) picks the same winner as the former
+        # row_number window (ties only at equal c AND equal lbl = same
+        # row), but gets map-side partial aggregation instead of a full
+        # (node)-partitioned sort — one lighter exchange per round.
+        lbl = cnt.groupBy("node").agg(
+            F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl")
         )
     return (
         lbl.groupBy(F.col("lbl").alias("community"))
@@ -1406,39 +1454,45 @@ def q_ev_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .drop("w")
-        # consumed in both directions for each of 3 BFS rounds
-        .localCheckpoint()
-    )
+    # edges via the shared basket-array pair stream (r14): one shuffle,
+    # no self-join — see _copurchase_edges / _pairs_from_arrays
+    edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     seeds = (
         sym.select("u").distinct().orderBy("u").limit(5).select(F.col("u").alias("seed"))
     )
-    reach = seeds.withColumn("node", F.col("seed"))
-    counts = []
+    # min-hop BFS (r14): carry each node's FIRST-reached hop instead of a
+    # plain distinct set. The reach set after round k is identical (a node
+    # is in the cumulative union iff its min hop <= k), but (a) only the
+    # FRONTIER (hop == k-1) needs expanding — any neighbor of an earlier
+    # layer is already present, the standard BFS invariant — and (b) all
+    # three per-hop counts fall out of ONE final aggregation over min-hop
+    # instead of three groupBy+join legs (29 -> fewer jobs, 3 fewer AQE
+    # join stages).
+    reach = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("hop"))
     for hop in (1, 2, 3):
-        expanded = reach.join(sym, reach.node == sym.u).select("seed", F.col("v").alias("node"))
-        reach = reach.unionAll(expanded).distinct().localCheckpoint()
-        counts.append(
-            reach.groupBy("seed").agg((F.count(F.lit(1)) - 1).alias(f"n_{hop}hop"))
+        frontier = reach.filter(F.col("hop") == hop - 1)
+        expanded = frontier.join(sym, frontier.node == sym.u).select(
+            "seed", F.col("v").alias("node"), F.lit(hop).alias("hop")
         )
-    out = seeds
-    for c in counts:
-        out = out.join(c, "seed")
-    return out.orderBy("seed")
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("seed", "node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint()
+        )
+    return (
+        reach.groupBy("seed")
+        .agg(
+            *[
+                (F.sum((F.col("hop") <= h).cast("long")) - 1).alias(f"n_{h}hop")
+                for h in (1, 2, 3)
+            ]
+        )
+        .orderBy("seed")
+    )
 
 
 # --- item-item collaborative filtering ----------------------------------------
@@ -1477,22 +1531,26 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
-        .distinct()
-        # materialize ONCE (r14): three consumers (per-item counts + both
-        # sides of the basket self-join) each re-planned the scan+distinct
-        # — one pass over lineitem instead of three at any scale
-        .localCheckpoint()
+    # basket arrays materialized ONCE (r14): the per-item counts and the
+    # pair stream both read the checkpointed per-basket item sets — one
+    # groupBy(basket) shuffle replaces the distinct checkpoint + two-sided
+    # basket self-join (guide §2.4); pair multiset identical by
+    # construction (see _pairs_from_arrays).
+    baskets = _basket_arrays(
+        _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        ),
+        "basket",
+        "item",
+    ).localCheckpoint()
+    cnt = (
+        baskets.select(F.explode("__items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
-    left = items.select("basket", F.col("item").alias("item_a"))
-    right = items.select("basket", F.col("item").alias("item_b"))
     pairs = (
-        left.join(right, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        _pairs_from_arrays(baskets)
+        .groupBy(F.col("pa").alias("item_a"), F.col("pb").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )

@@ -495,15 +495,16 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.substring(
         F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
     ).cast("int")
-    # 9-row count table materialized once (r14): the total subtree
-    # re-planned the full lineitem scan for a SUM over 9 rows.
+    # ONE lineitem scan (r14): the grand total is a global window over the
+    # 9-row digit count table, so the total subtree no longer re-plans the
+    # full scan — and unlike a checkpoint, the parquet scan (with its
+    # pruned ReadSchema) stays in the final plan for the audit.
     counts = (
         li.select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .withColumn("t", F.sum("n").over(Window.partitionBy()))
     )
-    total = counts.agg(F.sum("n").alias("t"))
     expected = F.element_at(
         F.create_map(
             *[x for d, ppm in _BENFORD_PPM.items() for x in (F.lit(d), F.lit(ppm))]
@@ -511,7 +512,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("digit"),
     ).cast("long")
     return (
-        counts.join(broadcast(total))
+        counts
         .select(
             "digit",
             "n",
