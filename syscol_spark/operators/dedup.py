@@ -850,18 +850,24 @@ def duplicated_span_stats(
     ex = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(grams).alias("gram")
     )
-    dup_grams = (
-        ex.groupBy("gram")
-        .agg(F.count_distinct("id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
+    # ONE corpus pass (r14, guide §2.3/§2.4): aggregate to (id, gram)
+    # occurrence counts first — then nd (the number of DISTINCT docs
+    # containing the gram) is a plain COUNT window over gram, because g2
+    # has exactly one row per (id, gram). The former shape re-planned the
+    # tokenize+md5+explode subtree twice (dup-gram aggregate + mark join)
+    # and paid a join; this is three narrow exchanges, no join, and the
+    # per-doc sums are exact integers over the same span multiset.
+    g2 = ex.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("occ"))
+    marked = g2.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
-    marked = ex.join(dup_grams.withColumn("__dup", F.lit(1)), "gram", "left")
     return (
         marked.groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup_spans"),
+            F.sum("occ").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("occ")).otherwise(F.lit(0))).alias(
+                "n_dup_spans"
+            ),
         )
         .filter(F.col("n_dup_spans") >= 1)
         .select(

@@ -50,7 +50,6 @@ Exactness around the bound's edges:
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -87,41 +86,40 @@ def _distinct_qgrams_minpos(col: F.Column, q: int) -> F.Column:
     )
 
 
-def _location_cutoff_udf(max_dist: int, q: int, cap: int):
-    """Arrow-batched per-string prefix cutoff (Ed-Join location-based
-    prefix, Xiao et al. VLDB'08 §4): scanning the string's distinct grams
-    in global (df, gram) order, the prefix may STOP as soon as it contains
+def _location_cutoff_expr(gp_col: str, max_dist: int, q: int, cap: int) -> F.Column:
+    """Per-string prefix cutoff (Ed-Join location-based prefix, Xiao et
+    al. VLDB'08 §4) as a NATIVE fold over the collected (rn, pos) array —
+    no Python/Arrow in the plan (r14, guide §4; the former pandas_udf cost
+    a worker spin-up on the scoring stage and was the only Python node in
+    the operator). Scanning the string's distinct grams in global
+    (df, gram) order, the prefix may STOP as soon as it contains
     ``max_dist + 1`` grams whose min-positions are pairwise >= q apart —
     q-disjoint gram windows cannot share an edit, so a pair missing all of
     them needs > max_dist edits. Shrinks the prefix from kq+1 toward k+1
-    grams; candidate volume drops quadratically in that ratio. Returns the
-    rank of the completing gram, or ``cap`` when the string never
-    accumulates k+1 disjoint windows (keep the full count-bound prefix)."""
-    from pyspark.sql.functions import pandas_udf
-
+    grams; candidate volume drops quadratically in that ratio. Evaluates
+    to the rank of the completing gram, or ``cap`` when the string never
+    accumulates max_dist+1 disjoint windows (keep the full count-bound
+    prefix). The fold replicates the Arrow kernel step-for-step: append
+    the gram's min-pos, re-sort, greedy-count disjoint windows (start
+    sentinel -1e9, condition p >= last + q), latch the first completing
+    rn. Arrays are <= kq+1 (<= 25) elements, so the quadratic
+    re-evaluation inside the lambda is bounded and cheap."""
     need = max_dist + 1
-
-    @pandas_udf("int")
-    def _cut(gp: pd.Series) -> pd.Series:
-        out = []
-        for arr in gp:
-            poss: list[int] = []
-            t = cap
-            for item in arr:  # sorted by rn: struct(rn, pos)
-                poss.append(item["pos"])
-                poss.sort()
-                cnt, last = 0, -(10**9)
-                for p in poss:
-                    if p >= last + q:
-                        cnt += 1
-                        last = p
-                if cnt >= need:
-                    t = item["rn"]
-                    break
-            out.append(t)
-        return pd.Series(out, dtype="int32")
-
-    return _cut
+    greedy = (
+        "aggregate(array_sort(array_append(acc.poss, s.pos)), "
+        "named_struct('cnt', 0, 'last', -1000000000), "
+        f"(a, p) -> CASE WHEN p >= a.last + {q} "
+        "THEN named_struct('cnt', a.cnt + 1, 'last', p) ELSE a END).cnt"
+    )
+    return F.expr(
+        f"aggregate({gp_col}, "
+        "named_struct('poss', cast(array() as array<int>), "
+        f"'cut', cast({cap} as int), 'done', false), "
+        "(acc, s) -> CASE WHEN acc.done THEN acc ELSE named_struct("
+        "'poss', array_sort(array_append(acc.poss, s.pos)), "
+        f"'cut', CASE WHEN {greedy} >= {need} THEN cast(s.rn as int) ELSE acc.cut END, "
+        f"'done', {greedy} >= {need}) END).cut"
+    )
 
 
 def edit_distance_pairs(
@@ -184,13 +182,13 @@ def edit_distance_pairs(
     cuts = (
         counted.groupBy("__id")
         .agg(
-            F.sort_array(F.collect_list(F.struct("__rn", "pos"))).alias("gp")
+            F.sort_array(F.collect_list(F.struct("__rn", "pos")))
+            .cast("array<struct<rn:int,pos:int>>")
+            .alias("gp")
         )
         .select(
             "__id",
-            _location_cutoff_udf(max_dist, q, prefix_len)(
-                F.col("gp").cast("array<struct<rn:int,pos:int>>")
-            ).alias("__cut"),
+            _location_cutoff_expr("gp", max_dist, q, prefix_len).alias("__cut"),
         )
     )
     # checkpointed: the self-join reads this subtree twice and the sentinel

@@ -596,9 +596,15 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = part.filter(hash_bucket("p_partkey", 23) < _NEG_POOL_PPM).select(
         F.col("p_partkey").alias("neg_partkey")
     )
+    # Only the 5 heavy customers can survive the downstream anti-join, so
+    # semi-filter their orders FIRST (r14, guide §3.4 — pre-filter the big
+    # side): the order-lineitem join and the (custkey, partkey) distinct
+    # shuffle shrink from every customer's history to 5 customers' worth.
+    # Anti-join output is unchanged — rows for other custkeys never match.
     interacted = (
-        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("neg_partkey"))
+        orders.join(broadcast(heavy.select("custkey")), F.col("o_custkey") == F.col("custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("custkey", F.col("l_partkey").alias("neg_partkey"))
         .distinct()
     )
     cand = broadcast(heavy).crossJoin(pool).join(
