@@ -728,28 +728,28 @@ def winnow_dedup_delta(
     rescan. Output: new-new pairs once (id_a < id_b) plus new-old pairs in
     the (new, old) direction — minhash_dedup_delta's direction contract.
     """
+    # ONE tagged stream (r14, guide §2.4): the combined doc frequency is a
+    # single groupBy over the new∪old union (replacing two groupBys + a
+    # full outer join), the cap join back is paid once, and both pair
+    # directions come from ONE fp equi-join — a row filter on the tag
+    # ((new, new, a<b) once | (new, old) directed) reproduces the exact
+    # output contract. 8 exchanges of the same narrow (id, fp) rows -> 4.
     nf = new_fps.select(F.col(id_col).alias("id"), "fp")
     of = corpus_fps.select(F.col(id_col).alias("id"), "fp")
-    df_new = nf.groupBy("fp").agg(F.count(F.lit(1)).alias("__dn"))
-    df_old = of.groupBy("fp").agg(F.count(F.lit(1)).alias("__do"))
+    both = nf.withColumn("__new", F.lit(True)).unionByName(
+        of.withColumn("__new", F.lit(False))
+    )
     keep = (
-        df_new.join(df_old, "fp", "full")
-        .select(
-            "fp",
-            (F.coalesce(F.col("__dn"), F.lit(0)) + F.coalesce(F.col("__do"), F.lit(0))).alias(
-                "__df"
-            ),
-        )
+        both.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_doc_freq)
         .select("fp")
     )
-    kn = nf.join(keep, "fp")
-    ko = of.join(keep, "fp")
-    a = kn.select(F.col("id").alias("id_a"), "fp")
-    pairs = a.join(
-        kn.select(F.col("id").alias("id_b"), "fp"), "fp"
-    ).filter(F.col("id_a") < F.col("id_b")).unionByName(
-        a.join(ko.select(F.col("id").alias("id_b"), "fp"), "fp")
+    kb = both.join(keep, "fp")
+    a = kb.filter(F.col("__new")).select(F.col("id").alias("id_a"), "fp")
+    b = kb.select(F.col("id").alias("id_b"), F.col("__new").alias("__b_new"), "fp")
+    pairs = a.join(b, "fp").filter(
+        (F.col("__b_new") & (F.col("id_a") < F.col("id_b"))) | ~F.col("__b_new")
     )
     return (
         pairs.groupBy("id_a", "id_b")

@@ -72,11 +72,16 @@ def classify_by_ngram(
         .groupBy("id", "profile_lang")
         .agg(F.count(F.lit(1)).alias("score"))
     )
-    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("profile_lang"))
-    return (
-        scored.select("id", "profile_lang", "score", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") == 1)
-        .select("id", F.col("profile_lang").alias("predicted_lang"), "score")
+    # argmax by (score DESC, lang ASC) as ONE aggregate (r14): min_by over
+    # the struct (-score, lang) picks the same winner as the former
+    # row_number window — the struct is unique per group (one row per
+    # lang), so there is no tie to break — and gets map-side partial
+    # aggregation instead of a full per-id sort.
+    return scored.groupBy("id").agg(
+        F.expr("min_by(profile_lang, struct(-score, profile_lang))").alias(
+            "predicted_lang"
+        ),
+        F.max("score").alias("score"),
     )
 
 

@@ -678,7 +678,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("g_quality") & F.col("g_len") & F.col("is_canon") & F.col("is_clean")).alias(
             "g_clean"
         ),
-    )
+    # staged is consumed twice (the packing leg and the funnel aggregate),
+    # and its subtree is the expensive part — bpe_token_count,
+    # quality_score, PII regexes, plus the canonical-dup window's corpus
+    # shuffle. Materialize the NARROW (id, lang, count, 4 flags) result
+    # once (r14, guide §2.4) instead of re-planning all of it per consumer.
+    ).localCheckpoint()
     kept = staged.filter("g_clean").select("lang", "doc_id", "bpe_nt")
     packed = pack_sequences(
         kept, group_col="lang", id_col="doc_id", n_tokens=F.col("bpe_nt"), budget=_PACK_BUDGET

@@ -69,9 +69,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
-    supply = li.groupBy(
-        F.col("l_partkey").alias("sp_partkey"), F.col("l_suppkey").alias("sp_suppkey")
-    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     nation = broadcast(_t(spark, sf_dir, "nation"))
     region = broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
     esupp = (
@@ -80,9 +77,28 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    part = _t(spark, sf_dir, "part").filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
-    cand = supply.join(esupp, F.col("sp_suppkey") == F.col("s_suppkey")).join(
-        part, F.col("sp_partkey") == F.col("p_partkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    # Join BEFORE the pair aggregation (r14, guide §3.4 / §2.3): only pairs
+    # of a qualifying part and a EUROPE supplier survive the former
+    # post-aggregation inner joins, and both predicates are per-KEY (part
+    # attrs, supplier attrs), so dropping non-matching lineitems first
+    # cannot change any surviving pair's MIN unit cost. The aggregation
+    # shuffle carries the joint-selectivity slice instead of every
+    # (part, supplier) pair in the fact table; the dimension joins are
+    # un-hinted below the broadcast pair, so AQE picks broadcast when the
+    # filtered slices fit.
+    cand = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("__unit"),
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(esupp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("__unit").alias("cost"))
     )
     # correlated MIN decorrelated as a window over the candidate set: same
     # per-partkey supplier set as the subquery, one pass, no extra shuffle
