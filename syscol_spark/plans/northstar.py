@@ -2734,9 +2734,13 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     cents = kmeans_centroids(emb, k=8, max_iter=3, train_stride=4)
+    # narrow (cluster, vec_id) assignment materialized ONCE (r14): both
+    # consumers (cluster counts and the capped-sample aggregate) otherwise
+    # re-run the Arrow centroid-assignment pass over the full embedding
+    # table — the expensive part — while the checkpointed rows are 2 ints.
     assigned = _assign_nearest(emb, "embedding", cents).select(
         F.col("__cluster").alias("cluster"), "vec_id"
-    )
+    ).localCheckpoint()
     counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
     cap = counts.agg(
         F.ceil(F.sum("n_vecs").cast("double") / F.count(F.lit(1))).cast("long").alias("cap")
