@@ -270,8 +270,16 @@ def q_phrase_search_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_inverted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _postings(spark, sf_dir)
 
-    def partial(postings: DataFrame) -> DataFrame:
-        return postings.groupBy("term").agg(
+    # ONE corpus explode (r14, guide §2.3): the base and delta shards are
+    # two filters of the same posting stream, so the per-shard partials
+    # come from one groupBy(term, shard-tag) — the former two-branch shape
+    # re-planned the tokenize+posexplode pass per shard. countDistinct per
+    # (term, tag) equals the per-branch value because the tag IS the
+    # filter predicate; the shard-merge aggregate is unchanged.
+    partials = (
+        p.withColumn("__delta", F.col("doc_id") % 5 == 0)
+        .groupBy("term", "__delta")
+        .agg(
             # countDistinct is safe to SUM across shards because the shard
             # split is BY doc_id — a doc contributes to exactly one shard
             F.countDistinct("doc_id").alias("df"),
@@ -279,11 +287,9 @@ def q_inverted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.sum("pos").alias("pos_checksum"),
         )
-
-    base = partial(p.filter(F.col("doc_id") % 5 != 0))
-    delta = partial(p.filter(F.col("doc_id") % 5 == 0))
+    )
     merged = (
-        base.unionAll(delta)
+        partials
         .groupBy("term")
         .agg(
             F.sum("df").alias("df"),
