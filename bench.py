@@ -21,12 +21,13 @@ import pandas as pd  # noqa: F401 - module-level so pandas_udf hints resolve
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from syscol_spark.plans.catalog import QUERIES, _ensure_loaded  # noqa: E402
-from syscol_spark.session import get_session  # noqa: E402
+from syscol_spark.session import default_parallelism, get_session  # noqa: E402
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    cpus = default_parallelism()
     _ensure_loaded()
     spark = get_session("bench")
     # warm up the JVM/codegen and file listing so the first query's number
@@ -80,21 +81,31 @@ def main() -> None:
     # ---- degraded-window calibration guard (round-9 verdict ask #1a) ----
     # This box has externally noisy windows (r9's committed artifact was
     # +21% like-for-like vs r8 with zero code changes on the inflated
-    # paths). Before burning the budget on a sweep that measures the
-    # weather, time a pinned reference query (q01, untouched since round 2)
-    # min-of-3 against its best committed clean-window value; if it's
-    # inflated beyond the tolerance, retry after a pause, and if the window
-    # never clears, emit a "degraded window" artifact instead of numbers
-    # that would be mistaken for a regression. Best-effort throughout: a
-    # broken guard must never zero the artifact (the r3 warmup lesson).
-    # "off" skips the guard ENTIRELY (not just the abort): a disabled guard
-    # burning ~1-2 min of calibration attempts + 30 s sleeps in a window the
-    # operator already decided to measure anyway was pure waste (r10 advice).
-    if os.environ.get("SPARK_GRAFT_BENCH_GUARD", "on") == "off":
+    # paths; /proc/stat shows nonzero steal time, so drift is invisible to
+    # loadavg). Time two pinned reference queries (one JVM lane, one Arrow
+    # lane) min-of-3 against their best committed clean-window values and
+    # embed the ratios in the artifact.
+    #
+    # Round-15 contract change (r14 verdict ask #1): a degraded calibration
+    # NO LONGER suppresses the timings by default. In round 14 the guard
+    # aborted the driver's 32-core sweep at cal ratio 1.101 vs a 10%
+    # tolerance and the round lost its only same-core ground truth; degraded
+    # windows produced no record while lucky windows did. The sweep now runs
+    # regardless and the one-line JSON carries window_guard.degraded plus
+    # the cal ratios, so a consumer can discount the absolute numbers
+    # instead of receiving none. Modes (SPARK_GRAFT_BENCH_GUARD):
+    #   on (default) - calibrate, annotate, ALWAYS emit timings
+    #   abort        - legacy behavior: refuse to emit on a degraded window
+    #   off          - skip calibration entirely (saves ~1-2 min in a window
+    #                  the operator already decided to measure; r10 advice)
+    # Best-effort throughout: a broken guard must never zero the artifact
+    # (the r3 warmup lesson).
+    guard_mode = os.environ.get("SPARK_GRAFT_BENCH_GUARD", "on")
+    if guard_mode == "off":
         guard_info: dict = {"skipped": "SPARK_GRAFT_BENCH_GUARD=off", "degraded": False}
     else:
         guard_info = _window_guard(spark, sf_dir)
-    if guard_info.get("degraded"):
+    if _should_abort(guard_info, guard_mode):
         line = {
             "metric": "degraded_window_abort",
             "value": -1,
@@ -103,13 +114,20 @@ def main() -> None:
             "error": (
                 "calibration query exceeded tolerance vs committed clean-window"
                 " reference; refusing to record weather as regression"
-                " (set SPARK_GRAFT_BENCH_GUARD=off to force)"
+                " (SPARK_GRAFT_BENCH_GUARD=abort was set)"
             ),
             **guard_info,
         }
         _write_abort_record(line)
         print(json.dumps(line))
         return
+    if guard_info.get("degraded"):
+        print(
+            "# window guard: DEGRADED window (cal ratio"
+            f" {guard_info.get('cal_ratio')}) — timings will be emitted with"
+            " window_guard.degraded=true; compare with care",
+            file=sys.stderr,
+        )
 
     # Per-query fault isolation: one broken builder must not zero the whole
     # artifact — record the error string, keep timing the rest, exit 0.
@@ -200,8 +218,10 @@ def main() -> None:
     # Like-for-like reconciliation vs the committed reference artifact
     # (r10 verdict ask #5): common-query totals, the delta pct, and the
     # top movers — embedded so a round-over-round comparison never needs
-    # to be reconstructed by hand from two artifacts.
-    vs_ref = _vs_reference(solo_min)
+    # to be reconstructed by hand from two artifacts. The reference is
+    # per-core-count (r14 verdict ask #1: the driver's 8-core run clobbered
+    # the 32-core rolling reference because both lived at one path).
+    vs_ref = _vs_reference(solo_min, cpus)
 
     full = {
         "metric": "catalog_total_wall_sec",
@@ -211,6 +231,7 @@ def main() -> None:
         "queries": solo_min,
         "queries_spread": queries_spread,
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "errors": errors,
@@ -227,21 +248,32 @@ def main() -> None:
         "loadavg_end": _loadavg(),
     }
     # Complete per-query artifact for the judge (the stdout line below is
-    # size-capped and may omit the fastest queries).
-    with open(os.path.join(_ARTIFACT_DIR, "BENCH_FULL.json"), "w") as fh:
+    # size-capped and may omit the fastest queries). The path encodes the
+    # core count so runs at different SPARK_GRAFT_CPUS never overwrite each
+    # other's artifact; BENCH_FULL.json stays as the legacy rolling name at
+    # the 32-core contract count only.
+    full_name = _full_artifact_name(cpus)
+    with open(os.path.join(_ARTIFACT_DIR, full_name), "w") as fh:
         json.dump(full, fh, indent=1)
+    if cpus == 32:
+        with open(os.path.join(_ARTIFACT_DIR, "BENCH_FULL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
 
     # The driver captures only the LAST 2000 chars of stdout and parses the
     # JSON line out of that tail; with 114 catalog queries the full per-query
     # map blew past the window and rounds 2-4 recorded parsed=null. Emit a
     # final line capped at ~1900 chars: headline numbers + the slowest
-    # queries that fit, with a pointer at the complete artifact.
+    # queries that fit, with a pointer at the complete artifact. The
+    # window_guard block is compacted to its verdict + per-lane ratios so a
+    # degraded flag always survives the cap (full diagnostics in the
+    # artifact file).
     line = dict(full)
     line["errors"] = {k: v[:80] for k, v in list(errors.items())[:3]}
     line.pop("reps_done", None)
     line.pop("queries_single_pass", None)
-    line.pop("queries_spread", None)  # full per-query {min, median}: BENCH_FULL.json
-    line["full_results"] = "BENCH_FULL.json"
+    line.pop("queries_spread", None)  # full per-query {min, median}: see full_results
+    line["window_guard"] = _compact_guard(guard_info)
+    line["full_results"] = full_name
     by_cost = sorted(solo_min, key=lambda n: -solo_min[n])
     for keep in range(len(by_cost), -1, -1):
         line["queries"] = {n: solo_min[n] for n in by_cost[:keep]}
@@ -272,25 +304,56 @@ def main() -> None:
 #     since round 2) — catches JVM/GC/host degradation.
 #   - q_tfidf: pandas-UDF tokenize + shuffle over documents — catches
 #     Python-worker-pool / Arrow-serde degradation.
-# q_tfidf's ref is pinned ABOVE its clean min (1.805) because the Arrow
-# lane is intrinsically jumpier (r10 spread: min 1.805 / median 2.294):
-# 2.0 + 10% tolerance = 2.2 s threshold still cleanly catches the +30-60%
-# inflation this lane actually exhibits when degraded (would measure 2.35+),
-# without false-tripping on its normal jitter.
+# Round-15 re-pin (r14 verdict ask #1):
+#   - q01: 1.25 was the r10 value; four independent recent sessions
+#     (r14 driver 32c window: 1.376/1.384; driver 8c: 1.325; builder
+#     windows: 1.35+) converge on ~1.33-1.39, so 1.40 is the current
+#     demonstrated-stable clean value. (The old 1.25 ref aborted the r14
+#     driver sweep at ratio 1.101 — weather read as regression.)
+#   - q_tfidf: its batch-3 r14 optimization moved the clean min from 1.805
+#     to ~1.6 (driver window 1.596); the stale 2.0 ref made the Arrow lane
+#     dead weight (a 37%-degraded window still calibrated green). Re-pinned
+#     to 1.70, slightly above the post-optimization min because the Arrow
+#     lane is intrinsically jumpier.
+# Since round 15 a degraded verdict annotates rather than suppresses (see
+# main()), so a tripped guard costs nothing but honesty.
 _CAL_QUERIES: dict[str, float] = {
-    "q01_pricing_summary": 1.25,
-    "q_tfidf": 2.0,
+    "q01_pricing_summary": 1.40,
+    "q_tfidf": 1.70,
 }
 
 
-# The reference artifact for like-for-like deltas: the PREVIOUS run's full
-# per-query map (BENCH_FULL.json is read before this run overwrites it, and
-# the committed copy is the last clean-window round's — r10 as of round 11).
-_REF_BENCH = "BENCH_FULL.json"
+# The committed read-only reference for like-for-like deltas, per core
+# count. bench.py NEVER writes these paths: r11's abort and r14's 8-core
+# driver run both clobbered the old single-path rolling reference
+# (BENCH_FULL.json), so reference and output are now separate files.
+def _ref_bench_name(cpus: int) -> str:
+    return f"BENCH_REF_c{cpus}.json"
 
-# Degraded-window aborts are recorded HERE, never in BENCH_FULL.json:
-# BENCH_FULL.json doubles as _REF_BENCH, and r11's abort clobbered it,
-# leaving a tree where the next clean run reconciled against {}.
+
+def _full_artifact_name(cpus: int) -> str:
+    return f"BENCH_FULL_c{cpus}.json"
+
+
+def _compact_guard(guard_info: dict) -> dict:
+    """The stdout line is size-capped; keep the guard verdict + per-lane
+    ratios so 'degraded' always survives, and point at the artifact for
+    the full diagnostics."""
+    out = {"degraded": guard_info.get("degraded", False)}
+    if "skipped" in guard_info:
+        out["skipped"] = guard_info["skipped"]
+    if "degraded_reason" in guard_info:
+        out["degraded_reason"] = guard_info["degraded_reason"]
+    lanes = guard_info.get("cal_queries")
+    if isinstance(lanes, dict):
+        out["cal_ratios"] = {
+            n: e.get("ratio") for n, e in lanes.items() if isinstance(e, dict)
+        }
+    return out
+
+
+# Degraded-window aborts (legacy SPARK_GRAFT_BENCH_GUARD=abort mode) are
+# recorded HERE, never in a reference or rolling artifact.
 _ABORT_RECORD = "BENCH_ABORT.json"
 
 # Where bench artifacts land; module-level so tests can point it at a tmp dir
@@ -298,22 +361,30 @@ _ABORT_RECORD = "BENCH_ABORT.json"
 _ARTIFACT_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+def _should_abort(guard_info: dict, guard_mode: str) -> bool:
+    """A degraded window suppresses timings ONLY under the explicit
+    legacy opt-in (SPARK_GRAFT_BENCH_GUARD=abort). Default mode always
+    emits — the r14 driver sweep must never again be lost to weather."""
+    return bool(guard_info.get("degraded")) and guard_mode == "abort"
+
+
 def _write_abort_record(line: dict) -> None:
     with open(os.path.join(_ARTIFACT_DIR, _ABORT_RECORD), "w") as fh:
         json.dump(line, fh, indent=1)
 
 
-def _vs_reference(solo_min: dict[str, float]) -> dict:
-    """Per-query reconciliation vs the committed reference artifact:
-    common-query min-of-N totals, delta pct, and the top movers in each
-    direction (>=20% and >=0.3 s). Never raises."""
+def _vs_reference(solo_min: dict[str, float], cpus: int = 32) -> dict:
+    """Per-query reconciliation vs the committed read-only reference for
+    this core count: common-query min-of-N totals, delta pct, and the top
+    movers in each direction (>=20% and >=0.3 s). Never raises."""
+    ref_name = _ref_bench_name(cpus)
     try:
-        with open(os.path.join(_ARTIFACT_DIR, _REF_BENCH)) as fh:
+        with open(os.path.join(_ARTIFACT_DIR, ref_name)) as fh:
             data = json.load(fh)
         ref = {k: float(v) for k, v in (data.get("queries") or {}).items()}
         common = sorted(set(ref) & set(solo_min))
         if not common:
-            return {"reference": _REF_BENCH, "error": "no common queries"}
+            return {"reference": ref_name, "error": "no common queries"}
         s_ref = sum(ref[q] for q in common)
         s_new = sum(solo_min[q] for q in common)
         movers = sorted(
@@ -326,7 +397,7 @@ def _vs_reference(solo_min: dict[str, float]) -> dict:
             reverse=True,
         )
         return {
-            "reference": _REF_BENCH,
+            "reference": ref_name,
             "n_common": len(common),
             "ref_total_sec": round(s_ref, 3),
             "new_total_sec": round(s_new, 3),
@@ -335,7 +406,7 @@ def _vs_reference(solo_min: dict[str, float]) -> dict:
             "improvements": [{"query": q, "pct": p} for p, q in reversed(movers) if p < 0][:5],
         }
     except Exception as exc:  # noqa: BLE001 - diagnostics only
-        return {"reference": _REF_BENCH, "error": f"{type(exc).__name__}: {exc}"[:200]}
+        return {"reference": ref_name, "error": f"{type(exc).__name__}: {exc}"[:200]}
 
 
 def _loadavg() -> list[float]:

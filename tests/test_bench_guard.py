@@ -98,15 +98,15 @@ def test_guard_never_raises_on_broken_calibration(spark, sf_dir, monkeypatch):
 
 def test_abort_record_never_touches_reference_artifact(tmp_path, monkeypatch):
     # r11 regression: the degraded-window abort wrote its record to
-    # BENCH_FULL.json, which is ALSO _REF_BENCH — the committed clean-window
-    # per-query map used for like-for-like reconciliation — so a later clean
-    # run in the same tree reconciled against {}. The abort must go to
-    # BENCH_ABORT.json and leave BENCH_FULL.json byte-identical.
+    # BENCH_FULL.json, which was ALSO the reference — the committed
+    # clean-window per-query map used for like-for-like reconciliation — so
+    # a later clean run in the same tree reconciled against {}. The abort
+    # must go to BENCH_ABORT.json and leave the reference byte-identical.
     import json
 
     bench = _bench()
-    assert bench._ABORT_RECORD != bench._REF_BENCH
-    ref = tmp_path / bench._REF_BENCH
+    assert bench._ABORT_RECORD != bench._ref_bench_name(32)
+    ref = tmp_path / bench._ref_bench_name(32)
     ref.write_text('{"queries": {"q01_pricing_summary": 1.0}}')
     before = ref.read_bytes()
     monkeypatch.setattr(bench, "_ARTIFACT_DIR", str(tmp_path))
@@ -114,6 +114,80 @@ def test_abort_record_never_touches_reference_artifact(tmp_path, monkeypatch):
     assert ref.read_bytes() == before
     rec = json.loads((tmp_path / bench._ABORT_RECORD).read_text())
     assert rec["metric"] == "degraded_window_abort"
+
+
+def test_degraded_window_emits_timings_by_default():
+    # r14 failure mode: the guard aborted the driver's 32-core sweep at cal
+    # ratio 1.101 and the round lost its only same-core ground truth. The
+    # r15 contract: a degraded window suppresses timings ONLY under the
+    # explicit legacy opt-in (SPARK_GRAFT_BENCH_GUARD=abort); the default
+    # and "off" modes always proceed to the sweep.
+    bench = _bench()
+    degraded = {"degraded": True, "cal_ratio": 1.52}
+    clean = {"degraded": False}
+    assert bench._should_abort(degraded, "on") is False
+    assert bench._should_abort(degraded, "off") is False
+    assert bench._should_abort(degraded, "abort") is True
+    assert bench._should_abort(clean, "abort") is False
+    assert bench._should_abort(clean, "on") is False
+
+
+def test_compact_guard_preserves_degraded_flag_and_ratios():
+    # the stdout line is size-capped; the compacted guard block must keep
+    # the verdict and per-lane ratios so a degraded flag always survives
+    bench = _bench()
+    info = {
+        "degraded": True,
+        "degraded_reason": "idle gate: loadavg never drained",
+        "cal_queries": {
+            "q01_pricing_summary": {"ref_sec": 1.4, "ratio": 1.52, "attempts": [2.1]},
+            "q_tfidf": {"ref_sec": 1.7, "ratio": 0.92, "attempts": [1.56]},
+        },
+        "idle_gate": {"samples": [{"waited_sec": 0.0, "loadavg": [9, 9, 9]}] * 30},
+    }
+    import json
+
+    out = bench._compact_guard(info)
+    assert out["degraded"] is True
+    assert out["degraded_reason"].startswith("idle gate")
+    assert out["cal_ratios"] == {"q01_pricing_summary": 1.52, "q_tfidf": 0.92}
+    assert "idle_gate" not in out  # bulky diagnostics live in the artifact
+    assert len(json.dumps(out)) < 300
+    # skipped guard keeps its marker
+    assert bench._compact_guard({"skipped": "x", "degraded": False}) == {
+        "degraded": False,
+        "skipped": "x",
+    }
+
+
+def test_artifact_and_reference_paths_are_cpu_aware(tmp_path, monkeypatch):
+    # r14 failure mode: the driver's 8-core run overwrote the committed
+    # 32-core rolling reference because output and reference shared one
+    # path. Output now encodes the core count; the reference is a separate
+    # read-only file bench.py never writes.
+    import json
+
+    bench = _bench()
+    assert bench._full_artifact_name(32) != bench._full_artifact_name(8)
+    assert bench._ref_bench_name(32) != bench._ref_bench_name(8)
+    assert bench._full_artifact_name(32) != bench._ref_bench_name(32)
+    monkeypatch.setattr(bench, "_ARTIFACT_DIR", str(tmp_path))
+    (tmp_path / bench._ref_bench_name(32)).write_text(
+        '{"queries": {"q01_pricing_summary": 1.0, "q_x": 2.0}}'
+    )
+    (tmp_path / bench._ref_bench_name(8)).write_text(
+        '{"queries": {"q01_pricing_summary": 9.0}}'
+    )
+    out32 = bench._vs_reference({"q01_pricing_summary": 1.5, "q_x": 2.0}, 32)
+    assert out32["reference"] == bench._ref_bench_name(32)
+    assert out32["n_common"] == 2
+    assert out32["ref_total_sec"] == 3.0
+    out8 = bench._vs_reference({"q01_pricing_summary": 1.5}, 8)
+    assert out8["reference"] == bench._ref_bench_name(8)
+    assert out8["ref_total_sec"] == 9.0
+    # missing reference degrades to diagnostics, never raises
+    out4 = bench._vs_reference({"q01_pricing_summary": 1.5}, 4)
+    assert "error" in out4
 
 
 def test_idle_gate_rejects_busy_box(monkeypatch):
