@@ -1,7 +1,7 @@
 """Per-query optimization profiler (round 14).
 
 For each named catalog query: capture .explain("formatted") to
-plans/r14/<name>_<tag>.txt, then time N noop-sink reps, counting Spark
+plans/r15/<name>_<tag>.txt, then time N noop-sink reps, counting Spark
 jobs/stages per rep via the status tracker. The plan-shape summary
 (Exchange count, join strategies, Python-eval nodes, PushedFilters) and
 per-rep {wall, jobs, stages} go to stdout as JSON.
@@ -72,7 +72,7 @@ def main() -> None:
         v = sc._jsc.sc().dagScheduler().nextJobId()
         return v if isinstance(v, int) else v.get()
 
-    os.makedirs("/root/repo/plans/r14", exist_ok=True)
+    os.makedirs("/root/repo/plans/r15", exist_ok=True)
 
     # one warmup touching the shared machinery (mirrors bench.py)
     import pyspark.sql.functions as F
@@ -96,7 +96,7 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        with open(f"/root/repo/plans/r14/{name}_{tag}.txt", "w") as fh:
+        with open(f"/root/repo/plans/r15/{name}_{tag}.txt", "w") as fh:
             fh.write(plan)
         rep_rows = []
         for _ in range(reps):

@@ -605,11 +605,27 @@ def keep_best_representative(
     members = clusters.select(
         F.col("id").alias(id_col), "cluster", "cluster_size"
     ).join(scored, id_col)
-    w = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), F.col(id_col))
+    # argmax as ONE aggregate (r15): min_by over the key struct
+    # (-quality, id) == (quality DESC, id ASC), the former window's exact
+    # order; (quality, id) is unique per cluster because ids are unique, so
+    # the winner is the same row. id stays un-negated, so any orderable id
+    # type works; quality negation is an exact sign flip for the finite
+    # doubles quality_score emits. The per-cluster sort+window becomes a
+    # partially-aggregated hash exchange.
+    payload = F.struct(F.col(id_col), F.col("cluster_size"), F.col("quality"))
     best = (
-        members.select("*", F.row_number().over(w).alias("__rk"))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
+        members.groupBy("cluster")
+        .agg(
+            F.min_by(payload, F.struct((-F.col("quality")).alias("__nq"), F.col(id_col))).alias(
+                "__b"
+            )
+        )
+        .select(
+            F.col(f"__b.{id_col}").alias(id_col),
+            "cluster",
+            F.col("__b.cluster_size").alias("cluster_size"),
+            F.col("__b.quality").alias("quality"),
+        )
     )
     singles = (
         scored.join(

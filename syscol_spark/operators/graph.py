@@ -12,9 +12,11 @@ Scale shape (mirrors dedup_clusters):
   groupBy(dst) — both shuffle on node ids, never materialize anything
   denser than the edge list;
 - out-degrees are computed ONCE outside the loop;
-- the iteration chain stays LAZY (r14): ranks are consumed once per
-  iteration, so plan depth is linear in the (small, fixed) iteration
-  count and no eager mid-loop materialization is needed;
+- the iteration chain is truncated every THIRD iteration with a
+  localCheckpoint (r14 A/B: a fully-lazy 5-iteration chain measured
+  SLOWER — 6.6 s vs 5.0 s at sf0.1 — because the un-materialized rank
+  side re-sorts through the deep plan each round; the periodic cut keeps
+  plan depth bounded at 3 while paying only ceil(iters/3) eager jobs);
 - the node count (the only driver-side constant) comes from one count(),
   the same one-collect-for-constants rule the k-means trainer follows.
 

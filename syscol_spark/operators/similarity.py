@@ -119,14 +119,37 @@ def mmr_topk(
     # test_mmr_local_matches_distributed). Oversized shortlists keep the
     # distributed loop below.
     sv_rows = sv.limit(_MMR_LOCAL_LIMIT + 1).collect()
+    # Gate the local path on PAIR volume too (r15, ADVICE): the pair table
+    # is sum over queries of n_q*(n_q-1) rows — computable exactly from the
+    # already-collected shortlist rows at zero extra Spark actions — and a
+    # single 10k-row query would pass the row gate yet collect ~1e8 pair
+    # rows to the driver. Oversized pair volumes fall through to the
+    # distributed loop, which computes the identical trajectory.
     if len(sv_rows) <= _MMR_LOCAL_LIMIT:
-        return _mmr_greedy_local(sv, sv_rows, pairs.collect(), k, lam)
+        per_q: dict = {}
+        for r in sv_rows:
+            per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        n_pairs = sum(n * (n - 1) for n in per_q.values())
+        if n_pairs <= _MMR_LOCAL_PAIR_LIMIT:
+            return _mmr_greedy_local(sv, sv_rows, pairs.collect(), k, lam)
     pairs = pairs.localCheckpoint()
-    w1 = Window.partitionBy("query_id").orderBy(F.col("simq").desc(), F.col("cand_id"))
+    # step-1 argmax as ONE aggregate (r15): min_by over (-simq, cand_id)
+    # == the former (simq DESC, cand_id ASC) window order; (simq, cand_id)
+    # is unique per query because cand_id is, so the same row wins.
     selected = (
-        sv.select("*", F.row_number().over(w1).alias("__rk"))
-        .filter(F.col("__rk") == 1)
-        .select("query_id", "cand_id", "simq", F.lit(1).cast("long").alias("step"))
+        sv.groupBy("query_id")
+        .agg(
+            F.min_by(
+                F.struct("cand_id", "simq"),
+                F.struct((-F.col("simq")).alias("__ns"), F.col("cand_id")),
+            ).alias("__b")
+        )
+        .select(
+            "query_id",
+            F.col("__b.cand_id").alias("cand_id"),
+            F.col("__b.simq").alias("simq"),
+            F.lit(1).cast("long").alias("step"),
+        )
         .localCheckpoint()
     )
     for t in range(2, k + 1):
@@ -140,11 +163,22 @@ def mmr_topk(
             .agg(F.max("sim").alias("__pen"))
         )
         score = F.lit(lam) * F.col("simq") - F.lit(1.0 - lam) * F.col("__pen")
-        wt = Window.partitionBy("query_id").orderBy(score.desc(), F.col("cand_id"))
+        # per-step argmax as ONE aggregate (same uniqueness argument as
+        # step 1: cand_id is unique within each query's candidate pool)
         pick = (
-            cand.select("*", F.row_number().over(wt).alias("__rk"))
-            .filter(F.col("__rk") == 1)
-            .select("query_id", "cand_id", "simq", F.lit(t).cast("long").alias("step"))
+            cand.groupBy("query_id")
+            .agg(
+                F.min_by(
+                    F.struct("cand_id", "simq"),
+                    F.struct((-score).alias("__ns"), F.col("cand_id")),
+                ).alias("__b")
+            )
+            .select(
+                "query_id",
+                F.col("__b.cand_id").alias("cand_id"),
+                F.col("__b.simq").alias("simq"),
+                F.lit(t).cast("long").alias("step"),
+            )
         )
         selected = selected.unionAll(pick).localCheckpoint()
     return selected.select(
@@ -152,10 +186,13 @@ def mmr_topk(
     )
 
 
-#: bound for mmr_topk's driver-local greedy: 10k (query, cand) shortlist
-#: rows → ≤ 10k * shortlist pair rows collected (a few MB). Above it the
-#: distributed per-step loop runs unchanged.
+#: bounds for mmr_topk's driver-local greedy: 10k (query, cand) shortlist
+#: rows AND at most 2M in-shortlist pair rows (~64 MB of Row objects) —
+#: the pair table is sum(n_q^2) so the row gate alone admits a single
+#: 10k-shortlist query with ~1e8 pairs (r15, ADVICE). Above either bound
+#: the distributed per-step loop runs unchanged.
 _MMR_LOCAL_LIMIT = 10_000
+_MMR_LOCAL_PAIR_LIMIT = 2_000_000
 
 
 def _mmr_greedy_local(sv, sv_rows: list, pair_rows: list, k: int, lam: float):
@@ -437,6 +474,26 @@ def kmeans_centroids(
 
 _LOCAL_TRAIN_LIMIT = 200_000  # ≈100 MB of float64 at dim=64 — driver-safe
 
+# Probe short-circuit (r15, ADVICE): the merged limit(N+1) probe transfers
+# ~N full (id, vec) rows even when the frame is lake-sized and the rows are
+# then discarded. When the optimizer's sizeInBytes estimate is MUCH larger
+# than any under-bound frame could be, skip the probe and take the
+# distributed path directly. Correctness is path-invariant (local and
+# distributed twins are equivalence-pinned), so a wrong estimate costs only
+# the path choice, never the result; 2 GiB is ~20x the largest possible
+# under-bound transfer, far outside estimate noise at bench scale.
+_SKIP_PROBE_EST_BYTES = 2 << 30
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan sizeInBytes estimate; None when the py4j
+    surface is unavailable. Diagnostics-grade only — callers must treat it
+    as a coarse upper-bound hint, never a row count."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 - estimate is optional
+        return None
+
 
 def _bounded_sample(train: DataFrame) -> list | None:
     """The training rows when they fit _LOCAL_TRAIN_LIMIT, else None.
@@ -449,7 +506,11 @@ def _bounded_sample(train: DataFrame) -> list | None:
     (~100 MB at dim=64) whichever path wins, and when len(rows) <= N the
     limit returned EVERY row, so which-rows nondeterminism of limit cannot
     leak into the local path (it only truncates on the over-bound branch,
-    where the rows are discarded)."""
+    where the rows are discarded). Frames whose optimizer size estimate is
+    clearly lake-scale skip the probe transfer entirely (r15, ADVICE)."""
+    est = _estimated_bytes(train)
+    if est is not None and est > _SKIP_PROBE_EST_BYTES:
+        return None
     rows = train.limit(_LOCAL_TRAIN_LIMIT + 1).collect()
     return rows if len(rows) <= _LOCAL_TRAIN_LIMIT else None
 
@@ -1054,12 +1115,19 @@ def _score_pairs_for(
     (limit(N+1).toPandas()) that doubles as the closure path's corpus pull
     — the previous limit-count + toPandas shape scanned ``sides`` twice;
     when len <= N the limit returned every row, so the closure path sees
-    the complete corpus exactly as before."""
+    the complete corpus exactly as before. Frames whose optimizer size
+    estimate is clearly lake-scale skip the probe transfer and go straight
+    to the join-attach path (r15, ADVICE — both paths emit identical
+    cosines, so the estimate only steers cost)."""
     if n_sides is None:
-        pdf = sides.limit(_BROADCAST_SCORE_LIMIT + 1).toPandas()
-        if len(pdf) <= _BROADCAST_SCORE_LIMIT:
-            return _score_pairs_closure(pairs, sides, pdf=pdf)
-        n_sides = len(pdf)
+        est = _estimated_bytes(sides)
+        if est is not None and est > _SKIP_PROBE_EST_BYTES:
+            n_sides = _BROADCAST_SCORE_LIMIT + 1  # over-bound by estimate
+        else:
+            pdf = sides.limit(_BROADCAST_SCORE_LIMIT + 1).toPandas()
+            if len(pdf) <= _BROADCAST_SCORE_LIMIT:
+                return _score_pairs_closure(pairs, sides, pdf=pdf)
+            n_sides = len(pdf)
     if n_sides <= _BROADCAST_SCORE_LIMIT:
         return _score_pairs_closure(pairs, sides)
     with_vecs = pairs.join(

@@ -134,11 +134,21 @@ def q_ev_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ev_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    # earliest-row-per-key as ONE aggregate (r15, guide §2.3/§2.4): min over
+    # the struct (ts_us, event_id) — lexicographic, and (ts_us, event_id) is
+    # unique per row (event_id is unique), so the winner is exactly the
+    # former row_number()==1 row. The aggregate gets map-side partial
+    # aggregation (each task collapses to one candidate per key before the
+    # exchange) instead of shuffling and SORTING every event.
     return (
-        ev.select("user_id", "event_type", "event_id", "ts_us", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts_us", "event_id")).alias("__o"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("__o.event_id").alias("event_id"),
+            F.col("__o.ts_us").alias("ts_us"),
+        )
     )
 
 
@@ -639,20 +649,17 @@ def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    key = Window.partitionBy("user_id", "event_type")
-    ordered = key.orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
-    return (
-        ev.select(
-            "user_id",
-            "event_type",
-            F.count(F.lit(1)).over(key).cast("long").alias("n_versions"),
-            F.min("ts_us").over(key).alias("first_us"),
-            F.max("ts_us").over(key).alias("last_us"),
-            F.first("value").over(ordered).alias("last_value"),
-            F.row_number().over(ordered).alias("rk"),
-        )
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+    # latest-wins compaction as ONE aggregate (r15, guide §2.3/§2.4): every
+    # windowed value here is per-key-constant, so the whole query is a
+    # groupBy — count/min/max directly, and last_value = max_by over the
+    # unique ordering struct (ts_us, event_id), which picks exactly the
+    # former row_number()==1 row of the DESC window. Replaces a full
+    # (key, ts) shuffle+sort with a partially-aggregated hash exchange.
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+        F.expr("max_by(value, struct(ts_us, event_id))").alias("last_value"),
     )
 
 

@@ -767,17 +767,24 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", F.col("label").alias("true_label"), "cand", "n")
         .agg(F.sum(term * term).alias("dd"))
     )
-    ranked = dist.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(F.expr("dd * 1000000 div (n * n)"), "cand")
-        ),
+    # argmin as ONE aggregate (r15): min over the struct (quantized
+    # distance, cand) — cand is unique per vec_id (one row per candidate
+    # centroid), so the struct-min picks exactly the former
+    # row_number()==1 row, with map-side partial aggregation instead of a
+    # per-vec_id shuffle+sort. true_label is per-vec_id constant and rides
+    # in the grouping key.
+    best = (
+        dist.groupBy("vec_id", "true_label")
+        .agg(
+            F.min(
+                F.struct(F.expr("dd * 1000000 div (n * n)").alias("__k"), F.col("cand"))
+            ).alias("__b")
+        )
     )
     return (
-        ranked.filter(F.col("rk") == 1)
-        .groupBy(
+        best.groupBy(
             F.col("true_label").cast("long").alias("true_label"),
-            F.col("cand").cast("long").alias("pred_label"),
+            F.col("__b.cand").cast("long").alias("pred_label"),
         )
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -1042,8 +1049,6 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vq").cast(dec38).alias("s"),
         F.lit(1).cast(dec38).alias("n"),
     )
-    argmin = Window.partitionBy("vec_id").orderBy(F.expr("dd div (n * n)"), "cl")
-
     def assign(c: DataFrame) -> DataFrame:
         term = (F.col("n") * F.col("vq") - F.col("s"))
         d = (
@@ -1051,7 +1056,26 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "cl", "n")
             .agg(F.sum(term * term).alias("dd"))
         )
-        return d.withColumn("rk", F.row_number().over(argmin)).filter(F.col("rk") == 1)
+        # argmin as ONE aggregate (r15): min over the struct (quantized
+        # distance, cl, n, dd) — cl is unique per vec_id, so the first two
+        # fields already identify the former row_number()==1 row and the
+        # (n, dd) tail is payload, never reached by the comparison. Each
+        # of the three assignment rounds loses its per-vec_id sort+window
+        # in favor of a partially-aggregated hash exchange.
+        return (
+            d.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.expr("dd div (n * n)").alias("__k"),
+                        F.col("cl"),
+                        F.col("n"),
+                        F.col("dd"),
+                    )
+                ).alias("__b")
+            )
+            .select("vec_id", "__b.cl", "__b.n", "__b.dd")
+        )
 
     def update(a: DataFrame) -> DataFrame:
         return (

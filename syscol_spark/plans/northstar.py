@@ -3081,7 +3081,11 @@ def q_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table and join the per-word (n_toks, n_multi) back onto exact
     # per-(source, word) occurrence counts. Sums are exact integers —
     # sum(cnt * per_word) == sum over occurrences — so the result is
-    # identical by construction.
+    # identical by construction. Contract note (r15, ADVICE): a source
+    # whose documents are ALL empty/whitespace contributes no occurrence
+    # rows and is absent from the output — exactly matching the oracle,
+    # whose doctok CTE filters tk <> '' and INNER-joins seg before the
+    # GROUP BY, so such a source is absent there too at every scale.
     occ = (
         d.select("source", F.explode(tokens("text")).alias("word"))
         .filter(F.col("word") != "")
@@ -3320,7 +3324,10 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the vocabulary-sized distinct table and per-word symbol/char
     # counts join back onto exact (source, word) occurrence counts. All
     # sums are exact integers (n_chars per doc == sum of token lengths),
-    # so every output value is identical by construction.
+    # so every output value is identical by construction. Contract note
+    # (r15, ADVICE): an all-empty/whitespace source is absent from the
+    # output — matching the oracle, whose token CTE filters empty tokens
+    # and INNER-joins before grouping, so it is absent there too.
     occ = (
         d.select("source", F.explode(tokens("text")).alias("word"))
         .filter(F.col("word") != "")
