@@ -43,16 +43,21 @@ def pagerank(
 
     Output: (node, pr) with pr rounded to 6dp; sum(pr) ≈ N.
     """
-    # Materialize the edge list ONCE, pre-partitioned on src: its producing
-    # subplan (e.g. the whole knn_graph build) would otherwise be re-executed
-    # by every consumer below, and hashing it on the join key up front lets
-    # every iteration's sort-merge join reuse the stored partitioning
-    # instead of re-exchanging the (static) edge side.
-    e = (
+    # Materialize the degree-weighted edge list ONCE, hash-partitioned on
+    # src (r15 — was TWO materializations: a repartitioned copy of the raw
+    # edges, then deg computed from it and joined back). One aggregation
+    # over the producing subplan (e.g. the whole knn_graph build) yields
+    # per-src neighbor arrays + degree; exploding restores the edge rows
+    # WITH deg attached, and the groupBy's own hash partitioning on src is
+    # exactly the layout every iteration's join reuses. Out-degree per src
+    # is bounded (k-NN edges), so the transient arrays are small.
+    weighted = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .repartition("src")
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("__ds"), F.count(F.lit(1)).alias("deg"))
+        .select("src", F.explode("__ds").alias("dst"), "deg")
         .localCheckpoint()
-    )
+    )  # (src, dst, deg) fixed
     # ONE aggregation derives both driver-fixed node frames (r14 — was two
     # checkpoints: a union-distinct for `nodes` plus a left-anti join for
     # `dangling`): every node tagged with whether ANY in-edge reaches it.
@@ -61,14 +66,12 @@ def pagerank(
     # the per-iteration nodes-⋈-contrib left join with a shuffle-free
     # union of a fixed frame.
     nd = (
-        e.select(F.col("src").alias("node"), F.lit(0).alias("has_in"))
-        .unionAll(e.select(F.col("dst").alias("node"), F.lit(1).alias("has_in")))
+        weighted.select(F.col("src").alias("node"), F.lit(0).alias("has_in"))
+        .unionAll(weighted.select(F.col("dst").alias("node"), F.lit(1).alias("has_in")))
         .groupBy("node")
         .agg(F.max("has_in").alias("has_in"))
         .localCheckpoint()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    weighted = e.join(deg, "src").repartition("src").localCheckpoint()  # (src, dst, deg) fixed
     dangling = nd.filter(F.col("has_in") == 0).select(
         "node", F.lit(1.0 - damping).alias("pr")
     )

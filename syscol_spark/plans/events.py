@@ -554,39 +554,53 @@ def q_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="ordered conversion funnel view→click→purchase (strictly increasing event times)",
 )
 def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE shuffle instead of two join+agg legs plus three count legs (r15,
+    # guide §2.3/§2.4): per user, collect the sorted click/purchase time
+    # arrays alongside min view time in a single groupBy, then derive the
+    # funnel times array-side — t_click = min click strictly after t_view
+    # (array_min over a filtered array; a null t_view filters everything
+    # out, matching the old inner-join-on-v semantics), t_purchase
+    # likewise after t_click. The old shape re-planned v twice and c twice
+    # (each a full events scan + agg), so this also removes 4 redundant
+    # scans. Counts/rates are exact longs either way.
     ev = _events(spark, sf_dir)
-    v = (
-        ev.filter(F.col("event_type") == "view")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_us") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_us") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_purchase"))
-    )
-    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
-    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
-    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
-    return (
-        nv.crossJoin(nc)
-        .crossJoin(np_)
-        .select(
-            "n_view",
-            "n_click",
-            "n_purchase",
-            (F.col("n_click") * F.lit(1.0) / F.col("n_view")).alias("view_to_click"),
-            (F.col("n_purchase") * F.lit(1.0) / F.col("n_click")).alias("click_to_purchase"),
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t_view"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts_us"))
+            ).alias("__clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+            ).alias("__purchases"),
         )
+        .select(
+            "t_view",
+            F.array_min(
+                F.filter("__clicks", lambda t: t > F.col("t_view"))
+            ).alias("t_click"),
+            "__purchases",
+        )
+        .select(
+            "t_view",
+            "t_click",
+            F.array_min(
+                F.filter("__purchases", lambda t: t > F.col("t_click"))
+            ).alias("t_purchase"),
+        )
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    ).select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_click") * F.lit(1.0) / F.col("n_view")).alias("view_to_click"),
+        (F.col("n_purchase") * F.lit(1.0) / F.col("n_click")).alias("click_to_purchase"),
     )
 
 
