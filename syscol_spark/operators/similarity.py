@@ -567,6 +567,26 @@ def _kmeans_local(rows: list, k: int, max_iter: int) -> list[list[float]]:
     return [[float(v) for v in row] for row in c]
 
 
+def _residual_rows_local(rows: list, centroids: list[list[float]]) -> list:
+    """Driver-side twin of the engine's residual encoding for an
+    already-collected (id, vec) sample: assign each vector to its nearest
+    centroid with EXACTLY the engine's arithmetic (_assign_nearest computes
+    dots via matrix_dots — a numpy float64 matmul inside a pandas_udf —
+    minus half-norms built by a Python sum() fold, argmax with
+    first-occurrence ties), then subtract the assigned centroid
+    elementwise in float64 (the zip_with op). Same machine, same numpy,
+    same op order ⇒ the residual rows are bit-identical to what a bounded
+    collect of the engine-computed residual frame would return, without
+    the extra scan+collect job per residual index build (r15)."""
+    ids = [r[0] for r in rows]
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype="float64")
+    c = np.array(centroids, dtype="float64")
+    half_norms = np.array([sum(v * v for v in cc) / 2.0 for cc in centroids])
+    assign = (x @ c.T - half_norms).argmax(axis=1)
+    res = x - c[assign]
+    return [(i, row.tolist()) for i, row in zip(ids, res)]
+
+
 def _matrix_lit(matrix: list[list[float]]) -> Column:
     """array<array<double>> literal built as ONE parsed SQL expression.
     Constructing it as nested F.array(F.lit(...)) costs one py4j round trip
@@ -1781,16 +1801,24 @@ def build_ivfpq_index(
     # PQ codebooks + one code row per corpus vector; list_id rides through
     # pq_codes (passthrough) so serving is ONE scan — no self-join to
     # re-attach the inverted-list assignment
+    if sample is not None and pq_stride == coarse_stride:
+        # the collected coarse sample is row-for-row the PQ training
+        # sample (same source frame, same stride): non-residual trains on
+        # it directly (r14); residual trains on its DRIVER-COMPUTED
+        # residuals (r15) — the assignment arithmetic is the same numpy
+        # matmul the engine's matrix_dots pandas_udf runs (float64, argmax
+        # first-occurrence ties, half-norms via the same Python fold as
+        # _assign_nearest) and the subtraction is the same elementwise
+        # float64 op as the zip_with, so the rows are bit-identical and
+        # the second bounded collect (scan + assign + residual per build)
+        # disappears.
+        pq_sample = sample if not residual else _residual_rows_local(sample, coarse)
+    else:
+        pq_sample = None
     codebooks = _pq_codebooks(
         enc_src.select("id", "vec"), dim=dim, n_subspaces=n_subspaces,
         n_centroids=pq_centroids, max_iter=pq_iter, train_stride=pq_stride,
-        # non-residual: enc_src's (id, vec) IS df's — same frame, same
-        # stride ⇒ the collected coarse sample is row-for-row the PQ
-        # training sample (residual codebooks train on engine-computed
-        # residual vectors, so they keep their own collect)
-        sample_rows=(
-            sample if (not residual and pq_stride == coarse_stride) else None
-        ),
+        sample_rows=pq_sample,
     )
     codes = pq_codes(
         enc_src, vec_col="vec", id_col="id", dim=dim,

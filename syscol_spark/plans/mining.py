@@ -1505,8 +1505,13 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             reach.unionByName(expanded)
             .groupBy("seed", "node")
             .agg(F.min("hop").alias("hop"))
-            .localCheckpoint()
         )
+        # mid-loop rounds are consumed TWICE next round (frontier filter +
+        # union) — checkpoint them; the final round feeds ONE consumer (the
+        # closing aggregate), so its eager materialization job was pure
+        # waste (r15)
+        if hop < 3:
+            reach = reach.localCheckpoint()
     return (
         reach.groupBy("seed")
         .agg(

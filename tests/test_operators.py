@@ -1308,6 +1308,42 @@ def test_mmr_local_matches_distributed(spark, monkeypatch):
     assert len(local) == 3 * 4
 
 
+def test_residual_rows_local_matches_engine(spark):
+    """r15: build_ivfpq_index's residual PQ training sample is computed
+    driver-side from the already-collected coarse sample instead of a
+    second bounded collect of the engine's residual frame. The rows must
+    be BIT-identical to what the engine's assign+zip_with residual
+    expression produces for the same vectors."""
+    import math
+
+    import syscol_spark.operators.similarity as sim
+
+    rows = []
+    for i in range(60):
+        rows.append((i, [float(math.sin(0.31 * i + 0.07 * j)) for j in range(16)]))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    cents = sim._kmeans_local(rows, 4, 3)
+
+    local = {i: v for i, v in sim._residual_rows_local(rows, cents)}
+
+    cmat = sim._matrix_lit(cents)
+    engine = (
+        sim._assign_nearest(df, "vec", cents)
+        .select(
+            "id",
+            F.zip_with(
+                F.col("vec"),
+                F.element_at(cmat, F.col("__cluster") + 1),
+                lambda a, b: a.cast("double") - b,
+            ).alias("vec"),
+        )
+        .collect()
+    )
+    assert len(engine) == len(local)
+    for r in engine:
+        assert local[r["id"]] == list(r["vec"])  # exact float equality
+
+
 def test_vocab_tokenize_longest_maximal_munch(spark):
     """Greedy longest-match semantics: the longest vocab symbol wins at
     each position, unknown chars fall back to themselves, and segmentation
