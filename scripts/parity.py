@@ -147,10 +147,18 @@ def _write_artifact(path: str, sf_dir: str, results: dict, failures: int) -> Non
         ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
         capture_output=True, text=True,
     ).stdout.strip()
-    dirty = bool(subprocess.run(
+    # "dirty" means CODE drift vs the recorded sha; a sibling parity
+    # artifact written minutes earlier in the same batch is not drift
+    # (r15: the sf0.1 run recorded dirty=true solely because the sf0.01
+    # artifact it was batched with was not yet committed).
+    status = subprocess.run(
         ["git", "-C", "/root/repo", "status", "--porcelain"],
         capture_output=True, text=True,
-    ).stdout.strip())
+    ).stdout.strip()
+    dirty = bool([
+        ln for ln in status.splitlines()
+        if not ln.rsplit(" ", 1)[-1].startswith("PARITY_RUN")
+    ])
     artifact = {
         "sf_dir": sf_dir,
         "git_sha": sha,
